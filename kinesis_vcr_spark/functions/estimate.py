@@ -1,0 +1,74 @@
+"""``estimate`` — metadata-only replay-time aggregate (reference A1/A2/A5/A6).
+
+Mirrors ``KinesisVcr.java:74-98``: list archive files in range (never GET
+their contents), count them and sum their sizes, divide by the target
+stream's write throughput (1 MB/s per open shard), floor to minutes, and
+humanize. Preserving the metadata-only property is a correctness
+requirement (SURVEY.md §4): estimate cost must be independent of data
+size — O(files), not O(bytes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_vcr_spark.sources.archive import archive_listing
+from kinesis_vcr_spark.timeparse import humanize_minutes
+
+
+@dataclass
+class Estimate:
+    file_count: int
+    total_bytes: int
+    open_shards: int
+    minutes: int
+    human: str
+
+
+def estimate_agg(listing: DataFrame) -> DataFrame:
+    """count(files) + sum(bytes) in ONE pass (A1+A2, KinesisVcr.java:75-82).
+
+    The reference makes one pass with a side-effecting counter; Spark does
+    both aggregates in a single partial-agg plan.
+    """
+    return listing.agg(
+        F.count("*").alias("file_count"),
+        F.coalesce(F.sum("file_size"), F.lit(0)).alias("total_bytes"),
+    )
+
+
+def replay_minutes(total_bytes: int, open_shards: int) -> int:
+    """The reference's exact arithmetic (KinesisVcr.java:88-91):
+    decimal-MB integer division, 1 MB/s per open shard model.
+
+    ``minutes = (bytes // 1000 // 1000) // shards // 60`` — floor at every
+    step, matching Java long division.
+    """
+    total_mb = total_bytes // 1000 // 1000
+    return total_mb // open_shards // 60
+
+
+def estimate_replay_time(
+    spark: SparkSession,
+    archive_path: str,
+    start: datetime,
+    end: datetime | None,
+    open_shards: int,
+) -> Estimate:
+    """End-to-end estimate over a local/S3 archive (KinesisVcr.java:74-98)."""
+    if open_shards <= 0:
+        raise ValueError("open_shards must be positive")
+    listing = archive_listing(spark, archive_path, start, end)
+    row = estimate_agg(listing).collect()[0]
+    minutes = replay_minutes(row["total_bytes"], open_shards)
+    return Estimate(
+        file_count=row["file_count"],
+        total_bytes=row["total_bytes"],
+        open_shards=open_shards,
+        minutes=minutes,
+        human=humanize_minutes(minutes),
+    )

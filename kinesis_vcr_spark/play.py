@@ -1,0 +1,87 @@
+"""``play`` — batch replay of an archived time range (reference §3.2).
+
+The reference's replay is an Rx dataflow: day-pruned listing → GET +
+line-split + base64-decode → 500-record/1 MB batching → putRecords with
+partial-failure retry, on a 10-thread pool (KinesisPlayer.java:90-117).
+Spark-first, that is one batch job::
+
+    read_archive(...)                       # pruned + filtered + decoded scan
+      .repartition(parallelism)             # writer concurrency (was: 10 threads)
+      .foreachPartition(batcher + sink)     # procedural edge, per-partition
+
+There is deliberately NO ordering or shard-affinity preservation — the
+reference randomizes partition keys per replayed record
+(KinesisPlayer.java:101, SURVEY.md §1.4), which makes replay
+embarrassingly parallel: at 100 TB the only knobs are scan split size and
+``parallelism`` (number of concurrent sink writers).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from kinesis_vcr_spark.config import (
+    DEFAULT_REPLAY_PARALLELISM,
+    MAX_BATCH_BYTES,
+    MAX_BATCH_COUNT,
+)
+from kinesis_vcr_spark.operators.batching import iter_batches
+from kinesis_vcr_spark.sources.archive import read_archive
+
+REPLAY_BATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("batch_index", T.IntegerType(), False),
+        T.StructField("record_count", T.IntegerType(), False),
+        T.StructField("byte_count", T.LongType(), False),
+    ]
+)
+
+
+def replay_batch_plan(
+    records: DataFrame,
+    max_count: int = MAX_BATCH_COUNT,
+    max_bytes: int = MAX_BATCH_BYTES,
+) -> DataFrame:
+    """Materialize the batching decision as a DataFrame (AWS-free).
+
+    One row per would-be PutRecords call: (partition_id, batch_index,
+    record_count, byte_count). This is the reference's B2 operator made
+    observable — used by tests (batch-limit invariants) and by the bench
+    (replay throughput without a live stream). Oversize records are
+    dropped exactly as in OperatorBufferKinesisBatch.java:78-81.
+    """
+
+    def plan(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        payloads = (row["data"] for row in iterator)
+        for i, batch in enumerate(iter_batches(payloads, max_count, max_bytes)):
+            yield (pid, i, len(batch), sum(len(p) for p in batch))
+
+    return records.select("data").rdd.mapPartitions(plan).toDF(REPLAY_BATCH_SCHEMA)
+
+
+def replay(
+    spark: SparkSession,
+    archive_path: str,
+    start: datetime,
+    end: datetime | None,
+    writer,
+    parallelism: int = DEFAULT_REPLAY_PARALLELISM,
+    mtime_filter: bool = True,
+) -> None:
+    """Full replay: pruned scan → repartition → per-partition writer.
+
+    ``writer`` is a ``foreachPartition`` function — build one with
+    :func:`kinesis_vcr_spark.sinks.kinesis.kinesis_partition_writer` for a
+    live stream, or any callable taking an iterator of Rows for tests.
+    ``parallelism`` maps the reference's fixed 10-thread put pool
+    (KinesisPlayer.java:58) to partition count.
+    """
+    records = read_archive(spark, archive_path, start, end, mtime_filter)
+    records.repartition(parallelism).foreachPartition(writer)

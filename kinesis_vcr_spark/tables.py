@@ -1,0 +1,55 @@
+"""Loaders for the synthetic test tables (TESTDATA.md / FIXTURES.md §3).
+
+Centralizes two environment quirks so every query sees clean schemas
+regardless of which SparkSession it runs under (the correctness driver
+supplies its own session, so these confs are (re)applied at load time):
+
+- ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+  Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it
+  via ``spark.sql.legacy.parquet.nanosAsLong`` and expose BOTH the exact
+  ``ts_ns`` long (for boundary-exact filtering) and a microsecond
+  ``ts`` TimestampType (for date math / windows).
+- base64 must be RFC-4648 unchunked to match java.util.Base64 and
+  DuckDB's ``to_base64`` (``spark.sql.chunkBase64String.enabled=false``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _apply_session_quirks(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.chunkBase64String.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table with normalized schema."""
+    _apply_session_quirks(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events":
+        # nanosAsLong leaves ts as int64 nanos; keep it exact and add a
+        # microsecond timestamp for calendar operations.
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
