@@ -1,0 +1,69 @@
+"""As-of join — an operator Spark lacks natively (guide: "As-of / range
+join"), built as a composition of built-in ops so it scales.
+
+Semantics: for each left row, attach the single right row with the
+largest ``right_ts <= left_ts`` within the same key ("backward" as-of,
+exact matches allowed) — ``pd.merge_asof`` / DuckDB ``ASOF JOIN``
+semantics.
+
+Implementation is the union+window form, NOT a per-group
+``applyInPandas``: one shuffle on the key, one sort within partitions,
+then ``last(..., ignorenulls=True)`` over an unbounded-preceding window.
+At 100 TB this is exactly the plan you want — no Python in the hot path,
+no cross join, skew handled by AQE; a merge_asof-in-pandas variant would
+serialize every row through Arrow and cap each group at one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join with exact matches allowed.
+
+    ``right`` must be unique per (on, right_ts) — pre-aggregate if not
+    (ties would make the result nondeterministic in any engine).
+    Returns all ``left`` columns plus ``right_value_cols`` (suffixed),
+    null where no right row precedes the left row.
+    """
+    value_aliases = [f"{c}{suffix}" for c in right_value_cols]
+
+    # Tag sides; at equal timestamps the right row must sort FIRST so the
+    # running last() sees it (exact matches allowed).
+    r = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(a) for c, a in zip(right_value_cols, value_aliases)],
+    )
+    l = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*left.columns).alias("__left"),
+    )
+    # missing columns (value cols on the left side, __left on the right
+    # side) are null-filled by unionByName
+    unioned = r.unionByName(l, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "__side",
+        "__left",
+        *[F.last(a, ignorenulls=True).over(w).alias(a) for a in value_aliases],
+    )
+    return filled.where(F.col("__side") == 1).select("__left.*", *value_aliases)

@@ -1,0 +1,58 @@
+"""Query registry — the driver-checkable surface of the engine.
+
+Each :class:`QuerySpec` pairs a Spark callable ``(spark, sf_dir) ->
+DataFrame`` with the equivalent ANSI SQL for DuckDB (the correctness
+oracle). Column names/aliases MUST match between the two — the driver
+sorts columns by name and value-hashes.
+
+Hash-parity rules used throughout (see SNIPPETS/guide + local harness
+``tools/oracle_check.py``):
+
+- money math in DECIMAL(18,4) casts on BOTH sides (exact, order-independent);
+- ratios/averages = exact decimal sums cast to double, then divided
+  (bit-deterministic given identical inputs);
+- event-time filtering on ``ts_ns`` (exact int64) in Spark vs native
+  TIMESTAMP_NS comparison in DuckDB, with whole-second bounds;
+- no raw float aggregates, no raw nanosecond timestamps in output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → not SQL-expressible; driver does rows-only
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(spec: QuerySpec) -> QuerySpec:
+    if spec.name in REGISTRY:
+        raise ValueError(f"duplicate query name: {spec.name}")
+    REGISTRY[spec.name] = spec
+    return spec
+
+
+def _load_all() -> None:
+    # import for side effect: each module registers its specs
+    from kinesis_vcr_spark.queries import (  # noqa: F401, PLC0415
+        dedup,
+        relational,
+        similarity,
+        textstats,
+        vcr,
+    )
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    _load_all()
+    return dict(REGISTRY)

@@ -1,0 +1,389 @@
+"""Relational analytics over the star schema — the joins / grouped
+aggregations / windows / sorts / set operations the engine layers on top
+of the reference's surface (SURVEY.md §2.5 note, §7.2 step 6).
+
+Scale posture per query (checked via .explain, see tests/test_plans.py):
+
+- dimension joins broadcast (region/nation/supplier/customer at TPC-H
+  ratios are ⋘ fact tables);
+- aggregations are partial-agg (map-side combine) before one shuffle;
+- window top-k partitions by the group key — no global sort;
+- money math in DECIMAL(18,4) (exact ⇒ order-independent ⇒ identical
+  under any parallelism — also what makes the oracle hash stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_vcr_spark.operators.asof import asof_join
+from kinesis_vcr_spark.queries import QuerySpec, register
+from kinesis_vcr_spark.tables import load_table
+
+DEC = "decimal(18,4)"
+
+
+def _dec(col: str):
+    return F.col(col).cast(DEC)
+
+
+# --- Q1-style pricing summary (scan + groupBy agg, the codegen hot path) ---
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    charge = (disc_price).cast("decimal(18,6)") * (1 + _dec("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1999-06-30").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+            (
+                F.sum(_dec("l_quantity")).cast("double") / F.count("*")
+            ).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
+       sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS sum_charge,
+       count(*) AS count_order,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3-style shipping priority (3-way join + agg + top-n) ---
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_orderpriority,
+       sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- Q5-style local supplier volume (5-way join through two dimensions) ---
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("region", "nation", "customer", "supplier", "orders", "lineitem")}
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    # dimension chain region→nation is tiny: broadcast it through
+    nations = (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nations),
+            (F.col("s_nationkey") == F.col("n_nationkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --- window top-k per group ---
+
+
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            _dec("o_totalprice").alias("total_price"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= 3)
+        .orderBy("o_custkey", "rank")
+    )
+
+
+TOP3_SQL = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS total_price,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+)
+SELECT * FROM ranked WHERE rank <= 3 ORDER BY o_custkey, rank
+"""
+
+
+# --- grouped rollup with set-operation filter ---
+
+
+def premium_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of two customer sets + a semi-join back to stats:
+    high-balance customers who also ordered in 2000-H1."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    active = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2000-07-01").cast("timestamp"))
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    keys = rich.intersect(active)
+    return (
+        orders.join(keys, orders.o_custkey == keys.c_custkey, "left_semi")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum(_dec("o_totalprice")).alias("lifetime_value"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+PREMIUM_SQL = """
+WITH keys AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  INTERSECT
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
+)
+SELECT o_custkey, count(*) AS order_count,
+       sum(CAST(o_totalprice AS DECIMAL(18,4))) AS lifetime_value
+FROM orders WHERE o_custkey IN (SELECT c_custkey FROM keys)
+GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+# --- pivot ---
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def event_type_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    df = (
+        events.select(F.to_date("ts").alias("dt"), "event_type")
+        .groupBy("dt")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return df.select(
+        "dt", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES]
+    ).orderBy("dt")
+
+
+PIVOT_SQL = """
+SELECT CAST(ts AS DATE) AS dt,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+FROM events GROUP BY dt ORDER BY dt
+"""
+
+
+# --- sessionization (lag + gap + running sum) ---
+
+SESSION_GAP_NS = 30 * 60 * 1_000_000_000
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    with_sess = (
+        events.select("user_id", "ts_ns")
+        .withColumn("prev_ns", F.lag("ts_ns").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev_ns").isNull()
+                | ((F.col("ts_ns") - F.col("prev_ns")) > SESSION_GAP_NS)
+            ).cast("long"),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(wrun))
+    )
+    per_session = with_sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("session_events")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("session_count"),
+            F.sum("session_events").alias("total_events"),
+            F.max("session_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSIONS_SQL = f"""
+WITH g AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), f AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR (epoch_ns(ts) - epoch_ns(prev_ts)) > {SESSION_GAP_NS}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM g
+), s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM f
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS session_events
+  FROM s GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS session_count,
+       sum(session_events) AS total_events,
+       max(session_events) AS max_session_events
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- as-of join (custom operator; DuckDB has ASOF JOIN natively) ---
+
+
+def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the most recent click at-or-before it per user
+    (backward as-of, exact allowed) + the gap in whole seconds."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ns"
+    )
+    # unique per (user, ts): keep max event_id (determinism in any engine)
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_ns")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts_ns",
+        right_ts="ts_ns",
+        right_value_cols=["click_event_id", "ts_ns"],
+        suffix="_click",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("click_event_id_click").alias("click_event_id"),
+        F.expr("CAST((ts_ns - ts_ns_click) DIV 1000000000 AS BIGINT)").alias(
+            "gap_seconds"
+        ),
+    ).orderBy("event_id")
+
+
+ASOF_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, c.click_event_id,
+       (epoch_ns(p.ts) - epoch_ns(c.ts)) // 1000000000 AS gap_seconds
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
+register(QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
+                   "scan + grouped aggregation (TPC-H Q1 shape)"))
+register(QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_SQL,
+                   "fact-fact join + broadcast dim + top-n by revenue"))
+register(QuerySpec("q5_local_supplier_volume", q5_local_supplier_volume, Q5_SQL,
+                   "multi-dimension star join"))
+register(QuerySpec("top3_orders_per_customer", top3_orders_per_customer, TOP3_SQL,
+                   "window top-k per group"))
+register(QuerySpec("premium_active_customers", premium_active_customers, PREMIUM_SQL,
+                   "set op (INTERSECT) + semi-join + agg"))
+register(QuerySpec("event_type_daily_pivot", event_type_daily_pivot, PIVOT_SQL,
+                   "pivot / conditional aggregation"))
+register(QuerySpec("user_sessions", user_sessions, SESSIONS_SQL,
+                   "sessionization: lag + gap + running sum"))
+register(QuerySpec("purchase_asof_click", purchase_asof_click, ASOF_SQL,
+                   "as-of join (custom operator vs native ASOF JOIN oracle)"))
