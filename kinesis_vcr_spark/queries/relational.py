@@ -34,7 +34,11 @@ def _dec(col: str):
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
-    charge = (disc_price).cast("decimal(18,6)") * (1 + _dec("l_tax"))
+    # (18,4)x(19,4) → (38,8) exact; re-tag to (18,8) (no value change —
+    # prices ≪ 1e10) so the x(1+tax) product stays within precision 38 and
+    # is EXACT at scale 12 in both Spark and DuckDB. Round once, at the
+    # final sum, identically on both sides.
+    charge = disc_price.cast("decimal(18,8)") * (1 + _dec("l_tax"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1999-06-30").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -42,7 +46,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("l_quantity")).alias("sum_qty"),
             F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
             F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(charge).alias("sum_charge"),
+            F.sum(charge).cast(DEC).alias("sum_charge"),
             F.count("*").alias("count_order"),
             (
                 F.sum(_dec("l_quantity")).cast("double") / F.count("*")
@@ -57,7 +61,7 @@ SELECT l_returnflag, l_linestatus,
        sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
        sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
        sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,6)) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS sum_charge,
+       round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,8)) * (1 + CAST(l_tax AS DECIMAL(18,4)))), 4) AS sum_charge,
        count(*) AS count_order,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
 FROM lineitem
@@ -123,11 +127,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("n_nationkey", "n_name", "r_name")
     )
+    # customer and supplier scale with SF (150k/10k rows x SF): no explicit
+    # broadcast hint — shuffle join at scale, AQE may still broadcast at
+    # small SF. Only the O(1)-size region→nation chain is force-broadcast.
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             F.broadcast(nations),
             (F.col("s_nationkey") == F.col("n_nationkey"))

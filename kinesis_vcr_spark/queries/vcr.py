@@ -84,7 +84,7 @@ def vcr_replay_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 VCR_REPLAY_ROUNDTRIP_SQL = f"""
 SELECT event_id,
        length(to_base64(props::BLOB)) AS b64_len,
-       (from_base64(to_base64(props::BLOB))::VARCHAR = props) AS roundtrip_ok
+       (decode(from_base64(to_base64(props::BLOB))) = props) AS roundtrip_ok
 FROM events
 WHERE ts > TIMESTAMP '{RANGE_START}' AND ts < TIMESTAMP '{RANGE_END}'
 ORDER BY event_id
