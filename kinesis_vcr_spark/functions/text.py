@@ -1,0 +1,160 @@
+"""Text-analysis column functions — language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure Catalyst expressions (split / higher-order functions / regex /
+integer arithmetic): no Python UDFs, fully codegen'd, and each has an
+exact ANSI-SQL mirror in :mod:`kinesis_vcr_spark.queries.textstats` so
+the DuckDB oracle reproduces values bit-for-bit (integer hashes, 6-dp
+rounded ratios).
+
+Scale: every function is per-row (narrow); the only shuffles in the
+queries built from these are the final groupBys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / counting
+# ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer: alpha runs | digit runs | single non-alnum glyphs.
+# Class-based, so Java regex (Spark) and RE2 (DuckDB) agree.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(whitespace_tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Sub-word-ish token count via the BPE pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0))
+
+
+# ---------------------------------------------------------------------------
+# language identification (stopword-profile scoring)
+# ---------------------------------------------------------------------------
+
+# Minimal high-frequency function-word profiles. Scoring is *presence of
+# distinct tokens* (array_intersect), so doc length doesn't bias.
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "los", "y", "es", "un", "una", "en", "que", "de", "no"],
+    "fr": ["le", "les", "et", "est", "une", "dans", "il", "que", "pas", "au"],
+    "zh": ["的", "是", "不", "了", "在", "人", "有", "我", "他", "这"],
+}
+LANGS = sorted(STOPWORDS)  # deterministic evaluation order
+
+
+def lang_hits(text: Column, lang: str) -> Column:
+    """Number of distinct tokens of ``text`` in ``lang``'s profile."""
+    toks = F.array_distinct(whitespace_tokens(text))
+    profile = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(toks, profile))
+
+
+def predicted_lang(text: Column) -> Column:
+    """Argmax language by profile hits; ties (incl. all-zero) break to
+    the alphabetically-first language — mirrored exactly in the oracle."""
+    hits = {lang: lang_hits(text, lang) for lang in LANGS}
+    best = F.greatest(*hits.values())
+    expr = F.lit(LANGS[-1])
+    for lang in reversed(LANGS[:-1]):
+        expr = F.when(hits[lang] == best, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII letters or space."""
+    stripped = F.regexp_replace(text, r"[^A-Za-z ]", "")
+    return F.length(stripped).cast("double") / F.length(text).cast("double")
+
+
+def type_token_ratio(text: Column) -> Column:
+    toks = whitespace_tokens(text)
+    return F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast(
+        "double"
+    )
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = whitespace_tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return total.cast("double") / F.size(toks).cast("double")
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are English stopwords (fluency signal)."""
+    toks = whitespace_tokens(text)
+    profile = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
+    return hits.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality: length saturation + fluency + diversity +
+    alphabetic cleanliness, equal-weighted. Rounded to 6 dp (stable
+    across engines/summation orders)."""
+    length_part = F.least(token_count(text).cast("double") / 100.0, F.lit(1.0))
+    score = (
+        length_part
+        + stopword_ratio(text)
+        + type_token_ratio(text)
+        + alpha_ratio(text)
+    ) / 4.0
+    return F.round(score, 6)
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (rolling polynomial hash over char 5-grams)
+# ---------------------------------------------------------------------------
+
+FP_SHINGLE = 5
+FP_MOD = 2_147_483_648  # 2^31 — engine-portable integer arithmetic
+
+
+def _poly_hash(s: Column) -> Column:
+    """h = fold(codepoints, acc*31 + c mod 2^31) — exact in any engine."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.ascii(F.substring(s, i, 1)),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * 31 + c, F.lit(FP_MOD)),
+    )
+
+
+def char_5gram_hashes(text: Column) -> Column:
+    """Rolling-hash values of all distinct char 5-grams."""
+    last = F.greatest(F.length(text) - FP_SHINGLE + 1, F.lit(1))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), last),
+            lambda i: F.substring(text, i, FP_SHINGLE),
+        )
+    )
+    return F.transform(grams, _poly_hash)
+
+
+def fingerprint(text: Column) -> Column:
+    """Winnowing-style document fingerprint: min rolling-hash over all
+    char 5-grams. Two near-identical docs share it with high probability;
+    selecting by fingerprint equality is a cheap pre-dedup blocking key."""
+    return F.array_min(char_5gram_hashes(text))

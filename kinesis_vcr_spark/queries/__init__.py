@@ -45,7 +45,11 @@ def register(spec: QuerySpec) -> QuerySpec:
 def _load_all() -> None:
     # import for side effect: each module registers its specs
     from kinesis_vcr_spark.queries import (  # noqa: F401, PLC0415
+        dedup,
+        multimodal,
         relational,
+        similarity,
+        textstats,
         vcr,
     )
 

@@ -1,0 +1,211 @@
+"""Dedup queries over the driver's synthetic tables — the
+oracle-checkable surface of :mod:`kinesis_vcr_spark.operators.dedup`.
+
+Oracle strategy: the Spark side uses hashed/bucketed candidate
+generation (LSH bands, pigeonhole blocks) that DuckDB can't reproduce,
+but every query's OUTPUT is hash-independent — verified pairs with
+exact Jaccard / cosine, or deterministic winners — so the oracle just
+brute-forces the same definition over all pairs (fine at sf0.01's 500
+docs; the Spark plan is the one that scales).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_vcr_spark.operators.dedup import (
+    dedup_exact,
+    near_dup_pairs_embedding,
+    near_dup_pairs_minhash,
+    near_dup_pairs_simhash,
+)
+from kinesis_vcr_spark.queries import QuerySpec, register
+from kinesis_vcr_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# exact dedup — events.props carries natural duplicate payloads
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of the event payload column: one deterministic winner
+    (min event_id) per distinct payload + how many copies it had.
+    One shuffle on the content key; winner selection is a window."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "props")
+    kept = dedup_exact(events, ["props"], "event_id")
+    counts = events.groupBy("props").agg(F.count("*").alias("dup_count"))
+    return (
+        kept.join(counts, "props")
+        .select("event_id", "dup_count")
+        .orderBy("event_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(event_id) AS event_id, count(*) AS dup_count
+FROM events GROUP BY props ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# near-dup via MinHash LSH on word 3-shingles
+# ---------------------------------------------------------------------------
+
+J_THRESHOLD = 0.6
+
+
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified with exact Jaccard ≥ 0.6.
+
+    At this threshold the banding (16 bands x 4 rows) misses a
+    qualifying pair with p ≤ (1-0.6^4)^16 ≈ 0.1 in the worst case — but
+    the synthetic corpus is bimodal (planted pairs at J ≥ 0.96, noise
+    < 0.3), where miss probability is ≈ 6e-14; the brute-force oracle
+    confirms exact agreement.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_minhash(
+        docs, "doc_id", "text", shingle_size=3, num_hashes=64, bands=16,
+        threshold=J_THRESHOLD,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+MINHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / (len(a.shingles) + len(b.shingles)
+         - len(list_intersect(a.shingles, b.shingles))) >= {J_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# near-dup via char-4-gram Jaccard (tokenizer-independent)
+# ---------------------------------------------------------------------------
+
+NGRAM_THRESHOLD = 0.7
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-4-gram Jaccard near-dup pairs (MinHash-LSH candidates,
+    exact verification) — whitespace/tokenizer-insensitive variant."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_minhash(
+        docs, "doc_id", "text", shingle_size=4, num_hashes=64, bands=16,
+        threshold=NGRAM_THRESHOLD, char_ngrams=True,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+NGRAM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(length(text) - 3, 1) + 1),
+             i -> substring(text, i, 4))) AS shingles
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / (len(a.shingles) + len(b.shingles)
+         - len(list_intersect(a.shingles, b.shingles))) >= {NGRAM_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# near-dup via SimHash (Hamming ≤ 3, pigeonhole-blocked)
+# ---------------------------------------------------------------------------
+
+
+def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3, pigeonhole-blocked).
+
+    Approximate BY DESIGN: SimHash bit agreement tracks cosine of the
+    token-frequency vectors, not Jaccard, and on this corpus (short
+    docs, one shared vocabulary) the noise floor overlaps the planted
+    pairs — so there is no exact SQL ground truth and the driver
+    records a rows-only check. The operator's determinism and
+    monotonicity (identical docs → distance 0; small perturbations →
+    small distance) are asserted in tests/test_dedup.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=3)
+    return pairs.select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# near-dup via embedding cosine (hyperplane-LSH candidates)
+# ---------------------------------------------------------------------------
+
+COS_THRESHOLD = 0.95
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with cosine ≥ 0.95 (exact verification
+    on LSH candidates). The synthetic embeddings top out at cosine
+    ≈ 0.51, so the correct answer is empty — the oracle confirms the
+    operator introduces no false positives."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = near_dup_pairs_embedding(
+        emb, "vec_id", "embedding", threshold=COS_THRESHOLD
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+EMB_COS_SQL = f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, e,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+), u AS (
+  SELECT vec_id, list_transform(e, x -> x / nrm) AS un FROM n
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_reduce(list_transform(range(1, 65),
+                 i -> a.un[i] * b.un[i]), (x, y) -> x + y), 6) AS cosine
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_reduce(list_transform(range(1, 65),
+          i -> a.un[i] * b.un[i]), (x, y) -> x + y) >= {COS_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+register(QuerySpec("dedup_exact_events", dedup_exact_events, DEDUP_EXACT_SQL,
+                   "exact dedup: deterministic winner per duplicate payload"))
+register(QuerySpec("dedup_near_minhash", dedup_near_minhash, MINHASH_SQL,
+                   "MinHash-LSH near-dup pairs, exact-Jaccard verified"))
+register(QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_SQL,
+                   "char-4-gram Jaccard near-dup pairs via LSH"))
+register(QuerySpec("dedup_near_simhash", dedup_near_simhash, None,
+                   "SimHash pigeonhole-blocked near-dup pairs (approximate)"))
+register(QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, EMB_COS_SQL,
+                   "embedding-cosine near-dup pairs via hyperplane LSH"))

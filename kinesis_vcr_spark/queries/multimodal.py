@@ -1,0 +1,106 @@
+"""Multimodal queries — binary payload analytics + the Arrow-batched
+feature-extraction path (see
+:mod:`kinesis_vcr_spark.operators.multimodal`).
+
+``multimodal_payload_stats`` is pure relational work over binary
+columns (byte lengths, content digests) → exact DuckDB oracle.
+``multimodal_features`` runs the mapInPandas decode path with the
+deterministic fake decoder → registered WITH an oracle too, because the
+fake decoder's arithmetic (sqrt-width, mean byte value) is reproducible
+in SQL over the same utf-8 payload bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_vcr_spark.operators.multimodal import (
+    documents_as_media,
+    extract_media_features,
+)
+from kinesis_vcr_spark.queries import QuerySpec, register
+from kinesis_vcr_spark.tables import load_table
+
+
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stats over opaque binary payloads: counts, byte
+    totals, distinct content digests — the dedup-on-binary primitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return (
+        docs.select(
+            "source",
+            F.length(payload).alias("nbytes"),
+            F.sha2(payload, 256).alias("digest"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_payloads"),
+            F.sum("nbytes").alias("total_bytes"),
+            F.countDistinct("digest").alias("n_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
+PAYLOAD_STATS_SQL = """
+SELECT source,
+       count(*) AS n_payloads,
+       sum(octet_length(encode(text))) AS total_bytes,
+       count(DISTINCT sha256(text)) AS n_distinct
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake-decode feature extraction (mapInPandas) over
+    document payloads treated as media blobs."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_media_features(documents_as_media(docs))
+    return feats.select(
+        "media_id",
+        "payload_bytes",
+        "width",
+        "height",
+        F.round("mean_value", 6).alias("mean_value"),
+    ).orderBy("media_id")
+
+
+# fake_decode mirror: width = floor(sqrt(n)), height = n // width,
+# mean = sum(bytes)/n. Byte values recovered from the blob's hex dump.
+FEATURES_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT media_id,
+       n AS payload_bytes,
+       greatest(CAST(floor(sqrt(n)) AS BIGINT), 1) AS width,
+       greatest(n // greatest(CAST(floor(sqrt(n)) AS BIGINT), 1), 1) AS height,
+       round(CAST(list_reduce(list_transform(range(1, n + 1),
+                 i -> (strpos('0123456789ABCDEF', substring(h, 2*i-1, 1)) - 1)
+                      * 16
+                      + strpos('0123456789ABCDEF', substring(h, 2*i, 1)) - 1),
+             (a, x) -> a + x) AS DOUBLE) / n, 6) AS mean_value
+FROM b ORDER BY media_id
+"""
+
+
+register(
+    QuerySpec(
+        "multimodal_payload_stats",
+        multimodal_payload_stats,
+        PAYLOAD_STATS_SQL,
+        "binary payload stats: byte totals + content digests per source",
+    )
+)
+register(
+    QuerySpec(
+        "multimodal_features",
+        multimodal_features,
+        FEATURES_SQL,
+        "Arrow-batched (mapInPandas) media feature extraction, fake codec",
+    )
+)

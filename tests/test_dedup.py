@@ -1,0 +1,99 @@
+"""Dedup operators: deterministic winners, LSH recall on constructed
+near-dups, SimHash monotonicity."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kinesis_vcr_spark.operators.dedup import (
+    dedup_exact,
+    hamming64,
+    near_dup_pairs_embedding,
+    near_dup_pairs_minhash,
+    near_dup_pairs_simhash,
+    simhash64_agg,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+def _docs(spark):
+    rows = [
+        Row(doc_id=0, text=BASE),
+        Row(doc_id=1, text=BASE.replace("garden", "meadow")),  # near-dup of 0
+        Row(doc_id=2, text="completely different content about spark "
+                           "catalyst optimizer plans and shuffle exchanges "
+                           "with partition pruning and codegen stages here"),
+        Row(doc_id=3, text=BASE),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_dedup_exact_keeps_min_tie(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", i=3), Row(k="a", i=1), Row(k="b", i=2), Row(k="a", i=2)]
+    )
+    kept = dedup_exact(df, ["k"], "i").collect()
+    assert {(r["k"], r["i"]) for r in kept} == {("a", 1), ("b", 2)}
+
+
+def test_minhash_finds_planted_pairs(spark):
+    pairs = near_dup_pairs_minhash(
+        _docs(spark), "doc_id", "text", threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in got  # exact dup → J = 1.0
+    assert (0, 1) in got and (1, 3) in got  # near-dups
+    assert not any(2 in p for p in got)  # unrelated doc never pairs
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert j[(0, 3)] == 1.0
+    assert 0.5 <= j[(0, 1)] < 1.0
+
+
+def test_minhash_char_ngrams(spark):
+    pairs = near_dup_pairs_minhash(
+        _docs(spark), "doc_id", "text", shingle_size=4,
+        threshold=0.5, char_ngrams=True,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in got and (0, 1) in got
+
+
+def test_simhash_identical_distance_zero(spark):
+    sims = simhash64_agg(_docs(spark), "doc_id", "text")
+    by_id = {r["doc_id"]: r["simhash"] for r in sims.collect()}
+    assert by_id[0] == by_id[3]
+    ham = (
+        sims.where(F.col("doc_id").isin(0, 1))
+        .groupBy()
+        .agg(F.min("simhash").alias("a"), F.max("simhash").alias("b"))
+        .select(hamming64(F.col("a"), F.col("b")).alias("h"))
+        .collect()[0]["h"]
+    )
+    assert 0 <= ham <= 12  # one-word change flips few bits
+
+
+def test_simhash_pairs_found(spark):
+    pairs = near_dup_pairs_simhash(
+        _docs(spark), "doc_id", "text", max_hamming=3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got[(0, 3)] == 0
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0] * 8 + [0.0] * 56),
+        Row(vec_id=1, embedding=[1.0] * 8 + [0.01] * 56),  # ~same direction
+        Row(vec_id=2, embedding=[0.0] * 56 + [1.0] * 8),  # orthogonal
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = near_dup_pairs_embedding(
+        df, "vec_id", "embedding", threshold=0.95
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(0, 1)}
