@@ -1,0 +1,113 @@
+"""Benchmark harness — times every registry query plus the VCR
+record→estimate→replay core at $SPARK_GRAFT_SF_DIR (default sf0.1) and
+prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Run: ``python bench.py``. Timing = full execution (collect) per query,
+after one warm-up of the session (JVM + codegen caches are shared state
+a real deployment would also have warm).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from datetime import datetime, timedelta
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def bench_vcr_core(spark, sf_dir: str) -> dict[str, float]:
+    """Reference core paths: record (stream→archive), estimate
+    (metadata-only), replay batch planning (500/1MB caps)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_vcr_spark.config import VcrConfig
+    from kinesis_vcr_spark.functions.estimate import estimate_replay_time
+    from kinesis_vcr_spark.model import RECORD_SCHEMA
+    from kinesis_vcr_spark.play import replay_batch_plan
+    from kinesis_vcr_spark.sources.archive import read_archive
+    from kinesis_vcr_spark.streaming.record import record_stream
+    from kinesis_vcr_spark.tables import load_table
+
+    out: dict[str, float] = {}
+    tmp = tempfile.mkdtemp(prefix="vcr_bench_")
+    try:
+        events = load_table(spark, sf_dir, "events")
+        src_dir = f"{tmp}/source"
+        events.select(
+            F.encode("props", "utf-8").alias("data"),
+            F.col("event_id").cast("string").alias("sequence_number"),
+            F.col("user_id").cast("string").alias("partition_key"),
+            (F.col("user_id") % 8).cast("string").alias("shard_id"),
+            F.col("ts").alias("arrival_ts"),
+        ).write.mode("overwrite").parquet(src_dir)
+        stream = spark.readStream.schema(RECORD_SCHEMA).parquet(src_dir)
+        cfg = VcrConfig(
+            archive_root=f"{tmp}/bucket",
+            source_stream="events",
+            checkpoint_location=f"{tmp}/ckpt",
+        )
+        t0 = time.time()
+        record_stream(stream, cfg, available_now=True).awaitTermination(600)
+        out["vcr_record"] = round(time.time() - t0, 3)
+
+        start = datetime(2024, 1, 1)
+        end = datetime.utcnow() + timedelta(days=1)
+        t0 = time.time()
+        estimate_replay_time(spark, cfg.archive_path, start, end, open_shards=2)
+        out["vcr_estimate"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        arch = read_archive(spark, cfg.archive_path, start, end, mtime_filter=False)
+        plan = replay_batch_plan(arch)
+        plan.agg(F.count("*"), F.sum("record_count")).collect()
+        out["vcr_replay_plan"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from kinesis_vcr_spark.queries import all_queries
+    from kinesis_vcr_spark.session import get_spark
+
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+
+    # warm up the session (JVM, parquet footers, codegen) on the smallest SF
+    warm = all_queries()["q1_pricing_summary"]
+    warm.spark_fn(spark, "/root/testdata/sf0.001").collect()
+
+    for name, spec in sorted(all_queries().items()):
+        t0 = time.time()
+        spec.spark_fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    timings.update(bench_vcr_core(spark, sf_dir))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_seconds_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -136,13 +136,31 @@ def minhash_signature_agg(
     downstream banding/self-join from re-evaluating the hashing work.
     Returns ``(id_col, h0..h{k-1})``.
     """
+    import random
+
+    # universal-hash family over ONE base string hash: h_i(s) =
+    # (a_i * (xxhash64(s) & 0xFFFFFFFF) + b_i) mod p, p = 2^31 - 1
+    # (prime). Hashing the string once and mixing with long
+    # multiply-add-mod is ~10x cheaper than k string hashes per shingle;
+    # the mod-prime wrap is what makes the k mins independent (without
+    # it a_i*h+b_i is monotone in h and every h_i would pick the SAME
+    # min shingle). 32-bit h x 31-bit a stays below 2^63: no ANSI
+    # overflow.
+    p = 2_147_483_647
+    rng = random.Random(0x5EED)
+    coeffs = [
+        (rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)
+    ]
     sh_rows = with_shingles.select(
         F.col(id_col), F.explode("shingles").alias("__s")
+    ).select(
+        F.col(id_col),
+        F.xxhash64("__s").bitwiseAND(F.lit(0xFFFFFFFF)).alias("__h"),
     )
     return sh_rows.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("__s"))).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.min(F.pmod(F.col("__h") * a + b, F.lit(p))).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
         ]
     )
 
@@ -390,8 +408,8 @@ def near_dup_pairs_embedding(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    planes: int = 16,
-    bands: int = 4,
+    planes: int = 48,
+    bands: int = 6,
 ) -> DataFrame:
     """Near-dup pairs with cosine ≥ threshold, candidates from
     random-hyperplane LSH sign buckets (see
@@ -399,18 +417,26 @@ def near_dup_pairs_embedding(
     machinery). Returns ``(id_a, id_b, cosine)``.
 
     P(two vectors agree on one sign bit) = 1 - θ/π; at cosine ≥ 0.95
-    (θ ≤ 18°) a 4-bit band matches with p ≈ 0.66, and ≥1 of 4 bands with
-    p ≈ 0.985; verification is exact so precision is 1.0.
+    (θ ≤ 18.2°) an 8-bit band matches with p ≈ 0.43 and ≥1 of 6 bands
+    with p ≈ 0.96; verification is exact so precision is 1.0. Band
+    width is the bucket-granularity knob: 8 sign bits = 256 buckets per
+    band keeps random-pair collisions (p_bit = 0.5 → p_band = 1/256)
+    from going quadratic; at much larger corpora raise planes/bands
+    together to keep expected bucket sizes bounded.
     """
     from kinesis_vcr_spark.operators.similarity import (
         cosine,
-        hyperplane_band_hashes,
+        hyperplane_band_values,
         unit_double,
     )
 
     vecs = df.select(F.col(id_col), unit_double(F.col(vec_col)).alias("unit"))
-    banded = vecs.select(
-        id_col, hyperplane_band_hashes(F.col("unit"), planes, bands).alias("bands")
+    # banding via the vectorized Pandas UDF on raw vectors (sign is
+    # normalization-invariant); ArrowEvalPython materializes the band
+    # column so the explode/self-join never re-evaluate it.
+    banded = df.select(
+        F.col(id_col),
+        hyperplane_band_values(F.col(vec_col), planes, bands).alias("bands"),
     )
     pairs = _candidate_pairs_from_bands(banded, id_col)
     va = vecs.select(F.col(id_col).alias("id_a"), F.col("unit").alias("v_a"))

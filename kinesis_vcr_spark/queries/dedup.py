@@ -106,8 +106,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-4-gram Jaccard near-dup pairs (MinHash-LSH candidates,
     exact verification) — whitespace/tokenizer-insensitive variant."""
     docs = load_table(spark, sf_dir, "documents")
+    # 8 bands x 8 rows (not 16x4): char-4-grams of same-vocabulary docs
+    # run J≈0.35-0.45 between unrelated pairs, so 4-row bands admit ~10%
+    # of all pairs as candidates; 8-row bands drop noise collisions
+    # ~100x while keeping planted-pair (J≥0.9) recall ≈ 99%.
     pairs = near_dup_pairs_minhash(
-        docs, "doc_id", "text", shingle_size=4, num_hashes=64, bands=16,
+        docs, "doc_id", "text", shingle_size=4, num_hashes=64, bands=8,
         threshold=NGRAM_THRESHOLD, char_ngrams=True,
     )
     return pairs.select(

@@ -66,7 +66,7 @@ def similarity_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only driver check; recall vs brute force asserted in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk(
-        emb, _probe_set(emb), k=TOP_K, planes=16, bands=8
+        emb, _probe_set(emb), k=TOP_K, planes=32, bands=8
     ).orderBy("query_id", "rank")
 
 

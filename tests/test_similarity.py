@@ -33,7 +33,7 @@ def test_ann_recall_against_bruteforce(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = cosine_topk(emb, probes, k=5).collect()
-    approx = ann_topk(emb, probes, k=5, planes=16, bands=8).collect()
+    approx = ann_topk(emb, probes, k=5, planes=32, bands=8).collect()
     exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
     approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
