@@ -61,6 +61,26 @@ class VcrConfig:
     def archive_path(self) -> str:
         return f"{self.archive_root.rstrip('/')}/{self.source_stream}"
 
+    def preflight_archive(self, spark) -> None:
+        """X5: the archive root must exist before starting (reference
+        checks bucket existence on both paths, KinesisRecorder.java:38-40,
+        KinesisPlayer.java:70-73). Uses the Hadoop FS of the path's
+        scheme, so local dirs and s3a:// buckets behave identically."""
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(self.archive_root)
+        if not path.getFileSystem(conf).exists(path):
+            raise FileNotFoundError(
+                f"archive root does not exist: {self.archive_root}"
+            )
+
+    @staticmethod
+    def preflight_stream(describe_stream, stream_name: str) -> None:
+        """X5: the target stream must exist (KinesisPlayer.java:74-87).
+        ``describe_stream`` is injectable like the sink factories; a
+        missing stream surfaces as whatever the client raises."""
+        describe_stream(StreamName=stream_name)
+
     @classmethod
     def from_env(cls, env: dict[str, str] | None = None) -> "VcrConfig":
         """Build from VCR_* environment variables (VcrConfiguration.java:17-23)."""

@@ -10,6 +10,7 @@ size — O(files), not O(bytes).
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
 from datetime import datetime
 
@@ -18,6 +19,38 @@ from pyspark.sql import functions as F
 
 from kinesis_vcr_spark.sources.archive import archive_listing
 from kinesis_vcr_spark.timeparse import humanize_minutes
+
+
+def count_open_shards(
+    describe_stream: Callable[..., dict], stream_name: str
+) -> int:
+    """Open shards of the target stream = estimate divisor (F6/A5).
+
+    Mirrors KinesisPlayer.java:77-83: a shard is open iff its
+    ``EndingSequenceNumber`` is absent (null). Paginates with
+    ``ExclusiveStartShardId``/``HasMoreShards`` exactly like the AWS
+    API; ``describe_stream`` is injectable (boto3's
+    ``client("kinesis").describe_stream`` in production, a fake dict
+    function in tests — same pattern as the putRecords sink).
+    """
+    open_count = 0
+    kwargs: dict = {"StreamName": stream_name}
+    while True:
+        desc = describe_stream(**kwargs)["StreamDescription"]
+        for shard in desc.get("Shards", []):
+            seq_range = shard.get("SequenceNumberRange", {})
+            if seq_range.get("EndingSequenceNumber") is None:
+                open_count += 1
+        if not desc.get("HasMoreShards"):
+            return open_count
+        kwargs["ExclusiveStartShardId"] = desc["Shards"][-1]["ShardId"]
+
+
+def boto3_describe_stream_factory() -> Callable[..., dict]:
+    """Production factory (import-gated; AWS-free envs never touch boto3)."""
+    import boto3  # noqa: PLC0415 — deliberate lazy import
+
+    return boto3.client("kinesis").describe_stream
 
 
 @dataclass
@@ -57,9 +90,22 @@ def estimate_replay_time(
     archive_path: str,
     start: datetime,
     end: datetime | None,
-    open_shards: int,
+    open_shards: int | None = None,
+    describe_stream: Callable[..., dict] | None = None,
+    target_stream: str | None = None,
 ) -> Estimate:
-    """End-to-end estimate over a local/S3 archive (KinesisVcr.java:74-98)."""
+    """End-to-end estimate over a local/S3 archive (KinesisVcr.java:74-98).
+
+    Pass ``open_shards`` directly, or ``describe_stream`` +
+    ``target_stream`` to count them from the control plane like the
+    reference (KinesisPlayer.java:77-83).
+    """
+    if open_shards is None:
+        if describe_stream is None or target_stream is None:
+            raise ValueError(
+                "pass open_shards, or describe_stream + target_stream"
+            )
+        open_shards = count_open_shards(describe_stream, target_stream)
     if open_shards <= 0:
         raise ValueError("open_shards must be positive")
     listing = archive_listing(spark, archive_path, start, end)

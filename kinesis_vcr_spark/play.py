@@ -18,6 +18,7 @@ embarrassingly parallel: at 100 TB the only knobs are scan split size and
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,6 +67,20 @@ def replay_batch_plan(
     return records.select("data").rdd.mapPartitions(plan).toDF(REPLAY_BATCH_SCHEMA)
 
 
+@dataclass
+class ReplayResult:
+    """A3: replay outcome counts (reference counts emitted records with
+    progress output, KinesisVcr.java:101-107; give-ups were only logged
+    at sinks/kinesis.py put_with_retry — now surfaced)."""
+
+    records_attempted: int
+    records_failed: int
+
+    @property
+    def records_delivered(self) -> int:
+        return self.records_attempted - self.records_failed
+
+
 def replay(
     spark: SparkSession,
     archive_path: str,
@@ -74,14 +89,41 @@ def replay(
     writer,
     parallelism: int = DEFAULT_REPLAY_PARALLELISM,
     mtime_filter: bool = True,
-) -> None:
+) -> ReplayResult:
     """Full replay: pruned scan → repartition → per-partition writer.
 
-    ``writer`` is a ``foreachPartition`` function — build one with
+    ``writer`` takes an iterator of Rows — build one with
     :func:`kinesis_vcr_spark.sinks.kinesis.kinesis_partition_writer` for a
-    live stream, or any callable taking an iterator of Rows for tests.
+    live stream, or any callable for tests. A writer may return the
+    number of records it FAILED to deliver (None ⇒ 0).
     ``parallelism`` maps the reference's fixed 10-thread put pool
     (KinesisPlayer.java:58) to partition count.
+
+    Returns :class:`ReplayResult`. Counting rides the same job as the
+    writes via ``mapPartitions`` (one (attempted, failed) row per
+    partition — exactly-once per partition result, unlike accumulators
+    which double-count on task retry).
     """
     records = read_archive(spark, archive_path, start, end, mtime_filter)
-    records.repartition(parallelism).foreachPartition(writer)
+
+    def run_partition(rows):
+        attempted = 0
+
+        def counting(it):
+            nonlocal attempted
+            for row in it:
+                attempted += 1
+                yield row
+
+        failed = writer(counting(rows))
+        yield (attempted, int(failed or 0))
+
+    counts = (
+        records.repartition(parallelism)
+        .rdd.mapPartitions(run_partition)
+        .collect()
+    )
+    return ReplayResult(
+        records_attempted=sum(c[0] for c in counts),
+        records_failed=sum(c[1] for c in counts),
+    )

@@ -59,12 +59,13 @@ def put_with_retry(
     stream_name: str,
     entries: list[dict],
     budget_seconds: float = PUT_RETRY_BUDGET_SECONDS,
-) -> bool:
+) -> int:
     """Submit one batch, retrying only the failed entries with backoff.
 
-    Returns True when everything landed, False when the budget ran out
-    with records still failing (the reference logs and gives up,
-    KinesisPlayer.java:122-155).
+    Returns the number of records NOT delivered: 0 when everything
+    landed, the still-pending count when the budget ran out (the
+    reference logs and gives up, KinesisPlayer.java:122-155 — here the
+    count is surfaced so replay() can report it, A3).
     """
     pending = entries
 
@@ -92,8 +93,8 @@ def put_with_retry(
         logger.error(
             "gave up on %d records after %.0f s budget", len(pending), budget_seconds
         )
-        return False
-    return True
+        return len(pending)
+    return 0
 
 
 def kinesis_partition_writer(
@@ -109,11 +110,13 @@ def kinesis_partition_writer(
     ``lambda: boto3.client("kinesis").put_records``.
     """
 
-    def write_partition(rows) -> None:
+    def write_partition(rows) -> int:
         put = put_records_factory()
         payloads = (row["data"] for row in rows)
+        failed = 0
         for batch in iter_batches(payloads, max_count, max_bytes):
-            put_with_retry(put, stream_name, make_entries(batch))
+            failed += put_with_retry(put, stream_name, make_entries(batch))
+        return failed
 
     return write_partition
 

@@ -20,12 +20,26 @@ file split with no driver-side iteration.
 
 from __future__ import annotations
 
+import calendar
 from datetime import datetime
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_vcr_spark.timeparse import default_end, validate_range
+
+
+def _utc_epoch(dt: datetime) -> int:
+    """Naive datetime → epoch seconds AS UTC, regardless of host TZ.
+
+    The reference pins UTC (``start.atOffset(ZoneOffset.UTC)
+    .toEpochSecond()``, KinesisPlayer.java:209-212); ``dt.timestamp()``
+    would interpret naive values in the driver's LOCAL zone and shift
+    the window on non-UTC hosts.
+    """
+    if dt.tzinfo is not None:
+        return int(dt.timestamp())
+    return calendar.timegm(dt.timetuple())
 
 
 def _mtime_filter(start: datetime, end: datetime) -> Column:
@@ -37,8 +51,8 @@ def _mtime_filter(start: datetime, end: datetime) -> Column:
     precision is truncated before comparing.
     """
     mtime_s = F.unix_timestamp(F.col("_metadata.file_modification_time"))
-    return (mtime_s > F.lit(int(start.timestamp()))) & (
-        mtime_s < F.lit(int(end.timestamp()))
+    return (mtime_s > F.lit(_utc_epoch(start))) & (
+        mtime_s < F.lit(_utc_epoch(end))
     )
 
 
@@ -152,7 +166,7 @@ def archive_listing(
     jsc = spark.sparkContext._jsc
     conf = jsc.hadoopConfiguration()
     rows = []
-    start_s, end_s = int(start.timestamp()), int(end.timestamp())
+    start_s, end_s = _utc_epoch(start), _utc_epoch(end)
     for day in day_range(start, end):
         day_str = day.strftime("%Y-%m-%d")
         path = jvm.org.apache.hadoop.fs.Path(

@@ -90,6 +90,125 @@ def record_stream(
     return writer.start()
 
 
+def _archive_file_writer(archive_path: str):
+    """Per-partition executor function: write one ``{firstSeq}-{lastSeq}``
+    file per (partition, dt) and yield its manifest row.
+
+    This is the exact-naming writer of InjectableS3Emitter.java:37-42
+    (SURVEY.md §7.4 decision 1): buffer order within a shard becomes
+    sequence order within the file. Writes with plain file IO — local
+    paths / NFS here; an S3 deployment swaps in a boto3 put (same shape
+    as the Kinesis sink factory).
+    """
+
+    def write_rows(rows):
+        import os
+        from collections import defaultdict
+
+        by_dt: dict = defaultdict(list)
+        for r in rows:
+            by_dt[str(r["dt"])].append((r["sequence_number"], r["value"]))
+        for dt, items in by_dt.items():
+            # decimal-string sequence numbers → numeric order
+            items.sort(key=lambda t: (len(t[0]), t[0]))
+            first, last = items[0][0], items[-1][0]
+            part_dir = os.path.join(archive_path, f"dt={dt}")
+            os.makedirs(part_dir, exist_ok=True)
+            path = os.path.join(part_dir, f"{first}-{last}")
+            payload = ("\n".join(v for _, v in items) + "\n").encode()
+            with open(path, "wb") as fh:  # idempotent: same name ⇒ same bytes
+                fh.write(payload)
+            yield (dt, path, first, last, len(items), len(payload))
+
+    return write_rows
+
+
+def write_archive_with_manifest(
+    records: DataFrame, archive_path: str, manifest_path: str
+) -> None:
+    """One micro-batch (or batch backfill) → seq-range-named archive
+    files + appended MANIFEST_SCHEMA rows.
+
+    Partitioned by ``shard_id`` so each file holds one shard's
+    contiguous ``[firstSeq, lastSeq]`` range, like the reference's
+    per-shard KCL buffers (SURVEY.md §1.4). The manifest lands as
+    parquet; batch replays can re-run, so manifest readers dedup by
+    ``file_path`` (see :func:`read_manifest`).
+    """
+    rows = records.select(
+        F.base64(F.col("data")).alias("value"),
+        F.col("sequence_number"),
+        F.date_format(F.current_timestamp(), "yyyy-MM-dd").alias("dt"),
+        "shard_id",
+    ).repartition(F.col("shard_id"))
+    manifest_rows = rows.rdd.mapPartitions(
+        _archive_file_writer(archive_path)
+    ).collect()
+    spark = records.sparkSession
+    (
+        spark.createDataFrame(
+            [
+                (r[0], r[1], r[2], r[3], r[4], r[5])
+                for r in manifest_rows
+            ],
+            "dt string, file_path string, first_seq string, last_seq string,"
+            " record_count long, byte_size long",
+        )
+        .select(
+            F.col("dt").cast("date").alias("dt"),
+            "file_path",
+            "first_seq",
+            "last_seq",
+            "record_count",
+            "byte_size",
+        )
+        .write.mode("append")
+        .parquet(manifest_path)
+    )
+
+
+def record_stream_with_manifest(
+    source: DataFrame,
+    config: VcrConfig,
+    manifest_path: str,
+    trigger_seconds: float | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Record variant that preserves the reference's sequence-range file
+    naming AND emits the manifest table — ``foreachBatch`` wiring of
+    :func:`write_archive_with_manifest`."""
+    if config.checkpoint_location is None:
+        raise ValueError("checkpoint_location is required for record()")
+    if trigger_seconds is None:
+        trigger_seconds = config.buffer_time_millis / 1000.0
+
+    def handle_batch(batch_df: DataFrame, _epoch_id: int) -> None:
+        write_archive_with_manifest(
+            batch_df, config.archive_path, manifest_path
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", config.checkpoint_location)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{int(trigger_seconds)} seconds")
+    return writer.start()
+
+
+def read_manifest(spark, manifest_path: str) -> DataFrame:
+    """Manifest rows, deduplicated by file path (foreachBatch replays
+    append duplicate rows; the file writes themselves are idempotent)."""
+    from kinesis_vcr_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(
+        spark.read.parquet(manifest_path), ["file_path"], "first_seq"
+    )
+
+
 def read_kinesis_stream(spark, stream_name: str, region: str, **options) -> DataFrame:
     """Production source: Kinesis DSv2 connector (S1).
 

@@ -25,15 +25,21 @@ DATE_FMT = "%Y-%m-%d"
 DATETIME_FMT = "%Y-%m-%dT%H:%M:%S"
 
 # Java's DateTimeFormatter is strict about zero-padding; Python's strptime
-# is not — enforce the exact shapes the reference accepts.
+# is not — enforce the exact shapes the reference accepts. Java's
+# ISO_LOCAL_DATE_TIME (KinesisVcr.java:118, LocalDateTime.parse) also
+# accepts minutes-only times and fractional seconds up to nanos; the
+# fraction is truncated to microseconds (Python datetime resolution).
 _SHAPES = (
     (re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}$"), DATETIME_FMT),
+    (re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}$"), "%Y-%m-%dT%H:%M"),
     (re.compile(r"^\d{4}-\d{2}-\d{2}$"), DATE_FMT),
 )
+_FRACTION = re.compile(r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})\.(\d{1,9})$")
 
 
 def parse_datetime(value: str | None) -> datetime | None:
-    """Parse ``yyyy-MM-dd`` or ``yyyy-MM-ddTHH:mm:ss``; None on failure.
+    """Parse ``yyyy-MM-dd`` (→ midnight) or an ISO_LOCAL_DATE_TIME
+    (``yyyy-MM-ddTHH:mm[:ss[.fraction]]``); None on failure.
 
     Mirrors reference ``parseToLocalDateTime`` (KinesisVcr.java:113-128):
     try the datetime format first, fall back to date-at-midnight, return
@@ -41,6 +47,13 @@ def parse_datetime(value: str | None) -> datetime | None:
     """
     if not value:
         return None
+    frac = _FRACTION.match(value)
+    if frac:
+        base = parse_datetime(frac.group(1))
+        if base is None:
+            return None
+        micros = int(frac.group(2)[:6].ljust(6, "0"))
+        return base.replace(microsecond=micros)
     for shape, fmt in _SHAPES:
         if shape.match(value):
             try:

@@ -1,0 +1,31 @@
+"""CLI verb dispatch (KinesisVcr.java:33-71 equivalent)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_vcr_spark.__main__ import _parse_range, main
+
+
+def test_parse_range_date_and_datetime():
+    start, end = _parse_range(["2024-01-01", "2024-01-02T06:30:00"], "play")
+    assert start.isoformat() == "2024-01-01T00:00:00"
+    assert end.isoformat() == "2024-01-02T06:30:00"
+
+
+def test_parse_range_missing_end_defaults_later():
+    start, end = _parse_range(["2024-01-01"], "play")
+    assert end is None  # default_end applies downstream
+
+
+def test_parse_range_bad_start_exits():
+    with pytest.raises(SystemExit):
+        _parse_range(["not-a-date"], "estimate")
+    with pytest.raises(SystemExit):
+        _parse_range([], "estimate")
+
+
+def test_unknown_verb(monkeypatch):
+    monkeypatch.setenv("VCR_BUCKET", "/tmp/nowhere")
+    monkeypatch.setenv("VCR_SOURCE_STREAM", "events")
+    assert main(["frobnicate"]) == 2

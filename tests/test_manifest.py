@@ -1,0 +1,85 @@
+"""Manifest writer (K1 completion): seq-range file naming + manifest
+table, record→manifest→archive join."""
+
+from __future__ import annotations
+
+import glob
+import os
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from kinesis_vcr_spark.config import VcrConfig
+from kinesis_vcr_spark.model import RECORD_SCHEMA, parse_seq_range
+from kinesis_vcr_spark.sources.archive import read_archive
+from kinesis_vcr_spark.streaming.record import (
+    read_manifest,
+    record_stream_with_manifest,
+    write_archive_with_manifest,
+)
+from tests.test_record_replay import _source_records
+
+
+def test_batch_write_with_manifest(spark, tmp_path):
+    payloads = [f"rec-{i}".encode() for i in range(20)]
+    base = datetime(2024, 3, 5, 10, 0, 0)
+    rows = [
+        (p, str(i).zfill(20), f"pk-{i}", f"shard-{i % 3}",
+         base + timedelta(seconds=i))
+        for i, p in enumerate(payloads)
+    ]
+    records = spark.createDataFrame(rows, RECORD_SCHEMA)
+    archive = str(tmp_path / "arch")
+    manifest = str(tmp_path / "manifest")
+    write_archive_with_manifest(records, archive, manifest)
+
+    mrows = read_manifest(spark, manifest).collect()
+    # one file per (shard partition, dt); 3 shards → 3 files today
+    assert sum(r["record_count"] for r in mrows) == 20
+    for r in mrows:
+        name = os.path.basename(r["file_path"])
+        first, last = parse_seq_range(name)
+        assert (first, last) == (r["first_seq"], r["last_seq"])
+        assert first <= last
+        assert os.path.getsize(r["file_path"]) == r["byte_size"]
+
+    # the archive is readable through the standard read path and the
+    # manifest's counts reconcile with it
+    now = datetime.utcnow()
+    got = read_archive(
+        spark, archive, now - timedelta(days=1), now + timedelta(days=1),
+        mtime_filter=False,
+    )
+    assert sorted(r["data"] for r in got.collect()) == sorted(payloads)
+
+
+def test_streaming_record_with_manifest(spark, tmp_path):
+    payloads = [f"String {i}".encode() for i in range(1, 8)]
+    stream = _source_records(spark, tmp_path, payloads)
+    cfg = VcrConfig(
+        archive_root=str(tmp_path / "bucket"),
+        source_stream="events",
+        checkpoint_location=str(tmp_path / "ckpt"),
+    )
+    manifest = str(tmp_path / "manifest")
+    q = record_stream_with_manifest(
+        stream, cfg, manifest, available_now=True
+    )
+    q.awaitTermination(120)
+
+    files = [
+        f
+        for f in glob.glob(f"{cfg.archive_path}/dt=*/*")
+        if not os.path.basename(f).startswith((".", "_"))
+    ]
+    assert files, "no archive files written"
+    # filenames carry the sequence range (InjectableS3Emitter.java:37-42)
+    for f in files:
+        first, last = parse_seq_range(os.path.basename(f))
+        assert first.isdigit() and last.isdigit()
+
+    mdf = read_manifest(spark, manifest)
+    assert mdf.agg(F.sum("record_count")).collect()[0][0] == len(payloads)
+    assert {os.path.basename(r["file_path"]) for r in mdf.collect()} == {
+        os.path.basename(f) for f in files
+    }

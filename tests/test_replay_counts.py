@@ -1,0 +1,88 @@
+"""Replay result counting (A3): attempted/failed surfaced from the job."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from kinesis_vcr_spark.play import replay
+from kinesis_vcr_spark.sinks.kinesis import kinesis_partition_writer
+from kinesis_vcr_spark.sources.archive import write_archive
+from tests.test_archive import make_records
+
+
+def _replay(spark, tmp_path, writer, n=25):
+    path = str(tmp_path / "arc")
+    write_archive(make_records(spark, n=n, day="2024-03-05"), path)
+    return replay(
+        spark,
+        path,
+        datetime(2024, 3, 5) - timedelta(days=1),
+        datetime(2024, 3, 6),
+        writer,
+        parallelism=3,
+        mtime_filter=False,
+    )
+
+
+def test_replay_counts_attempted(spark, tmp_path):
+    def consume(rows):
+        for _ in rows:
+            pass
+
+    result = _replay(spark, tmp_path, consume)
+    assert result.records_attempted == 25
+    assert result.records_failed == 0
+    assert result.records_delivered == 25
+
+
+def test_replay_surfaces_writer_failures(spark, tmp_path):
+    """A writer reporting give-ups (like the Kinesis sink after its 30 s
+    budget) shows up in the result. Failure rule is content-based so the
+    count is partition-layout-independent."""
+    from datetime import datetime as dt
+    from datetime import timedelta as td
+
+    from pyspark.sql import Row
+
+    from kinesis_vcr_spark.model import RECORD_SCHEMA
+
+    rows = [
+        Row(
+            data=f"rec-{i}".encode(),
+            sequence_number=str(i).zfill(20),
+            partition_key=f"pk-{i}",
+            shard_id="s0",
+            arrival_ts=dt(2024, 3, 5) + td(seconds=i),
+        )
+        for i in range(25)
+    ]
+    path = str(tmp_path / "arc2")
+    write_archive(spark.createDataFrame(rows, RECORD_SCHEMA), path)
+
+    def flaky(record_rows):
+        # give up on payloads ending in '0': rec-0, rec-10, rec-20
+        return sum(1 for r in record_rows if bytes(r["data"]).endswith(b"0"))
+
+    result = replay(
+        spark, path, dt(2024, 3, 4), dt(2024, 3, 6), flaky,
+        parallelism=3, mtime_filter=False,
+    )
+    assert result.records_attempted == 25
+    assert result.records_failed == 3
+    assert result.records_delivered == 22
+
+
+def test_replay_with_kinesis_fake_sink(spark, tmp_path):
+    """End-to-end through the real batcher+retry writer with an
+    injectable put_records that always succeeds."""
+
+    def fake_put_factory():
+        def put(StreamName, Records):
+            return {"FailedRecordCount": 0, "Records": [{} for _ in Records]}
+
+        return put
+
+    writer = kinesis_partition_writer("target", fake_put_factory)
+    result = _replay(spark, tmp_path, writer)
+    assert result.records_attempted == 25
+    assert result.records_failed == 0

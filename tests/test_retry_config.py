@@ -85,7 +85,7 @@ def test_put_with_retry_resubmits_only_failed_entries():
         return {"FailedRecordCount": 0, "Records": [{} for _ in Records]}
 
     entries = [{"Data": bytes([i]), "PartitionKey": str(i)} for i in range(4)]
-    assert put_with_retry(fake_put, "target", entries, budget_seconds=5.0)
+    assert put_with_retry(fake_put, "target", entries, budget_seconds=5.0) == 0
     assert len(calls) == 2
     assert calls[1] == [entries[1], entries[3]]
 

@@ -67,3 +67,22 @@ def test_default_end_never_touches_next_day():
     start = datetime(2015, 8, 1, 0, 0, 0)
     end = default_end(start, None)
     assert end + timedelta(seconds=1) == datetime(2015, 8, 2)
+
+
+def test_parse_iso_minutes_only():
+    from kinesis_vcr_spark.timeparse import parse_datetime
+
+    assert parse_datetime("2015-08-01T12:12") == datetime(2015, 8, 1, 12, 12)
+
+
+def test_parse_fractional_seconds():
+    from kinesis_vcr_spark.timeparse import parse_datetime
+
+    assert parse_datetime("2015-08-01T12:12:00.5") == datetime(
+        2015, 8, 1, 12, 12, 0, 500000
+    )
+    # nanos truncate to micros (Python datetime resolution)
+    assert parse_datetime("2015-08-01T12:12:00.123456789") == datetime(
+        2015, 8, 1, 12, 12, 0, 123456
+    )
+    assert parse_datetime("2015-08-01T12:12.5") is None
