@@ -48,6 +48,7 @@ def _load_all() -> None:
         dedup,
         multimodal,
         relational,
+        relational2,
         similarity,
         textstats,
         vcr,

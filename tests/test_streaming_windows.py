@@ -1,0 +1,139 @@
+"""Streaming analytics: windowed throughput (batch + streaming parity),
+session windows, stateful sequence-gap detection."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import Row
+
+from kinesis_vcr_spark.model import RECORD_SCHEMA
+from kinesis_vcr_spark.streaming.windows import (
+    detect_sequence_gaps,
+    session_activity,
+    windowed_throughput,
+)
+
+BASE = datetime(2024, 3, 5, 10, 0, 0)
+
+
+def _records(spark, specs):
+    """specs: (seq, shard, offset_seconds[, pk])"""
+    rows = [
+        Row(
+            data=b"x" * 10,
+            sequence_number=str(s[0]),
+            partition_key=(s[3] if len(s) > 3 else f"pk-{s[0]}"),
+            shard_id=s[1],
+            arrival_ts=BASE + timedelta(seconds=s[2]),
+        )
+        for s in specs
+    ]
+    return spark.createDataFrame(rows, RECORD_SCHEMA)
+
+
+def test_windowed_throughput_batch(spark):
+    df = _records(
+        spark,
+        [(1, "a", 0), (2, "a", 30), (3, "a", 70), (4, "b", 10)],
+    )
+    got = {
+        (r["window_start"], r["shard_id"]): (r["record_count"], r["byte_count"])
+        for r in windowed_throughput(df, window="1 minute").collect()
+    }
+    assert got[(BASE, "a")] == (2, 20)
+    assert got[(BASE + timedelta(minutes=1), "a")] == (1, 10)
+    assert got[(BASE, "b")] == (1, 10)
+
+
+def test_windowed_throughput_sliding(spark):
+    df = _records(spark, [(1, "a", 0), (2, "a", 70)])
+    rows = windowed_throughput(
+        df, window="2 minutes", slide="1 minute"
+    ).collect()
+    # each record lands in 2 overlapping windows
+    assert sum(r["record_count"] for r in rows) == 4
+
+
+def test_session_activity_batch(spark):
+    df = _records(
+        spark,
+        [(1, "a", 0, "u1"), (2, "a", 60, "u1"), (3, "a", 1000, "u1"),
+         (4, "a", 30, "u2")],
+    )
+    rows = session_activity(df, gap="5 minutes").collect()
+    u1 = sorted(
+        (r["record_count"] for r in rows if r["partition_key"] == "u1")
+    )
+    assert u1 == [1, 2]  # 2 events within gap, 1 later session
+
+
+def test_detect_sequence_gaps_streaming(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _records(
+        spark,
+        [(1, "a", 0), (2, "a", 1), (5, "a", 2),  # gap 2→5
+         (10, "b", 0), (11, "b", 1)],  # no gap
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(RECORD_SCHEMA).parquet(src)
+    q = (
+        detect_sequence_gaps(stream)
+        .writeStream.format("memory")
+        .queryName("gaps")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM gaps").collect()
+    assert len(rows) == 1
+    g = rows[0]
+    assert (g["shard_id"], g["prev_seq"], g["seq"], g["gap"]) == ("a", 2, 5, 3)
+
+
+def test_gap_state_carries_across_batches(spark, tmp_path):
+    """Second micro-batch sees state from the first: a gap spanning the
+    batch boundary is detected."""
+    src = tmp_path / "src2"
+    src.mkdir()
+    _records(spark, [(1, "a", 0), (2, "a", 1)]).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = (
+        spark.readStream.schema(RECORD_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "gaps_out")
+    q = (
+        detect_sequence_gaps(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # batch 2 arrives later with a gap relative to batch 1's last seq;
+    # restarting from the checkpoint must restore per-shard state
+    _records(spark, [(7, "a", 2)]).coalesce(1).write.parquet(str(src / "b2"))
+    q2 = (
+        detect_sequence_gaps(
+            spark.readStream.schema(RECORD_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert any(
+        (r["prev_seq"], r["seq"], r["gap"]) == (2, 7, 5) for r in rows
+    )

@@ -101,6 +101,9 @@ def main() -> int:
             failures.append(name)
             continue
         a, b = normalize(sdf), normalize(ddf)
+        if len(a) == 0 and len(b) == 0:
+            print(f"PASS  {name}: 0 rows (both empty) [{time.time()-t0:.1f}s]")
+            continue
         if not a.equals(b):
             neq = (a != b) & ~(a.isna() & b.isna())
             bad_cols = [c for c in a.columns if neq[c].any()]
