@@ -50,8 +50,11 @@ def get_spark(
         # (kinesis_vcr_spark.tables normalizes back to timestamp)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
+    # NOTE: spark.driver.memory must be set BEFORE the JVM starts (e.g.
+    # via spark-submit / SPARK_DRIVER_MEMORY in spark-env); setting it on
+    # an already-running session's builder is a silent no-op, so this
+    # factory deliberately does not pretend to control it.
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -17,7 +17,7 @@ def spark():
         app_name="kinesis_vcr_spark_tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={},
     )
     yield spark
 
