@@ -1,0 +1,166 @@
+"""IVF (inverted-file) approximate nearest neighbor — the
+coarse-quantizer alternative to hyperplane LSH (operators/similarity).
+
+Index = a small set of centroids + an assignment of every vector to its
+nearest centroid (the "inverted lists"). Search probes only the
+``nprobe`` nearest lists per query. Centroids are deterministic:
+hash-sampled seed vectors refined by one Lloyd iteration (both steps
+are plain DataFrame ops; the per-row nearest-centroid assignment is a
+vectorized Pandas UDF — one numpy matmul per Arrow batch, same pattern
+as hyperplane banding).
+
+Scale posture: the index build is two narrow passes + one tiny
+groupBy (k x dim rows); the assigned table (`vec_id`, `centroid_id`)
+is the persistent artifact at 100 TB — search shuffles only candidate
+lists, never the full vector table. Centroid count is the knob:
+k ≈ sqrt(N) keeps lists O(sqrt(N)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType
+
+from kinesis_vcr_spark.operators.similarity import (
+    cosine,
+    round_cosine,
+    unit_double,
+)
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def train_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iterations: int = 1,
+) -> np.ndarray:
+    """Deterministic centroids: the k vectors with the smallest
+    xxhash64(id) are the seeds (an order-free pseudo-random sample),
+    refined by ``refine_iterations`` Lloyd steps. Returns a unit-row
+    (k x dim) numpy matrix — small enough to close over in the
+    assignment UDF.
+
+    Each Lloyd step is fully distributed: assign (Pandas-UDF matmul) →
+    posexplode → groupBy (centroid, dim) mean → collect k x dim rows.
+    """
+    seeds = (
+        vectors.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("__h"))
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    centroids = _normalize_rows(
+        np.array([list(r[vec_col]) for r in seeds], dtype=np.float64)
+    )
+    for _ in range(refine_iterations):
+        assigned = vectors.select(
+            F.col(vec_col),
+            assign_centroid(F.col(vec_col), centroids).alias("cid"),
+        )
+        means = (
+            assigned.select(
+                "cid", F.posexplode(F.col(vec_col)).alias("dim", "val")
+            )
+            .groupBy("cid", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = r["m"]
+        for cid, dims in by_cid.items():
+            new[cid] = [dims[d] for d in range(centroids.shape[1])]
+        centroids = _normalize_rows(new)
+    return centroids
+
+
+def assign_centroid(vec, centroids: np.ndarray):
+    """Nearest-centroid id (max cosine ≡ max dot against unit centroid
+    rows) as a vectorized Pandas UDF column."""
+    cmat = centroids.T  # dim x k
+
+    @pandas_udf(IntegerType())
+    def nearest(vecs: pd.Series) -> pd.Series:
+        mat = _normalize_rows(np.vstack(vecs.to_numpy()).astype(np.float64))
+        return pd.Series(np.argmax(mat @ cmat, axis=1).astype(np.int32))
+
+    return nearest(vec)
+
+
+def probe_centroids(vec, centroids: np.ndarray, nprobe: int):
+    """Array of the ``nprobe`` nearest centroid ids per query vector."""
+    cmat = centroids.T
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        mat = _normalize_rows(np.vstack(vecs.to_numpy()).astype(np.float64))
+        sims = mat @ cmat
+        order = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return probes(vec)
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` nearest inverted lists per
+    query, exact-cosine-rank within the candidates. Same output shape
+    as ``cosine_topk`` (query_id, vec_id, cosine, rank); recall grows
+    with nprobe/k_centroids (nprobe = k_centroids ⇒ exact search).
+
+    Pass a pre-trained ``centroids`` matrix to reuse an index across
+    queries (at scale: persist the assigned table too).
+    """
+    if centroids is None:
+        centroids = train_centroids(
+            vectors, k_centroids, id_col=id_col, vec_col=vec_col
+        )
+    v = vectors.select(
+        F.col(id_col),
+        unit_double(F.col(vec_col)).alias("__v_unit"),
+        assign_centroid(F.col(vec_col), centroids).alias("cid"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        unit_double(F.col(vec_col)).alias("__q_unit"),
+        F.explode(
+            probe_centroids(F.col(vec_col), centroids, nprobe)
+        ).alias("cid"),
+    )
+    cand = q.join(v, "cid")
+    if exclude_self:
+        cand = cand.where(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        cand.select(
+            query_id_col,
+            id_col,
+            round_cosine(cosine(F.col("__q_unit"), F.col("__v_unit"))).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

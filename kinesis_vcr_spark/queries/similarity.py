@@ -78,11 +78,31 @@ register(
         "exact brute-force cosine top-k (broadcast probes, no shuffle of vectors)",
     )
 )
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 for the probe set (deterministic hash-sampled
+    centroids + 1 Lloyd step; rows-only driver check — approximate by
+    design, exactness-at-full-probe asserted in tests/test_ivf.py)."""
+    from kinesis_vcr_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, _probe_set(emb), k=TOP_K, k_centroids=16, nprobe=6
+    ).orderBy("query_id", "rank")
+
+
 register(
     QuerySpec(
         "similarity_ann_topk",
         similarity_ann_topk,
         None,  # approximate by design
         "hyperplane-LSH ANN top-k (bucketed candidates, measured recall)",
+    )
+)
+register(
+    QuerySpec(
+        "similarity_ivf_topk",
+        similarity_ivf_topk,
+        None,  # approximate by design
+        "IVF ANN top-k (inverted centroid lists, nprobe search)",
     )
 )
