@@ -49,6 +49,7 @@ def _load_all() -> None:
         multimodal,
         relational,
         relational2,
+        relational3,
         similarity,
         textstats,
         vcr,

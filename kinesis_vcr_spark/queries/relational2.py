@@ -146,7 +146,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.where(
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
-    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    ).join(part, li.l_partkey == part.p_partkey)  # part scales with SF:
+    # no broadcast hint — AQE decides at runtime (see test_plans.py)
     return joined.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC)))
         .alias("promo_revenue"),
