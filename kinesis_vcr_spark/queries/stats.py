@@ -1,0 +1,201 @@
+"""Statistical / analytical aggregates over the events and lineitem
+tables — exact percentiles, CUBE grouping sets, funnel analysis, and a
+rolling time window. Rounds floats once at 6 dp (both engines) per the
+repo-wide hash-parity rules.
+
+Scale posture:
+
+- exact ``percentile`` is a per-group sort in Spark's aggregate buffer:
+  fine keyed by event_type (bounded group count, values spill-able).
+  For ungrouped 100 TB percentiles you'd switch to
+  ``approx_percentile`` — kept out of the oracle surface because its
+  sketch is engine-specific.
+- the funnel is one groupBy(user) with conditional mins (single
+  shuffle, map-side combine) + a 1-row global agg;
+- the rolling window orders by day ordinal within one 31-row frame —
+  trivially small after the daily pre-aggregate, which is where the
+  data reduction happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_vcr_spark.queries import QuerySpec, register
+from kinesis_vcr_spark.tables import load_table
+
+DEC = "decimal(18,4)"
+
+
+def _dec(col: str):
+    return F.col(col).cast(DEC)
+
+
+# --- exact percentiles per group ---
+
+
+def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: count, exact decimal sum, mean, median, p95.
+    Spark ``percentile`` and DuckDB ``quantile_cont`` both interpolate
+    linearly — verified bit-identical at 6 dp on this corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).alias("sum_value"),
+            (F.sum(_dec("value")).cast("double") / F.count("*")).alias(
+                "avg_value"
+            ),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_STATS_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(value AS DECIMAL(18,4))) AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+         AS avg_value,
+       round(quantile_cont(value, 0.5), 6) AS median_value,
+       round(quantile_cont(value, 0.95), 6) AS p95_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- CUBE grouping sets (rollup_returns' sibling) ---
+
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(returnflag, linestatus): all four grouping-set combinations
+    in one pass — Spark expands the sets with partial aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        # grand-total magnitudes push the (38,8) sum past float64's 17
+        # significant digits, where the engines' decimal->double paths
+        # diverge by 1 ulp — downcast once to (18,4) on both sides
+        .agg(F.count("*").alias("n_lines"),
+             F.sum(rev).cast(DEC).alias("revenue"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_lines",
+            "revenue",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+CUBE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_lines,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+# --- conversion funnel (view -> click -> purchase, strictly ordered) ---
+
+
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users progressing view -> click -> purchase with strictly
+    increasing first-touch times. All comparisons on exact int64
+    nanosecond timestamps — no float time math."""
+    ev = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts_ns"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_buy"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy") > F.col("t_click"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewed.cast("long")).alias("n_viewed"),
+        F.sum(clicked.cast("long")).alias("n_clicked_after_view"),
+        F.sum(bought.cast("long")).alias("n_purchased_after_click"),
+    )
+
+
+FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
+       sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                THEN 1 ELSE 0 END) AS n_clicked_after_view,
+       sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                 AND t_buy > t_click
+                THEN 1 ELSE 0 END) AS n_purchased_after_click
+FROM per_user
+"""
+
+
+# --- rolling 7-day event volume ---
+
+ROLLING_EPOCH = "2024-01-01"
+
+
+def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event count + 7-day rolling sum. The rolling frame is a
+    RANGE window over the day ordinal (gap-safe: missing days still
+    bound the frame by value, not by row position)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("dt"))
+        .groupBy("dt")
+        .agg(F.count("*").alias("n_events"))
+        .withColumn(
+            "dt_ord",
+            F.datediff(F.col("dt"), F.lit(ROLLING_EPOCH).cast("date")),
+        )
+    )
+    w = Window.orderBy("dt_ord").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "dt", "n_events", F.sum("n_events").over(w).alias("rolling_7d")
+        )
+        .orderBy("dt")
+    )
+
+
+ROLLING_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS dt, count(*) AS n_events,
+         date_diff('day', DATE '{ROLLING_EPOCH}', CAST(ts AS DATE)) AS dt_ord
+  FROM events GROUP BY 1, 3
+)
+SELECT dt, n_events,
+       sum(n_events) OVER (ORDER BY dt_ord
+                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         AS rolling_7d
+FROM daily ORDER BY dt
+"""
+
+
+register(QuerySpec("event_value_stats", event_value_stats, EVENT_STATS_SQL,
+                   "exact percentiles (median/p95) per event type"))
+register(QuerySpec("cube_revenue", cube_revenue, CUBE_SQL,
+                   "CUBE grouping sets over lineitem"))
+register(QuerySpec("conversion_funnel", conversion_funnel, FUNNEL_SQL,
+                   "ordered view->click->purchase funnel on exact ns times"))
+register(QuerySpec("events_rolling_7d", events_rolling_7d, ROLLING_SQL,
+                   "7-day rolling event volume via RANGE window"))
