@@ -54,6 +54,7 @@ def _load_all() -> None:
         stats,
         textstats,
         vcr,
+        windowed,
     )
 
 

@@ -1,0 +1,249 @@
+"""Windowed / sequence analytics over the events and orders tables —
+lag-based inter-event gaps, NTILE deciles, an equi+range self-join,
+ordered path aggregation, and exact distinct counting.
+
+Parity rules (see queries/__init__ docstring): time math on exact int64
+nanoseconds (``ts_ns``), derived ratios rounded once at 6 dp, money in
+DECIMAL(18,4); every window that feeds a value comparison is totally
+ordered (explicit tiebreak columns) so both engines compute identical
+frames.
+
+Scale posture:
+
+- per-user windows (gaps, paths) shuffle once on ``user_id`` and sort
+  within partitions — the standard sessionization shape; skewed power
+  users hot-spot a partition, inherent to the semantics (salt + re-merge
+  if a single user exceeds a partition).
+- ``order_value_deciles`` uses a GLOBAL ntile — a deliberate single-
+  partition total sort, fine for ranked reporting output but NOT the
+  100 TB plan; at scale switch to ``approx_percentile`` boundaries +
+  broadcast range assignment (documented in the docstring, and the
+  global window is applied AFTER the aggregate would have reduced data
+  had there been one — here it's the ranking itself that is the query).
+- the views-before-purchase join is an equi-join on ``user_id`` with a
+  range residual — shuffles both sides once on the key; the range
+  predicate filters inside the joined partition (no cross join, no
+  interval explosion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_vcr_spark.queries import QuerySpec, register
+from kinesis_vcr_spark.tables import load_table
+
+DEC = "decimal(18,4)"
+
+
+# --- per-user inter-event gaps (LAG) ---
+
+
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: event count, mean and max gap between consecutive
+    events in seconds. Gap math on exact int64 nanoseconds; the window
+    is totally ordered by (ts_ns, event_id) so ties are deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    # exact integer truncation to micros — DuckDB's TIMESTAMP is micro-
+    # precision, so both engines see identical int64 microsecond values
+    # (float division of ~1e18 ns would lose ulps; `div` stays integral)
+    ts_us = F.expr("ts_ns div 1000")
+    w = Window.partitionBy("user_id").orderBy(ts_us, "event_id")
+    gaps = ev.select(
+        "user_id",
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us"),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                (F.sum("gap_us") / F.lit(1e6)) / F.count("gap_us"), 6
+            ).alias("avg_gap_s"),
+            F.round(F.max("gap_us") / F.lit(1e6), 6).alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+GAPS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS gap_us
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       round(sum(gap_us) / 1e6 / count(gap_us), 6) AS avg_gap_s,
+       round(max(gap_us) / 1e6, 6) AS max_gap_s
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- order value deciles (global NTILE) ---
+
+
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(10) over all orders by total price (tiebreak o_orderkey →
+    total order → identical bucket boundaries in both engines).
+
+    Global ranking is a deliberate single-partition sort here; the
+    100 TB variant assigns buckets by broadcast ``approx_percentile``
+    boundaries instead of a total sort."""
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        od.select(
+            F.ntile(10).over(w).alias("decile"),
+            F.col("o_totalprice").cast(DEC).alias("price"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+            F.sum("price").alias("sum_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+DECILES_SQL = """
+WITH ranked AS (
+  SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS price
+  FROM orders
+)
+SELECT decile, count(*) AS n_orders,
+       min(price) AS min_price, max(price) AS max_price,
+       sum(price) AS sum_price
+FROM ranked GROUP BY decile ORDER BY decile
+"""
+
+
+# --- views in the hour before each purchase (equi + range self-join) ---
+
+
+def views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase: how many views the same user made in the
+    preceding hour (exclusive of the purchase instant). Equi-join on
+    user_id with a range residual — one shuffle, no interval explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600 * 1_000_000
+    ts_us = F.expr("ts_ns div 1000")  # micro-exact on both engines
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("buyer_id"),
+        ts_us.alias("buy_us"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("viewer_id"), ts_us.alias("view_us")
+    )
+    joined = buys.join(
+        views,
+        (F.col("viewer_id") == F.col("buyer_id"))
+        & (F.col("view_us") >= F.col("buy_us") - F.lit(hour_us))
+        & (F.col("view_us") < F.col("buy_us")),
+        "left",
+    )
+    return (
+        joined.groupBy("purchase_id", "buyer_id")
+        .agg(F.count("view_us").alias("n_views_1h"))
+        .orderBy("purchase_id")
+    )
+
+
+VIEWS_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id AS buyer_id,
+       count(v.ts) AS n_views_1h
+FROM events p
+LEFT JOIN events v
+  ON v.event_type = 'view' AND v.user_id = p.user_id
+ AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+ AND epoch_us(v.ts) < epoch_us(p.ts)
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+ORDER BY purchase_id
+"""
+
+
+# --- ordered per-user event path (string aggregation) ---
+
+
+def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's full event-type sequence as 'view->click->…', ordered
+    by (ts_ns, event_id). Implemented as collect_list of (ts, id, type)
+    structs → array_sort → join: one shuffle on user_id, sort inside the
+    aggregate buffer (struct order = field order, giving the same total
+    order as the SQL's ORDER BY)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.expr("ts_ns div 1000").alias("ts_us"),
+                                "event_id",
+                                "event_type",
+                            )
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                "->",
+            ).alias("path"),
+        )
+        .orderBy("user_id")
+    )
+
+
+PATHS_SQL = """
+SELECT user_id, count(*) AS n_events,
+       string_agg(event_type, '->'
+                  ORDER BY epoch_us(ts), event_id) AS path
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- exact distinct users per day and type ---
+
+
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT user_id) per (day, event_type) — expands to
+    a two-phase distinct aggregate (partial dedup before the shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date("ts").alias("dt"), "event_type"
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("dt", "event_type")
+    )
+
+
+DISTINCT_SQL = """
+SELECT CAST(ts AS DATE) AS dt, event_type,
+       count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY dt, event_type
+"""
+
+
+register(QuerySpec("user_event_gaps", user_event_gaps, GAPS_SQL,
+                   "per-user inter-event gap stats via LAG on exact ns"))
+register(QuerySpec("order_value_deciles", order_value_deciles, DECILES_SQL,
+                   "NTILE(10) price deciles with deterministic tiebreak"))
+register(QuerySpec("views_before_purchase", views_before_purchase, VIEWS_SQL,
+                   "views in the hour before each purchase (equi+range join)"))
+register(QuerySpec("user_event_paths", user_event_paths, PATHS_SQL,
+                   "ordered event-type path per user (string aggregation)"))
+register(QuerySpec("distinct_users_daily", distinct_users_daily, DISTINCT_SQL,
+                   "exact distinct users per day/type"))

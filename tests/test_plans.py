@@ -153,3 +153,31 @@ def test_dedup_pair_join_is_equi_join(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_windowed_batch_plan_shapes(spark, sf_dir):
+    """The windowed/sequence batch: no Python eval anywhere, and the
+    views-before-purchase self-join must be an equi-join on user_id
+    (range residual as join filter), never a cartesian/BNL product."""
+    from kinesis_vcr_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in ("user_event_gaps", "views_before_purchase",
+                 "user_event_paths", "distinct_users_daily",
+                 "conversion_funnel", "events_rolling_7d"):
+        plan = _formatted_plan(qs[name].spark_fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_distinct_users_daily_partial_agg(spark, sf_dir):
+    """Exact distinct expands to the two-phase plan: partial dedup
+    before the exchange (4 HashAggregates for distinct rewrite)."""
+    from kinesis_vcr_spark.queries import all_queries
+
+    plan = _formatted_plan(
+        all_queries()["distinct_users_daily"].spark_fn(spark, sf_dir)
+    )
+    assert plan.count("HashAggregate") >= 3
