@@ -166,12 +166,21 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint per doc: min 31-polynomial rolling
     hash over distinct char 5-grams (+ the distinct-gram count).
     Integer arithmetic mod 2^31 → engine-exact."""
+    from kinesis_vcr_spark.functions.text import fingerprint_features
+
     docs = load_table(spark, sf_dir, "documents")
-    text = F.col("text")
-    return docs.select(
+    # CPU-bound per-row hashing: spread a coarse (single-file) scan
+    # across cores before the UDF — at cluster scale the input split
+    # count already provides this and AQE would elide the exchange
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    feats = docs.select(
+        "doc_id", fingerprint_features()(F.col("text")).alias("s")
+    )
+    return feats.select(
         "doc_id",
-        fingerprint(text).alias("fp"),
-        F.size(char_5gram_hashes(text)).alias("n_grams"),
+        F.col("s.fp").alias("fp"),
+        F.col("s.n_grams").alias("n_grams"),
     ).orderBy("doc_id")
 
 
