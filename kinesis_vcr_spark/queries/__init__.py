@@ -53,6 +53,7 @@ def _load_all() -> None:
         similarity,
         stats,
         textstats,
+        tfidf,
         vcr,
         windowed,
     )

@@ -1,0 +1,239 @@
+"""Term-weighting analytics over the documents table — TF-IDF top
+terms, BM25 ranked retrieval, and per-source vocabulary statistics.
+The training-data-pipeline companion to :mod:`queries.textstats`:
+corpus-level term statistics instead of per-document features.
+
+Parity rules: tokenization is a plain space split in BOTH engines
+(consistent with textstats); counts are exact integers; the only floats
+are log-based weights, rounded ONCE at 6 dp before any ranking so an
+ulp difference in the engines' ``ln`` can never flip an order; ranking
+tiebreaks are total (term / doc_id ascending).
+
+Scale posture: every aggregation is explode → groupBy (one shuffle each,
+full map-side combine. The corpus-total doc count is a 1-row aggregate
+broadcast into the score expression (same shape as q22's scalar
+average); document-frequency joins are keyed shuffles on ``term``. The
+global top-k orderings materialize k rows, not the corpus (sort +
+limit pushes TakeOrdered to the map side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kinesis_vcr_spark.queries import QuerySpec, register
+from kinesis_vcr_spark.tables import load_table
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("hash", "join", "scan")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+
+
+# --- TF-IDF top terms per language ---
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language by corpus TF-IDF (tf summed within the
+    language, idf over the whole corpus: ln((N+1)/(df+1)))."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(spark, sf_dir)
+    tf = toks.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df_docs")
+    )
+    total = docs.agg(F.count("*").alias("n_total"))  # 1 row, broadcast
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "term",
+            "tf",
+            "df_docs",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_total") + 1) / (F.col("df_docs") + 1)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("lang", "rank", "term", "tf", "df_docs", "score")
+        .orderBy("lang", "rank")
+    )
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT lang, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df_docs
+          FROM toks GROUP BY 1),
+scored AS (
+  SELECT lang, term, tf, df_docs,
+         round(tf * ln(((SELECT count(*) FROM documents) + 1)
+                       / (df_docs + 1.0)), 6) AS score
+  FROM tf JOIN dfreq USING (term)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY score DESC, term
+  ) AS rank FROM scored
+)
+SELECT lang, rank, term, tf, df_docs, score
+FROM ranked WHERE rank <= 5 ORDER BY lang, rank
+"""
+
+
+# --- BM25 ranked retrieval ---
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for the fixed query {hash, join, scan} under
+    BM25 (k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5))). Length
+    normalization uses exact integer token counts; avgdl is an exact
+    integer-sum ratio, so both engines divide identical values."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(spark, sf_dir)
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl")
+    )
+    stats = docs.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.size(F.split("text", " "))).alias("sum_dl"),
+    )  # 1 row, broadcast: N and avgdl in one pass
+    qtoks = toks.where(F.col("term").isin(*BM25_TERMS))
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = qtoks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df_docs")
+    )
+    avgdl = F.col("sum_dl") / F.col("n_total")
+    idf = F.log(
+        1
+        + (F.col("n_total") - F.col("df_docs") + 0.5)
+        / (F.col("df_docs") + 0.5)
+    )
+    part = idf * (
+        F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+        )
+    )
+    per_doc = (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(part), 6).alias("bm25"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    return per_doc.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(20)
+
+
+BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_total,
+                 sum(len(string_split(text, ' '))) AS sum_dl
+          FROM documents),
+qtoks AS (SELECT * FROM toks WHERE term IN ('hash', 'join', 'scan')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM qtoks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df_docs
+          FROM qtoks GROUP BY 1)
+SELECT doc_id,
+       round(sum(
+         ln(1 + (n_total - df_docs + 0.5) / (df_docs + 0.5))
+         * (tf * (1.2 + 1))
+         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (sum_dl * 1.0 / n_total)))
+       ), 6) AS bm25,
+       count(*) AS n_terms_hit
+FROM tf
+JOIN dfreq USING (term)
+JOIN dl USING (doc_id)
+CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+# --- per-source vocabulary statistics ---
+
+
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: docs, token volume, vocabulary size, hapax count
+    (terms seen exactly once in the source), mean tokens per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(spark, sf_dir)
+    term_tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    per_source = term_tf.groupBy("source").agg(
+        F.count("*").alias("vocab"),
+        F.sum((F.col("tf") == 1).cast("long")).alias("hapax"),
+        F.sum("tf").alias("n_tokens"),
+    )
+    n_docs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        per_source.join(n_docs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "vocab",
+            "hapax",
+            F.round(F.col("n_tokens") / F.col("n_docs"), 6).alias(
+                "avg_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+VOCAB_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+term_tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+per_source AS (
+  SELECT source, count(*) AS vocab,
+         sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS hapax,
+         sum(tf) AS n_tokens
+  FROM term_tf GROUP BY source
+),
+n_docs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+SELECT source, n_docs, n_tokens, vocab, hapax,
+       round(n_tokens * 1.0 / n_docs, 6) AS avg_tokens
+FROM per_source JOIN n_docs USING (source)
+ORDER BY source
+"""
+
+
+register(QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_SQL,
+                   "top-5 TF-IDF terms per language"))
+register(QuerySpec("bm25_search", bm25_search, BM25_SQL,
+                   "BM25 top-20 docs for a fixed term query"))
+register(QuerySpec("vocab_stats", vocab_stats, VOCAB_SQL,
+                   "per-source vocabulary / hapax / length stats"))

@@ -181,3 +181,27 @@ def test_distinct_users_daily_partial_agg(spark, sf_dir):
         all_queries()["distinct_users_daily"].spark_fn(spark, sf_dir)
     )
     assert plan.count("HashAggregate") >= 3
+
+
+def test_tfidf_batch_plan_shapes(spark, sf_dir):
+    """TF-IDF/BM25/vocab: no Python eval, no cartesian product. The
+    1-row corpus-stats cross joins plan as 1-row broadcast BNLs (the
+    q22 scalar pattern) — allowed; a row-scaled BNL is not, which is
+    what the CartesianProduct assertion guards."""
+    from kinesis_vcr_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in ("tfidf_top_terms", "bm25_search", "vocab_stats"):
+        plan = _formatted_plan(qs[name].spark_fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_bm25_is_top_k_not_global_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (map-side
+    top-k), never a full global Sort of the scored corpus."""
+    from kinesis_vcr_spark.queries import all_queries
+
+    plan = _formatted_plan(all_queries()["bm25_search"].spark_fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
