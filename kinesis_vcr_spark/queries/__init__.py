@@ -51,6 +51,7 @@ def _load_all() -> None:
         relational2,
         relational3,
         similarity,
+        sketches,
         stats,
         textstats,
         tfidf,
