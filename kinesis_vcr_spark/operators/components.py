@@ -1,0 +1,85 @@
+"""Connected components over a pair/edge DataFrame — the clustering
+step that turns near-duplicate PAIRS into dedup GROUPS (keep one doc
+per component, drop the rest).
+
+Algorithm: hash-min label propagation. Every node starts labeled with
+its own id; each round, every node takes the min label among itself and
+its neighbors; converged when no label changes. Rounds needed = graph
+diameter — near-dup graphs are overwhelmingly small cliques/chains
+(diameter ≤ ~3), so this converges in a handful of keyed shuffles.
+
+Scale posture:
+
+- each round is one equi-join (edges ⋈ labels, keyed on node id) + one
+  groupBy-min with full map-side combine — no cross joins, no driver
+  data paths; the convergence check is a 1-row ``limit(1).count()``
+  probe, not a collect of labels.
+- ``localCheckpoint`` truncates lineage every round; without it the plan
+  doubles per iteration and the job DAG explodes by round 10 (the
+  classic iterative-Spark failure mode).
+- for adversarial graphs with long chains (diameter ≫ rounds), switch
+  to alternating large-star/small-star contraction (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14) — same
+  join+min building blocks, O(log²) rounds; not needed for dedup
+  workloads and kept out for simplicity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Labels every node reachable through ``edges`` with the MIN node
+    id of its component (deterministic root). Returns ``(node, component)``
+    for nodes that appear in at least one edge.
+
+    Raises if not converged within ``max_iter`` rounds (a near-dup
+    graph needing 25 rounds indicates a pathological chain — see the
+    star-contraction note in the module docstring).
+    """
+    # materialize the edge list ONCE before the symmetrize-union: the
+    # union references `edges` twice, and an expensive upstream (e.g. an
+    # LSH pair pipeline) would otherwise execute per branch — and again
+    # every round
+    edges = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = und.join(
+            labels, und["a"] == labels["node"]
+        ).select(F.col("b").alias("node"), "component")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )

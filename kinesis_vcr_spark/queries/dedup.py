@@ -213,3 +213,69 @@ register(QuerySpec("dedup_near_simhash", dedup_near_simhash, None,
                    "SimHash pigeonhole-blocked near-dup pairs (approximate)"))
 register(QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, EMB_COS_SQL,
                    "embedding-cosine near-dup pairs via hyperplane LSH"))
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: pairs → connected components → dedup groups
+# ---------------------------------------------------------------------------
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pair graph: each
+    involved doc labeled with its component root (min doc_id) plus the
+    component size — the "which copies form one group" answer that
+    drives keep-one-per-group dedup.
+
+    Spark side: hash-min label propagation (operators/components.py);
+    oracle: recursive-CTE min-label closure over the same brute-forced
+    pair set."""
+    from kinesis_vcr_spark.operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs_minhash(
+        docs, "doc_id", "text", shingle_size=3, num_hashes=64, bands=16,
+        threshold=J_THRESHOLD,
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("group_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(F.col("node").alias("doc_id"), "component", "group_size")
+        .orderBy("doc_id")
+    )
+
+
+COMPONENTS_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= {J_THRESHOLD}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node, min(lbl) AS component FROM reach GROUP BY node
+)
+SELECT node AS doc_id, component,
+       count(*) OVER (PARTITION BY component) AS group_size
+FROM comp ORDER BY doc_id
+"""
+
+
+register(QuerySpec("dedup_components", dedup_components, COMPONENTS_SQL,
+                   "near-dup pair graph → connected components (dedup groups)"))

@@ -1,0 +1,37 @@
+"""Connected-components properties: chains, cliques, isolation,
+determinism of the min-id root."""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_vcr_spark.operators.components import connected_components
+
+
+def _cc(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    rows = connected_components(df).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4-5 chain: everything labels to 1
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(10, 20), (20, 30), (7, 8)])
+    assert got == {10: 10, 20: 10, 30: 10, 7: 7, 8: 7}
+
+
+def test_clique_and_direction_independence(spark):
+    # direction of edges must not matter
+    got = _cc(spark, [(5, 3), (3, 9), (9, 5)])
+    assert got == {3: 3, 5: 3, 9: 3}
+
+
+def test_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, max_iter=0)
