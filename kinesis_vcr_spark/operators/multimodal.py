@@ -124,6 +124,97 @@ def extract_media_features(
     return media.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame", BinaryType(), True),
+        StructField("frame_bytes", LongType(), False),
+    ]
+)
+
+FRAME_SIZE = 32  # fake codec: fixed 32-byte frames
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling — one output row per kept frame (1→N fan-out
+    inside ``mapInPandas``; Arrow batches in, exploded frame rows out,
+    still a narrow transform: no shuffle, parallel by input split).
+
+    The stub codec treats the payload as fixed-size 32-byte frames and
+    keeps every ``every_n``-th (a real video codec slots in behind the
+    same iterator without touching the Spark plan). The tail frame is
+    kept short, like a real final partial GOP."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def explode_frames(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, sizes = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p) if p is not None else b""
+                n_frames = max(
+                    (len(p) + FRAME_SIZE - 1) // FRAME_SIZE, 1
+                )
+                for j in range(0, n_frames, every_n):
+                    fr = p[j * FRAME_SIZE : (j + 1) * FRAME_SIZE]
+                    ids.append(mid)
+                    idxs.append(j)
+                    frames.append(fr)
+                    sizes.append(len(fr))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "frame_bytes": sizes,
+                }
+            )
+
+    return media.mapInPandas(explode_frames, FRAME_SCHEMA)
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in resizer: tiles/truncates the source bytes
+    to exactly ``width*height``. A real implementation (PIL) replaces
+    this function only — the Spark plumbing is identical."""
+    target = width * height
+    if not payload:
+        return b"\x00" * target
+    reps = -(-target // len(payload))
+    return (payload * reps)[:target]
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """Batch resize: MEDIA_SCHEMA in → MEDIA_SCHEMA out (payload
+    replaced, ``meta['resized']`` stamped) — composable with every other
+    media operator since the schema round-trips."""
+
+    def do_resize(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                resizer(bytes(p) if p is not None else b"", width, height)
+                for p in pdf["payload"]
+            ]
+            pdf["meta"] = [
+                {**(m if m is not None else {}), "resized": f"{width}x{height}"}
+                for m in pdf["meta"]
+            ]
+            yield pdf
+
+    return media.mapInPandas(do_resize, MEDIA_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as opaque media payloads (the
     container has no real media fixtures; payload layout is what's

@@ -104,3 +104,57 @@ register(
         "Arrow-batched (mapInPandas) media feature extraction, fake codec",
     )
 )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the 1→N mapInPandas fan-out (every 4th
+    32-byte frame), summarized per media: sampled-frame count and
+    first/last frame sizes. The fake codec's frame geometry is pure
+    arithmetic over payload byte length, so DuckDB reproduces it in
+    closed form — verifying the exploded row set without Python."""
+    from kinesis_vcr_spark.operators.multimodal import sample_frames
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_n=4)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.min_by("frame_bytes", "frame_idx").alias("first_bytes"),
+            F.max_by("frame_bytes", "frame_idx").alias("last_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
+FRAME_SAMPLE_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+  FROM documents
+),
+geo AS (
+  SELECT media_id, n,
+         greatest((n + 31) // 32, 1) AS total_frames
+  FROM m
+),
+s AS (
+  SELECT media_id, n,
+         (total_frames + 3) // 4 AS n_frames,
+         4 * ((total_frames - 1) // 4) AS last_idx
+  FROM geo
+)
+SELECT media_id, n_frames,
+       least(32, n) AS first_bytes,
+       least(32, n - last_idx * 32) AS last_bytes
+FROM s ORDER BY media_id
+"""
+
+
+register(
+    QuerySpec(
+        "multimodal_frame_sample",
+        multimodal_frame_sample,
+        FRAME_SAMPLE_SQL,
+        "1→N frame sampling via mapInPandas, geometry oracle-verified",
+    )
+)

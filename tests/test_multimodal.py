@@ -56,3 +56,45 @@ def test_documents_as_media_schema(spark, sf_dir):
     feats = extract_media_features(media)
     row = feats.orderBy("media_id").first()
     assert row["payload_bytes"] > 0
+
+
+def test_sample_frames_geometry(spark):
+    from kinesis_vcr_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", b"x" * 100, {}),   # 4 frames: idx 0 kept (e=4)
+            (2, "video", b"y" * 270, {}),   # 9 frames: idx 0,4,8 kept
+            (3, "video", b"", {}),          # empty payload: 1 empty frame
+        ],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    rows = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in sample_frames(media, every_n=4).collect()
+    }
+    assert set(rows) == {(1, 0), (2, 0), (2, 4), (2, 8), (3, 0)}
+    assert rows[(1, 0)]["frame_bytes"] == 32
+    assert rows[(2, 8)]["frame_bytes"] == 270 - 8 * 32  # short tail
+    assert rows[(3, 0)]["frame_bytes"] == 0
+    assert rows[(2, 4)]["frame"] == b"y" * 32
+
+
+def test_resize_media_schema_roundtrip(spark):
+    from kinesis_vcr_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "image", b"abc", {"k": "v"}), (2, "image", None, None)],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    out = resize_media(media, 4, 4)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert bytes(rows[1]["payload"]) == (b"abc" * 6)[:16]
+    assert rows[1]["meta"]["resized"] == "4x4"
+    assert rows[1]["meta"]["k"] == "v"
+    assert bytes(rows[2]["payload"]) == b"\x00" * 16
+    # output schema round-trips into other media operators
+    assert sample_frames(out, every_n=1).count() == 2
