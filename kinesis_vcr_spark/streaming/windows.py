@@ -158,3 +158,38 @@ def detect_sequence_gaps(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(
+    records: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark_col: str = "arrival_ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — drop replays/duplicates as they arrive.
+
+    The reference's archive is at-least-once (emit failure redelivers
+    the whole buffer, InjectableS3Emitter.java:56-59,73-76), so a live
+    consumer of a recorded stream sees duplicates; this is the streaming
+    counterpart of :func:`operators.dedup.dedup_exact`.
+
+    ``dropDuplicatesWithinWatermark`` keys state by ``key_cols``
+    (default: the record identity ``(shard_id, sequence_number)`` —
+    Kinesis resharding reuses sequence ranges only across shards) and
+    evicts each key once the event-time watermark passes it by
+    ``watermark_delay`` — bounded state (keys within the watermark
+    horizon), unlike an unbounded ``dropDuplicates`` which would
+    accumulate every key forever. A duplicate arriving later than the
+    delay is NOT caught: pick the delay to cover the redelivery window
+    (the reference retries a failed emit on the next buffer flush, i.e.
+    within one buffer_time — minutes, not hours).
+
+    Works on batch DataFrames too (falls back to plain dropDuplicates
+    semantics) — used by the tests' backfill comparison.
+    """
+    if key_cols is None:
+        key_cols = ["shard_id", "sequence_number"]
+    wm = records.withWatermark(watermark_col, watermark_delay)
+    if records.isStreaming:
+        return wm.dropDuplicatesWithinWatermark(key_cols)
+    return records.dropDuplicates(key_cols)

@@ -137,3 +137,70 @@ def test_gap_state_carries_across_batches(spark, tmp_path):
     assert any(
         (r["prev_seq"], r["seq"], r["gap"]) == (2, 7, 5) for r in rows
     )
+
+
+def test_dedup_stream_drops_redelivered(spark, tmp_path):
+    """Streaming dedup: a redelivered (same shard, same sequence) batch
+    is dropped by the stateful operator; distinct records survive."""
+    import datetime as dt
+
+    from kinesis_vcr_spark.model import RECORD_SCHEMA
+    from kinesis_vcr_spark.streaming.windows import dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, RECORD_SCHEMA).write.parquet(
+            str(src / name)
+        )
+
+    rows1 = [
+        (b"a", "1", "pk", "shard-0", base),
+        (b"b", "2", "pk", "shard-0", base + dt.timedelta(seconds=1)),
+    ]
+    # redelivery of seq 2 + one new record — and the same seq on another
+    # shard, which must NOT be treated as a duplicate
+    rows2 = [
+        (b"b", "2", "pk", "shard-0", base + dt.timedelta(seconds=1)),
+        (b"c", "3", "pk", "shard-0", base + dt.timedelta(seconds=2)),
+        (b"d", "2", "pk", "shard-1", base + dt.timedelta(seconds=3)),
+    ]
+    write_batch("b1", rows1)
+    write_batch("b2", rows2)
+
+    stream = spark.readStream.schema(RECORD_SCHEMA).parquet(str(src / "*"))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        dedup_stream(stream)
+        .selectExpr("cast(data as string) AS payload")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["payload"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == ["a", "b", "c", "d"]
+
+
+def test_dedup_stream_batch_fallback(spark):
+    import datetime as dt
+
+    from kinesis_vcr_spark.model import RECORD_SCHEMA
+    from kinesis_vcr_spark.streaming.windows import dedup_stream
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (b"a", "1", "pk", "s0", base),
+            (b"a", "1", "pk", "s0", base),
+            (b"b", "2", "pk", "s0", base),
+        ],
+        RECORD_SCHEMA,
+    )
+    assert dedup_stream(df).count() == 2
