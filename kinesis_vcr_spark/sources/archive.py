@@ -156,7 +156,13 @@ def archive_listing(
     Listing cost is proportional to files in range only; at 100 TB with
     ~100 MB objects a single-day range is ~10^4 keys — driver-trivial, and
     S3A/HDFS pagination + retries are handled by the filesystem client.
+    Days list CONCURRENTLY (py4j serves each Python thread on its own
+    gateway connection): a multi-year range over a remote store pays one
+    round-trip latency per ~16 days instead of per day, matching the
+    reference's pipelined listing (KinesisPlayer.java:225,259).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from kinesis_vcr_spark.timeparse import day_range
 
     end = default_end(start, end)
@@ -165,16 +171,16 @@ def archive_listing(
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     conf = jsc.hadoopConfiguration()
-    rows = []
     start_s, end_s = _utc_epoch(start), _utc_epoch(end)
-    for day in day_range(start, end):
-        day_str = day.strftime("%Y-%m-%d")
+
+    def list_day(day: datetime) -> list[tuple]:
+        day_rows = []
         path = jvm.org.apache.hadoop.fs.Path(
-            f"{archive_path.rstrip('/')}/dt={day_str}"
+            f"{archive_path.rstrip('/')}/dt={day.strftime('%Y-%m-%d')}"
         )
         fs = path.getFileSystem(conf)
         if not fs.exists(path):
-            continue
+            return day_rows
         it = fs.listFiles(path, False)
         while it.hasNext():
             st = it.next()
@@ -184,7 +190,7 @@ def archive_listing(
             mtime_seconds = st.getModificationTime() // 1000
             if mtime_filter and not (start_s < mtime_seconds < end_s):
                 continue  # F3: strictly exclusive, second granularity
-            rows.append(
+            day_rows.append(
                 (
                     day.date(),
                     st.getPath().toString(),
@@ -192,6 +198,13 @@ def archive_listing(
                     mtime_seconds,
                 )
             )
+        return day_rows
+
+    days = list(day_range(start, end))
+    rows: list[tuple] = []
+    with ThreadPoolExecutor(max_workers=min(len(days), 16)) as pool:
+        for day_rows in pool.map(list_day, days):  # deterministic order
+            rows.extend(day_rows)
     return spark.createDataFrame(
         rows, "dt date, file_path string, file_size long, file_mtime_s long"
     )
