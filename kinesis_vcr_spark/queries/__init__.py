@@ -52,6 +52,7 @@ def _load_all() -> None:
         relational3,
         similarity,
         sketches,
+        skewq,
         stats,
         textstats,
         tfidf,

@@ -35,3 +35,38 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(df, max_iter=0)
+
+
+def test_random_graphs_match_union_find(spark):
+    """Property: on random edge sets, the distributed hash-min labels
+    equal a classic union-find's min-id components."""
+    import random
+
+    def union_find_components(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-id root per node
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n_nodes, n_edges = 30, rng.randint(10, 40)
+        pairs = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        expected = union_find_components(pairs)
+        got = _cc(spark, pairs)
+        assert got == expected, f"trial {trial}: {sorted(pairs)}"
