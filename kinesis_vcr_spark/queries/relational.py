@@ -378,6 +378,67 @@ ORDER BY p.event_id
 """
 
 
+def purchase_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: for each purchase, the FIRST click
+    at-or-after it by the same user, nulled when more than an hour out —
+    `pd.merge_asof(direction='forward', tolerance=...)` semantics.
+    DuckDB's ASOF JOIN is backward-only, so the oracle is the
+    correlated-min formulation."""
+    events = load_table(spark, sf_dir, "events")
+    hour_ns = 3_600 * 1_000_000_000
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ns"
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_ns")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts_ns",
+        right_ts="ts_ns",
+        right_value_cols=["click_event_id", "ts_ns"],
+        suffix="_click",
+        direction="forward",
+        tolerance=hour_ns,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("click_event_id_click").alias("next_click_id"),
+        F.expr(
+            "CAST((ts_ns_click - ts_ns) DIV 1000000000 AS BIGINT)"
+        ).alias("wait_seconds"),
+    ).orderBy("event_id")
+
+
+NEXT_CLICK_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), nxt AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         (SELECT min(c.ts) FROM clicks c
+          WHERE c.user_id = p.user_id AND c.ts >= p.ts) AS next_ts
+  FROM purchases p
+)
+SELECT n.event_id, n.user_id,
+       CASE WHEN epoch_ns(n.next_ts) - epoch_ns(n.ts) <= 3600000000000
+            THEN c.click_event_id END AS next_click_id,
+       CASE WHEN epoch_ns(n.next_ts) - epoch_ns(n.ts) <= 3600000000000
+            THEN (epoch_ns(n.next_ts) - epoch_ns(n.ts)) // 1000000000
+            END AS wait_seconds
+FROM nxt n
+LEFT JOIN clicks c ON c.user_id = n.user_id AND c.ts = n.next_ts
+ORDER BY n.event_id
+"""
+
+
 register(QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
                    "scan + grouped aggregation (TPC-H Q1 shape)"))
 register(QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_SQL,
@@ -394,3 +455,5 @@ register(QuerySpec("user_sessions", user_sessions, SESSIONS_SQL,
                    "sessionization: lag + gap + running sum"))
 register(QuerySpec("purchase_asof_click", purchase_asof_click, ASOF_SQL,
                    "as-of join (custom operator vs native ASOF JOIN oracle)"))
+register(QuerySpec("purchase_next_click", purchase_next_click, NEXT_CLICK_SQL,
+                   "forward as-of join with 1h tolerance"))
