@@ -47,7 +47,7 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAYLOAD_STATS_SQL = """
 SELECT source,
        count(*) AS n_payloads,
-       sum(octet_length(encode(text))) AS total_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        count(DISTINCT sha256(text)) AS n_distinct
 FROM documents GROUP BY source ORDER BY source
 """

@@ -43,10 +43,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1999-06-30").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(charge).cast(DEC).alias("sum_charge"),
+            # every money/qty output: round the EXACT decimal sum once,
+            # then cast to double — both engines convert the same decimal
+            # to the same nearest-double, so the driver's raw-string hash
+            # matches (a DECIMAL output would hash as '167509.0000' on the
+            # Spark side vs DuckDB's float64 '167509.0')
+            F.round(F.sum(_dec("l_quantity")), 4).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 4).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).cast("double").alias("sum_charge"),
             F.count("*").alias("count_order"),
             (
                 F.sum(_dec("l_quantity")).cast("double") / F.count("*")
@@ -58,10 +63,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-       sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
-       round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,8)) * (1 + CAST(l_tax AS DECIMAL(18,4)))), 4) AS sum_charge,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,8)) * (1 + CAST(l_tax AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_charge,
        count(*) AS count_order,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty
 FROM lineitem
@@ -87,10 +92,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).alias("revenue"))
+        .agg(F.round(F.sum(revenue), 4).cast("double").alias("revenue"))
         .select(
             "l_orderkey",
-            F.to_date("o_orderdate").alias("o_orderdate"),
+            # dates go out as 'yyyy-MM-dd' strings: a Spark DateType hashes
+            # as '1995-05-03' while DuckDB's DATE comes back as a midnight
+            # timestamp — strings are identical under any canonicalization
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             "o_orderpriority",
             "revenue",
         )
@@ -101,9 +109,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey,
-       CAST(o_orderdate AS DATE) AS o_orderdate,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
        o_orderpriority,
-       sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -142,14 +150,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("r_name") == "ASIA")
         .groupBy("n_name")
-        .agg(F.sum(revenue).alias("revenue"))
+        .agg(F.round(F.sum(revenue), 4).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
 
 Q5_SQL = """
 SELECT n_name,
-       sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -174,7 +182,7 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_custkey",
             "o_orderkey",
-            _dec("o_totalprice").alias("total_price"),
+            _dec("o_totalprice").cast("double").alias("total_price"),
             F.row_number().over(w).alias("rank"),
         )
         .where(F.col("rank") <= 3)
@@ -185,7 +193,7 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOP3_SQL = """
 WITH ranked AS (
   SELECT o_custkey, o_orderkey,
-         CAST(o_totalprice AS DECIMAL(18,4)) AS total_price,
+         CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS total_price,
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS rank
   FROM orders
@@ -216,7 +224,7 @@ def premium_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count("*").alias("order_count"),
-            F.sum(_dec("o_totalprice")).alias("lifetime_value"),
+            F.round(F.sum(_dec("o_totalprice")), 4).cast("double").alias("lifetime_value"),
         )
         .orderBy("o_custkey")
     )
@@ -231,7 +239,7 @@ WITH keys AS (
     AND o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
 )
 SELECT o_custkey, count(*) AS order_count,
-       sum(CAST(o_totalprice AS DECIMAL(18,4))) AS lifetime_value
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS lifetime_value
 FROM orders WHERE o_custkey IN (SELECT c_custkey FROM keys)
 GROUP BY o_custkey ORDER BY o_custkey
 """
@@ -245,7 +253,9 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 def event_type_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     df = (
-        events.select(F.to_date("ts").alias("dt"), "event_type")
+        events.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"), "event_type"
+        )
         .groupBy("dt")
         .pivot("event_type", EVENT_TYPES)
         .count()
@@ -256,12 +266,12 @@ def event_type_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PIVOT_SQL = """
-SELECT CAST(ts AS DATE) AS dt,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
 FROM events GROUP BY dt ORDER BY dt
 """
 
@@ -322,7 +332,7 @@ WITH g AS (
   FROM s GROUP BY user_id, session_id
 )
 SELECT user_id, count(*) AS session_count,
-       sum(session_events) AS total_events,
+       CAST(sum(session_events) AS BIGINT) AS total_events,
        max(session_events) AS max_session_events
 FROM per_session GROUP BY user_id ORDER BY user_id
 """

@@ -40,15 +40,17 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(_dec("l_extendedprice") * _dec("l_discount")).alias("revenue"),
+            F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 4)
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
 
 
 Q6_SQL = """
-SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4))
-           * CAST(l_discount AS DECIMAL(18,4))) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           * CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -117,7 +119,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         idle.groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("idle_customers"),
-            F.sum(_dec("c_acctbal")).alias("idle_balance"),
+            F.round(F.sum(_dec("c_acctbal")), 4).cast("double").alias("idle_balance"),
         )
         .orderBy("c_mktsegment")
     )
@@ -125,7 +127,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NO_ORDERS_SQL = f"""
 SELECT c_mktsegment, count(*) AS idle_customers,
-       sum(CAST(c_acctbal AS DECIMAL(18,4))) AS idle_balance
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 4) AS DOUBLE) AS idle_balance
 FROM customer c
 WHERE NOT EXISTS (
   SELECT 1 FROM orders o
@@ -149,9 +151,17 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(part, li.l_partkey == part.p_partkey)  # part scales with SF:
     # no broadcast hint — AQE decides at runtime (see test_plans.py)
     return joined.agg(
-        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC)))
+        F.round(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast(DEC)
+                )
+            ),
+            4,
+        )
+        .cast("double")
         .alias("promo_revenue"),
-        F.sum(rev).alias("total_revenue"),
+        F.round(F.sum(rev), 4).cast("double").alias("total_revenue"),
         (
             F.sum(
                 F.when(F.col("p_type") == "PROMO", rev).otherwise(
@@ -165,12 +175,12 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q14_SQL = """
-SELECT sum(CASE WHEN p_type = 'PROMO'
+SELECT CAST(round(sum(CASE WHEN p_type = 'PROMO'
                 THEN CAST(l_extendedprice AS DECIMAL(18,4))
                      * (1 - CAST(l_discount AS DECIMAL(18,4)))
-                ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo_revenue,
-       sum(CAST(l_extendedprice AS DECIMAL(18,4))
-           * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_revenue,
+                ELSE CAST(0 AS DECIMAL(18,4)) END), 4) AS DOUBLE) AS promo_revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS total_revenue,
        CAST(sum(CASE WHEN p_type = 'PROMO'
                 THEN CAST(l_extendedprice AS DECIMAL(18,4))
                      * (1 - CAST(l_discount AS DECIMAL(18,4)))
@@ -204,9 +214,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_name",
             "o_orderkey",
-            F.to_date("o_orderdate").alias("o_orderdate"),
-            _dec("o_totalprice").alias("total_price"),
-            "total_qty",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            _dec("o_totalprice").cast("double").alias("total_price"),
+            F.col("total_qty").cast("double").alias("total_qty"),
         )
         .orderBy(F.desc("total_price"), "o_orderkey")
         .limit(20)
@@ -219,8 +229,10 @@ WITH big AS (
   FROM lineitem GROUP BY l_orderkey
   HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > {Q18_MIN_QTY}
 )
-SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-       CAST(o_totalprice AS DECIMAL(18,4)) AS total_price, total_qty
+SELECT c_name, o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS total_price,
+       CAST(total_qty AS DOUBLE) AS total_qty
 FROM big
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -241,7 +253,7 @@ def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n_lines"),
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            F.round(F.sum(_dec("l_quantity")), 4).cast("double").alias("sum_qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -257,7 +269,7 @@ ROLLUP_SQL = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        count(*) AS n_lines,
-       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY returnflag, linestatus

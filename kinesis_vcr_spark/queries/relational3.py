@@ -83,15 +83,15 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.sum(_rev()).alias("volume"))
+        .agg(F.round(F.sum(_rev()), 4).cast("double").alias("volume"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
 Q7_SQL = f"""
 SELECT supp_nation, cust_nation, l_year,
-       sum(CAST(l_extendedprice AS DECIMAL(18,4))
-           * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS volume
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS volume
 FROM (
   SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -153,8 +153,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.sum(nation_rev).alias("nation_revenue"),
-            F.sum(_rev()).alias("total_revenue"),
+            F.round(F.sum(nation_rev), 4).cast("double").alias("nation_revenue"),
+            F.round(F.sum(_rev()), 4).cast("double").alias("total_revenue"),
             (
                 F.sum(nation_rev).cast("double")
                 / F.sum(_rev()).cast("double")
@@ -183,9 +183,9 @@ WITH base AS (
       WHERE r_name = '{Q8_REGION}')
 )
 SELECT o_year,
-       sum(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev
-                ELSE CAST(0 AS DECIMAL(18,4)) END) AS nation_revenue,
-       sum(rev) AS total_revenue,
+       CAST(round(sum(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev
+                ELSE CAST(0 AS DECIMAL(18,4)) END), 4) AS DOUBLE) AS nation_revenue,
+       CAST(round(sum(rev), 4) AS DOUBLE) AS total_revenue,
        CAST(sum(CASE WHEN supp_nation = '{Q8_NATION}' THEN rev
                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
          / CAST(sum(rev) AS DOUBLE) AS mkt_share
@@ -225,15 +225,15 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.sum(_rev()).alias("sum_profit"))
+        .agg(F.round(F.sum(_rev()), 4).cast("double").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
 
 Q9_SQL = f"""
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       sum(CAST(l_extendedprice AS DECIMAL(18,4))
-           * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS sum_profit
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN orders   ON l_orderkey = o_orderkey
@@ -267,9 +267,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_rev()).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 4).cast("double").alias("revenue"))
         .select(
-            "c_custkey", "c_name", _dec("c_acctbal").alias("acctbal"),
+            "c_custkey", "c_name",
+            _dec("c_acctbal").cast("double").alias("acctbal"),
             "n_name", "revenue",
         )
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -278,10 +279,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q10_SQL = """
-SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,4)) AS acctbal,
+SELECT c_custkey, c_name,
+       CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS acctbal,
        n_name,
-       sum(CAST(l_extendedprice AS DECIMAL(18,4))
-           * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -327,10 +329,10 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = f"""
 SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
@@ -402,7 +404,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("total_revenue") == F.col("max_revenue"))
     return (
         best.join(supplier, best.l_suppkey == supplier.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            # the max-compare above stays exact decimal; only the OUTPUT
+            # is a rounded double (hash parity with DuckDB's float64)
+            F.round(F.col("total_revenue"), 4).cast("double").alias("total_revenue"),
+        )
         .orderBy("s_suppkey")
     )
 
@@ -417,7 +425,8 @@ WITH revenue AS (
     AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name,
+       CAST(round(total_revenue, 4) AS DOUBLE) AS total_revenue
 FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 ORDER BY s_suppkey
@@ -534,14 +543,14 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.where(branch).agg(
-        F.sum(_rev()).alias("revenue"),
+        F.round(F.sum(_rev()), 4).cast("double").alias("revenue"),
         F.count("*").alias("n_lines"),
     )
 
 
 Q19_SQL = """
-SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4))
-           * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -701,7 +710,7 @@ def q22_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntry"))
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(_dec("c_acctbal")).alias("totacctbal"),
+            F.round(F.sum(_dec("c_acctbal")), 4).cast("double").alias("totacctbal"),
         )
         .orderBy("cntry")
     )
@@ -709,7 +718,7 @@ def q22_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q22_SQL = f"""
 SELECT c_nationkey AS cntry, count(*) AS numcust,
-       sum(CAST(c_acctbal AS DECIMAL(18,4))) AS totacctbal
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 4) AS DOUBLE) AS totacctbal
 FROM customer c
 WHERE CAST(c_acctbal AS DOUBLE) > (
         SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)

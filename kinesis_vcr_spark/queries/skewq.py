@@ -35,14 +35,16 @@ def skew_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_cols={"value_dec": "sum_value"},
         count_alias="n_events",
     )
-    return out.select("event_type", "n_events", "sum_value").orderBy(
-        "event_type"
-    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value"), 4).cast("double").alias("sum_value"),
+    ).orderBy("event_type")
 
 
 SALTED_AGG_SQL = """
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -75,7 +77,7 @@ WITH dim AS (
   FROM events
 )
 SELECT e.event_type, count(*) AS n_rows,
-       sum(d.type_weight) AS sum_weight
+       CAST(sum(d.type_weight) AS BIGINT) AS sum_weight
 FROM events e JOIN dim d USING (event_type)
 GROUP BY e.event_type ORDER BY e.event_type
 """

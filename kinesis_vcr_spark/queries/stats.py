@@ -44,7 +44,7 @@ def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec("value")).alias("sum_value"),
+            F.round(F.sum(_dec("value")), 4).cast("double").alias("sum_value"),
             (F.sum(_dec("value")).cast("double") / F.count("*")).alias(
                 "avg_value"
             ),
@@ -57,7 +57,7 @@ def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENT_STATS_SQL = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(value AS DECIMAL(18,4))) AS sum_value,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value,
        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
          AS avg_value,
        round(quantile_cont(value, 0.5), 6) AS median_value,
@@ -80,7 +80,7 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         # significant digits, where the engines' decimal->double paths
         # diverge by 1 ulp — downcast once to (18,4) on both sides
         .agg(F.count("*").alias("n_lines"),
-             F.sum(rev).cast(DEC).alias("revenue"))
+             F.round(F.sum(rev), 4).cast("double").alias("revenue"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -95,8 +95,8 @@ CUBE_SQL = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        count(*) AS n_lines,
-       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                 * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY returnflag, linestatus
@@ -139,12 +139,12 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 )
 SELECT count(*) AS n_users,
-       sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
-       sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                THEN 1 ELSE 0 END) AS n_clicked_after_view,
-       sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
                  AND t_buy > t_click
-                THEN 1 ELSE 0 END) AS n_purchased_after_click
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click
 FROM per_user
 """
 
@@ -171,7 +171,9 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("dt_ord").rangeBetween(-6, 0)
     return (
         daily.select(
-            "dt", "n_events", F.sum("n_events").over(w).alias("rolling_7d")
+            F.date_format("dt", "yyyy-MM-dd").alias("dt"),
+            "n_events",
+            F.sum("n_events").over(w).alias("rolling_7d"),
         )
         .orderBy("dt")
     )
@@ -183,10 +185,10 @@ WITH daily AS (
          date_diff('day', DATE '{ROLLING_EPOCH}', CAST(ts AS DATE)) AS dt_ord
   FROM events GROUP BY 1, 3
 )
-SELECT dt, n_events,
-       sum(n_events) OVER (ORDER BY dt_ord
+SELECT strftime(dt, '%Y-%m-%d') AS dt, n_events,
+       CAST(sum(n_events) OVER (ORDER BY dt_ord
                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-         AS rolling_7d
+            AS BIGINT) AS rolling_7d
 FROM daily ORDER BY dt
 """
 

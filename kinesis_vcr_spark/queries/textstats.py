@@ -104,7 +104,8 @@ WITH scored AS (
               ELSE 'zh' END AS predicted
   FROM scored
 )
-SELECT lang, predicted, count(*) AS n_docs, sum(h_en) AS total_en_hits
+SELECT lang, predicted, count(*) AS n_docs,
+       CAST(sum(h_en) AS BIGINT) AS total_en_hits
 FROM pred GROUP BY lang, predicted ORDER BY lang, predicted
 """
 
@@ -151,7 +152,8 @@ WITH q AS (
   FROM documents
 )
 SELECT source, count(*) AS n_docs,
-       sum(CASE WHEN q < {QUALITY_THRESHOLD} THEN 1 ELSE 0 END) AS n_low,
+       CAST(sum(CASE WHEN q < {QUALITY_THRESHOLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low,
        min(q) AS min_score, max(q) AS max_score
 FROM q GROUP BY source ORDER BY source
 """

@@ -224,7 +224,8 @@ per_source AS (
   FROM term_tf GROUP BY source
 ),
 n_docs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
-SELECT source, n_docs, n_tokens, vocab, hapax,
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, vocab,
+       CAST(hapax AS BIGINT) AS hapax,
        round(n_tokens * 1.0 / n_docs, 6) AS avg_tokens
 FROM per_source JOIN n_docs USING (source)
 ORDER BY source

@@ -39,7 +39,7 @@ def vcr_estimate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.where((F.col("ts_ns") > START_NS) & (F.col("ts_ns") < END_NS))
         .select(
-            F.to_date("ts").alias("dt"),
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"),
             (F.length(F.base64(F.encode(F.col("props"), "utf-8"))) + 1).alias(
                 "line_bytes"
             ),
@@ -54,9 +54,9 @@ def vcr_estimate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 VCR_ESTIMATE_DAILY_SQL = f"""
-SELECT CAST(ts AS DATE) AS dt,
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt,
        count(*) AS record_count,
-       sum(length(to_base64(props::BLOB)) + 1) AS archive_bytes
+       CAST(sum(length(to_base64(props::BLOB)) + 1) AS BIGINT) AS archive_bytes
 FROM events
 WHERE ts > TIMESTAMP '{RANGE_START}' AND ts < TIMESTAMP '{RANGE_END}'
 GROUP BY dt
@@ -128,7 +128,7 @@ WITH numbered AS (
 )
 SELECT shard, CAST(floor((rn - 1) / 500) AS BIGINT) AS batch_index,
        count(*) AS record_count,
-       sum(payload_bytes) AS batch_bytes,
+       CAST(sum(payload_bytes) AS BIGINT) AS batch_bytes,
        min(event_id) AS first_seq, max(event_id) AS last_seq
 FROM numbered
 GROUP BY shard, batch_index

@@ -102,9 +102,9 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_orders"),
-            F.min("price").alias("min_price"),
-            F.max("price").alias("max_price"),
-            F.sum("price").alias("sum_price"),
+            F.min("price").cast("double").alias("min_price"),
+            F.max("price").cast("double").alias("max_price"),
+            F.round(F.sum("price"), 4).cast("double").alias("sum_price"),
         )
         .orderBy("decile")
     )
@@ -117,8 +117,9 @@ WITH ranked AS (
   FROM orders
 )
 SELECT decile, count(*) AS n_orders,
-       min(price) AS min_price, max(price) AS max_price,
-       sum(price) AS sum_price
+       CAST(min(price) AS DOUBLE) AS min_price,
+       CAST(max(price) AS DOUBLE) AS max_price,
+       CAST(round(sum(price), 4) AS DOUBLE) AS sum_price
 FROM ranked GROUP BY decile ORDER BY decile
 """
 
@@ -220,7 +221,7 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.to_date("ts").alias("dt"), "event_type"
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"), "event_type"
         )
         .agg(
             F.countDistinct("user_id").alias("n_users"),
@@ -231,7 +232,7 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DISTINCT_SQL = """
-SELECT CAST(ts AS DATE) AS dt, event_type,
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS dt, event_type,
        count(DISTINCT user_id) AS n_users, count(*) AS n_events
 FROM events GROUP BY 1, 2 ORDER BY dt, event_type
 """

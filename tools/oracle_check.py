@@ -25,26 +25,34 @@ TABLES = (
 
 
 def _canon(v):
-    """Canonicalize a cell: numbers → repr of float (16 sig digits),
-    dates/timestamps → ISO instant, else str."""
+    """STRICT canonicalization mirroring the driver: raw string forms,
+    NO numeric coercion. A Spark Decimal('1.5000') and a DuckDB float64
+    1.5 must NOT compare equal — the driver hashes them differently
+    (VERDICT r02 item 2: 29 queries shipped hash-blind because the old
+    harness passed everything through repr(float(v)))."""
     import datetime
     import decimal
 
-    if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+    import numpy as np
+
+    if v is None or v is pd.NaT:
         return None
-    if isinstance(v, (bool,)):
-        return str(v)
-    if isinstance(v, (int, float, decimal.Decimal)) or hasattr(v, "item"):
-        try:
-            return repr(float(v))
-        except (TypeError, ValueError):
-            pass
+    if isinstance(v, (float, np.floating)):
+        if pd.isna(v):
+            return None
+        return repr(float(v))
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        return str(v)  # preserves scale: '1.5000' != '1.5'
     if isinstance(v, pd.Timestamp):
         v = v.to_pydatetime()
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
-        return datetime.datetime(v.year, v.month, v.day).isoformat()
+        return v.isoformat()  # a date is NOT a midnight timestamp
     return str(v)
 
 
