@@ -203,6 +203,57 @@ ORDER BY id_a, id_b
 """
 
 
+# --- recall proof: planted identical twins through the SAME LSH operator ---
+
+PLANT_OFFSET = 1_000_000
+PLANT_MOD = 10
+
+
+def dedup_embedding_cosine_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall proof for the hyperplane-LSH path: every 10th vector gets
+    an identical twin at ``vec_id + 1e6``, and the SAME LSH operator
+    (0.95 threshold) must recover exactly those 50 pairs. Identical
+    vectors share every band signature, so candidate recall is 1.0 by
+    construction — this row proves the operator FINDS true positives,
+    complementing ``dedup_embedding_cosine`` which proves it plants no
+    false ones (the raw fixture tops out at cosine ≈ 0.51). Output is
+    id pairs only (no float column → hash-stable)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    twins = emb.where(F.col("vec_id") % PLANT_MOD == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(PLANT_OFFSET)
+    )
+    corpus = emb.unionByName(twins)
+    pairs = near_dup_pairs_embedding(
+        corpus, "vec_id", "embedding", threshold=COS_THRESHOLD
+    )
+    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+EMB_PLANTED_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id, embedding
+  FROM embeddings WHERE vec_id % {PLANT_MOD} = 0
+), v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM corpus
+), n AS (
+  SELECT vec_id, e,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+), u AS (
+  SELECT vec_id, list_transform(e, x -> x / nrm) AS un FROM n
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_reduce(list_transform(range(1, 65),
+          i -> a.un[i] * b.un[i]), (x, y) -> x + y) >= {COS_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
 register(QuerySpec("dedup_exact_events", dedup_exact_events, DEDUP_EXACT_SQL,
                    "exact dedup: deterministic winner per duplicate payload"))
 register(QuerySpec("dedup_near_minhash", dedup_near_minhash, MINHASH_SQL,
@@ -213,6 +264,9 @@ register(QuerySpec("dedup_near_simhash", dedup_near_simhash, None,
                    "SimHash pigeonhole-blocked near-dup pairs (approximate)"))
 register(QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, EMB_COS_SQL,
                    "embedding-cosine near-dup pairs via hyperplane LSH"))
+register(QuerySpec("dedup_embedding_cosine_planted",
+                   dedup_embedding_cosine_planted, EMB_PLANTED_SQL,
+                   "LSH recall proof: planted identical twins recovered"))
 
 
 # ---------------------------------------------------------------------------
