@@ -54,12 +54,22 @@ def asof_join(
     # running last() sees it (exact matches allowed). For forward as-of
     # the scan runs in descending time order, so "last seen" is the
     # nearest FOLLOWING right row.
+    # All carried values travel in ONE struct so the running last() can
+    # only ever pick up a whole right row. Filling each column with its
+    # own last(col, ignorenulls=True) would backfill a NULL field of the
+    # matched row from an OLDER right row — mixing columns from
+    # different rows, diverging from pd.merge_asof (ADVICE r02).
     r = right.select(
         F.col(on).alias("__key"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.col(right_ts).alias("__matched_ts"),
-        *[F.col(c).alias(a) for c, a in zip(right_value_cols, value_aliases)],
+        F.struct(
+            F.col(right_ts).alias("__matched_ts"),
+            *[
+                F.col(c).alias(a)
+                for c, a in zip(right_value_cols, value_aliases)
+            ],
+        ).alias("__rv"),
     )
     l = left.select(
         F.col(on).alias("__key"),
@@ -79,23 +89,24 @@ def asof_join(
         .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = ["__matched_ts", *value_aliases]
     filled = unioned.select(
         "__side",
         "__ts",
         "__left",
-        *[F.last(a, ignorenulls=True).over(w).alias(a) for a in carried],
+        F.last("__rv", ignorenulls=True).over(w).alias("__rv"),
     )
     out = filled.where(F.col("__side") == 1)
     if tolerance is not None:
+        # __matched_ts comes from the same struct as the values, so the
+        # tolerance check and the carried columns agree on the row
         within = (
-            F.abs(F.col("__ts") - F.col("__matched_ts")) <= F.lit(tolerance)
+            F.abs(F.col("__ts") - F.col("__rv.__matched_ts"))
+            <= F.lit(tolerance)
         )
-        out = out.select(
-            "__left",
-            *[
-                F.when(within, F.col(a)).otherwise(F.lit(None)).alias(a)
-                for a in value_aliases
-            ],
+        out = out.withColumn(
+            "__rv", F.when(within, F.col("__rv")).otherwise(F.lit(None))
         )
-    return out.select("__left.*", *value_aliases)
+    return out.select(
+        "__left.*",
+        *[F.col(f"__rv.{a}").alias(a) for a in value_aliases],
+    )

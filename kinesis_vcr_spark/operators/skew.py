@@ -43,6 +43,14 @@ def salted_join(
     """
     if salt_factor < 1:
         raise ValueError("salt_factor must be >= 1")
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        # right/full outer would emit each UNMATCHED small-side row once
+        # per salt replica (salt_factor duplicate rows) — the salted
+        # plan is only result-equivalent when unmatched small-side rows
+        # are dropped (inner) or irrelevant (left) (ADVICE r02)
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}"
+        )
     salt = F.pmod(
         F.xxhash64(F.col(on), F.monotonically_increasing_id()),
         F.lit(salt_factor),

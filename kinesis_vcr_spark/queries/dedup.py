@@ -36,7 +36,10 @@ def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = dedup_exact(events, ["props"], "event_id")
     counts = events.groupBy("props").agg(F.count("*").alias("dup_count"))
     return (
-        kept.join(counts, "props")
+        # eqNullSafe: a NULL payload group must survive the re-join (a
+        # plain equi-join would drop it while the oracle's GROUP BY
+        # keeps it — ADVICE r02)
+        kept.join(counts, kept.props.eqNullSafe(counts.props))
         .select("event_id", "dup_count")
         .orderBy("event_id")
     )
@@ -79,8 +82,11 @@ WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), sh AS (
   SELECT doc_id,
+         -- list_slice clamps at the array end, so docs with < 3 tokens
+         -- yield one whole-text shingle, mirroring word_shingles (a
+         -- t[i+2] index past the end would yield NULL shingles instead)
          list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles
   FROM toks
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -304,8 +310,11 @@ WITH RECURSIVE toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ), sh AS (
   SELECT doc_id,
+         -- list_slice clamps at the array end, so docs with < 3 tokens
+         -- yield one whole-text shingle, mirroring word_shingles (a
+         -- t[i+2] index past the end would yield NULL shingles instead)
          list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles
   FROM toks
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b

@@ -181,7 +181,9 @@ def archive_listing(
         fs = path.getFileSystem(conf)
         if not fs.exists(path):
             return day_rows
-        it = fs.listFiles(path, False)
+        # recursive: the manifest writer nests per-shard dirs
+        # (dt=…/shard=<id>/first-last) under each day partition
+        it = fs.listFiles(path, True)
         while it.hasNext():
             st = it.next()
             name = st.getPath().getName()

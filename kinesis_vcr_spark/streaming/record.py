@@ -92,33 +92,46 @@ def record_stream(
 
 def _archive_file_writer(archive_path: str):
     """Per-partition executor function: write one ``{firstSeq}-{lastSeq}``
-    file per (partition, dt) and yield its manifest row.
+    file per (shard_id, dt) group and yield its manifest row.
 
     This is the exact-naming writer of InjectableS3Emitter.java:37-42
     (SURVEY.md §7.4 decision 1): buffer order within a shard becomes
-    sequence order within the file. Writes with plain file IO — local
-    paths / NFS here; an S3 deployment swaps in a boto3 put (same shape
-    as the Kinesis sink factory).
+    sequence order within the file. Grouping is by (shard_id, dt), NOT
+    by the shuffle partition: two shards hashed into the same partition
+    must land in separate files, and the shard lives in the path
+    (``dt=…/shard=<id>/first-last``) because Kinesis sequence numbers
+    are unique only PER SHARD — a shard-less ``{first}-{last}`` name
+    could collide across shards and silently overwrite (ADVICE r02).
+    Writes with plain file IO — local paths / NFS here; an S3 deployment
+    swaps in a boto3 put (same shape as the Kinesis sink factory).
     """
 
     def write_rows(rows):
         import os
+        import re
         from collections import defaultdict
 
-        by_dt: dict = defaultdict(list)
+        groups: dict = defaultdict(list)
         for r in rows:
-            by_dt[str(r["dt"])].append((r["sequence_number"], r["value"]))
-        for dt, items in by_dt.items():
+            groups[(r["shard_id"], str(r["dt"]))].append(
+                (r["sequence_number"], r["value"])
+            )
+        for (shard, dt), items in groups.items():
             # decimal-string sequence numbers → numeric order
             items.sort(key=lambda t: (len(t[0]), t[0]))
             first, last = items[0][0], items[-1][0]
-            part_dir = os.path.join(archive_path, f"dt={dt}")
+            # keep the dir name visible to Spark's file index (no leading
+            # '_'/'.') while staying filesystem-safe
+            safe_shard = re.sub(r"[^A-Za-z0-9-]", "-", str(shard))
+            part_dir = os.path.join(
+                archive_path, f"dt={dt}", f"shard={safe_shard}"
+            )
             os.makedirs(part_dir, exist_ok=True)
             path = os.path.join(part_dir, f"{first}-{last}")
             payload = ("\n".join(v for _, v in items) + "\n").encode()
             with open(path, "wb") as fh:  # idempotent: same name ⇒ same bytes
                 fh.write(payload)
-            yield (dt, path, first, last, len(items), len(payload))
+            yield (shard, dt, path, first, last, len(items), len(payload))
 
     return write_rows
 
@@ -129,11 +142,14 @@ def write_archive_with_manifest(
     """One micro-batch (or batch backfill) → seq-range-named archive
     files + appended MANIFEST_SCHEMA rows.
 
-    Partitioned by ``shard_id`` so each file holds one shard's
-    contiguous ``[firstSeq, lastSeq]`` range, like the reference's
-    per-shard KCL buffers (SURVEY.md §1.4). The manifest lands as
-    parquet; batch replays can re-run, so manifest readers dedup by
-    ``file_path`` (see :func:`read_manifest`).
+    Each file holds ONE shard's contiguous ``[firstSeq, lastSeq]`` range
+    under ``dt=…/shard=<id>/`` — the writer groups by (shard_id, dt)
+    like the reference's per-shard KCL buffers (SURVEY.md §1.4). The
+    manifest is written AS A DISTRIBUTED DataFrame straight from the
+    writer's RDD — at 10^6 archive files a ``collect()`` of per-file
+    rows would spike driver memory for no reason (VERDICT r02 item 5).
+    Batch replays can re-run, so manifest readers dedup by ``file_path``
+    (see :func:`read_manifest`).
     """
     rows = records.select(
         F.base64(F.col("data")).alias("value"),
@@ -141,20 +157,15 @@ def write_archive_with_manifest(
         F.date_format(F.current_timestamp(), "yyyy-MM-dd").alias("dt"),
         "shard_id",
     ).repartition(F.col("shard_id"))
-    manifest_rows = rows.rdd.mapPartitions(
-        _archive_file_writer(archive_path)
-    ).collect()
     spark = records.sparkSession
+    manifest_df = spark.createDataFrame(
+        rows.rdd.mapPartitions(_archive_file_writer(archive_path)),
+        "shard_id string, dt string, file_path string, first_seq string,"
+        " last_seq string, record_count long, byte_size long",
+    )
     (
-        spark.createDataFrame(
-            [
-                (r[0], r[1], r[2], r[3], r[4], r[5])
-                for r in manifest_rows
-            ],
-            "dt string, file_path string, first_seq string, last_seq string,"
-            " record_count long, byte_size long",
-        )
-        .select(
+        manifest_df.select(
+            "shard_id",
             F.col("dt").cast("date").alias("dt"),
             "file_path",
             "first_seq",

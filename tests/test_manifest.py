@@ -34,7 +34,12 @@ def test_batch_write_with_manifest(spark, tmp_path):
     write_archive_with_manifest(records, archive, manifest)
 
     mrows = read_manifest(spark, manifest).collect()
-    # one file per (shard partition, dt); 3 shards → 3 files today
+    # one file per (shard_id, dt) GROUP — not per shuffle partition: two
+    # shards hashing together must still get separate files, and the
+    # shard lives in the path because seq numbers are only unique per
+    # shard (ADVICE r02); 3 shards → 3 files today
+    assert len(mrows) == 3
+    assert {r["shard_id"] for r in mrows} == {f"shard-{i}" for i in range(3)}
     assert sum(r["record_count"] for r in mrows) == 20
     for r in mrows:
         name = os.path.basename(r["file_path"])
@@ -42,6 +47,8 @@ def test_batch_write_with_manifest(spark, tmp_path):
         assert (first, last) == (r["first_seq"], r["last_seq"])
         assert first <= last
         assert os.path.getsize(r["file_path"]) == r["byte_size"]
+        # shard dir in the path prevents cross-shard name collisions
+        assert f"shard={r['shard_id']}" in r["file_path"]
 
     # the archive is readable through the standard read path and the
     # manifest's counts reconcile with it
@@ -51,6 +58,37 @@ def test_batch_write_with_manifest(spark, tmp_path):
         mtime_filter=False,
     )
     assert sorted(r["data"] for r in got.collect()) == sorted(payloads)
+
+
+def test_manifest_no_cross_shard_collision(spark, tmp_path):
+    """Two shards with the SAME sequence range on the same day: the
+    shard-less '{first}-{last}' name would collide and the second write
+    silently overwrote the first (ADVICE r02 — data loss); the per-shard
+    dir keeps both."""
+    base = datetime(2024, 3, 5, 10, 0, 0)
+    rows = [
+        (b"payload-A", "001", "pk-a", "shard-A", base),
+        (b"payload-B", "001", "pk-b", "shard-B", base),
+    ]
+    records = spark.createDataFrame(rows, RECORD_SCHEMA)
+    archive = str(tmp_path / "arch")
+    manifest = str(tmp_path / "manifest")
+    write_archive_with_manifest(records, archive, manifest)
+
+    mrows = read_manifest(spark, manifest).collect()
+    assert len(mrows) == 2
+    assert len({r["file_path"] for r in mrows}) == 2
+    for r in mrows:
+        assert (r["first_seq"], r["last_seq"]) == ("001", "001")
+
+    now = datetime.utcnow()
+    got = read_archive(
+        spark, archive, now - timedelta(days=1), now + timedelta(days=1),
+        mtime_filter=False,
+    )
+    assert sorted(r["data"] for r in got.collect()) == [
+        b"payload-A", b"payload-B",
+    ]
 
 
 def test_streaming_record_with_manifest(spark, tmp_path):
@@ -69,7 +107,7 @@ def test_streaming_record_with_manifest(spark, tmp_path):
 
     files = [
         f
-        for f in glob.glob(f"{cfg.archive_path}/dt=*/*")
+        for f in glob.glob(f"{cfg.archive_path}/dt=*/shard=*/*")
         if not os.path.basename(f).startswith((".", "_"))
     ]
     assert files, "no archive files written"
