@@ -35,40 +35,52 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Labels every node reachable through ``edges`` with the MIN node
     id of its component (deterministic root). Returns ``(node, component)``
     for nodes that appear in at least one edge.
 
+    ``checkpoint_dir``: when set, per-round lineage truncation uses
+    RELIABLE ``checkpoint()`` into that directory instead of
+    executor-memory-backed ``localCheckpoint()``. localCheckpoint blocks
+    are lost with their executor — on a 100 TB multi-hour run one
+    executor loss would kill the whole job (VERDICT r02); the durable
+    path trades per-round write IO for restartable rounds. Local/test
+    runs keep the default (fast, single-JVM, loss means re-run anyway).
+
     Raises if not converged within ``max_iter`` rounds (a near-dup
     graph needing 25 rounds indicates a pathological chain — see the
     star-contraction note in the module docstring).
     """
+
+    def _persist(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint()
+
     # materialize the edge list ONCE before the symmetrize-union: the
     # union references `edges` twice, and an expensive upstream (e.g. an
     # LSH pair pipeline) would otherwise execute per branch — and again
     # every round
-    edges = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint()
+    edges = _persist(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     und = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    labels = (
+    labels = _persist(
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         msgs = und.join(
             labels, und["a"] == labels["node"]
         ).select(F.col("b").alias("node"), "component")
-        new_labels = (
+        new_labels = _persist(
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

@@ -70,3 +70,21 @@ def test_random_graphs_match_union_find(spark):
         expected = union_find_components(pairs)
         got = _cc(spark, pairs)
         assert got == expected, f"trial {trial}: {sorted(pairs)}"
+
+
+def test_durable_checkpoint_path(spark, tmp_path):
+    """checkpoint_dir switches per-round truncation to reliable
+    checkpoint() files (executor-loss-safe at cluster scale); results
+    must be identical to the localCheckpoint path."""
+    import os
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "src long, dst long"
+    )
+    rows = connected_components(df, checkpoint_dir=ckpt).collect()
+    assert {r["node"]: r["component"] for r in rows} == {
+        1: 1, 2: 1, 3: 1, 5: 5, 6: 5,
+    }
+    # reliable checkpoint files actually landed in the directory
+    assert any(os.scandir(ckpt))

@@ -97,3 +97,31 @@ def test_embedding_near_dup(spark):
     ).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert got == {(0, 1)}
+
+
+def test_band_member_cap_bounds_mega_band(spark):
+    """A planted mega-band (many identical docs) must not go quadratic:
+    with the cap below the clique size every band is dropped and no
+    candidates survive; uncapped, the same corpus yields all C(n,2)
+    pairs. (At 100 TB a boilerplate band with 10^6 members would emit
+    5*10^11 candidate pairs from one bucket.)"""
+    rows = [Row(doc_id=i, text=BASE) for i in range(20)]
+    docs = spark.createDataFrame(rows)
+    capped = near_dup_pairs_minhash(
+        docs, "doc_id", "text", threshold=0.9, band_member_cap=10
+    )
+    assert capped.count() == 0
+    uncapped = near_dup_pairs_minhash(
+        docs, "doc_id", "text", threshold=0.9, band_member_cap=None
+    )
+    assert uncapped.count() == 20 * 19 // 2
+
+
+def test_band_member_cap_keeps_small_groups(spark):
+    """The cap must not disturb ordinary near-dup groups below it."""
+    pairs = near_dup_pairs_minhash(
+        _docs(spark), "doc_id", "text", threshold=0.6, band_member_cap=1000
+    ).select("id_a", "id_b").collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in got  # exact dup
+    assert (0, 1) in got  # near dup
