@@ -90,7 +90,7 @@ def record_stream(
     return writer.start()
 
 
-def _archive_file_writer(archive_path: str):
+def _archive_file_writer(archive_path: str, max_file_bytes: int | None = None):
     """Per-partition executor function: write one ``{firstSeq}-{lastSeq}``
     file per (shard_id, dt) group and yield its manifest row.
 
@@ -102,6 +102,13 @@ def _archive_file_writer(archive_path: str):
     (``dt=…/shard=<id>/first-last``) because Kinesis sequence numbers
     are unique only PER SHARD — a shard-less ``{first}-{last}`` name
     could collide across shards and silently overwrite (ADVICE r02).
+    ``max_file_bytes`` is B1's byte bound (100 MB default in the
+    reference, VcrConfiguration.java:13): a shard's batch is split into
+    sequence-contiguous files of at most that payload size — completing
+    the size half of the reference's size-OR-time flush (the time half
+    is the streaming trigger). A single record larger than the bound
+    still gets its own (oversized) file — the record side never drops
+    data, unlike the replay batcher's documented 1 MB drop rule.
     Writes with plain file IO — local paths / NFS here; an S3 deployment
     swaps in a boto3 put (same shape as the Kinesis sink factory).
     """
@@ -119,7 +126,6 @@ def _archive_file_writer(archive_path: str):
         for (shard, dt), items in groups.items():
             # decimal-string sequence numbers → numeric order
             items.sort(key=lambda t: (len(t[0]), t[0]))
-            first, last = items[0][0], items[-1][0]
             # keep the dir name visible to Spark's file index (no leading
             # '_'/'.') while staying filesystem-safe
             safe_shard = re.sub(r"[^A-Za-z0-9-]", "-", str(shard))
@@ -127,17 +133,36 @@ def _archive_file_writer(archive_path: str):
                 archive_path, f"dt={dt}", f"shard={safe_shard}"
             )
             os.makedirs(part_dir, exist_ok=True)
-            path = os.path.join(part_dir, f"{first}-{last}")
-            payload = ("\n".join(v for _, v in items) + "\n").encode()
-            with open(path, "wb") as fh:  # idempotent: same name ⇒ same bytes
-                fh.write(payload)
-            yield (shard, dt, path, first, last, len(items), len(payload))
+            # greedy sequence-contiguous chunks of ≤ max_file_bytes
+            chunks: list[list] = [[]]
+            chunk_bytes = 0
+            for seq, val in items:
+                line_len = len(val) + 1  # newline per line
+                if (
+                    max_file_bytes is not None
+                    and chunks[-1]
+                    and chunk_bytes + line_len > max_file_bytes
+                ):
+                    chunks.append([])
+                    chunk_bytes = 0
+                chunks[-1].append((seq, val))
+                chunk_bytes += line_len
+            for chunk in chunks:
+                first, last = chunk[0][0], chunk[-1][0]
+                path = os.path.join(part_dir, f"{first}-{last}")
+                payload = ("\n".join(v for _, v in chunk) + "\n").encode()
+                with open(path, "wb") as fh:  # idempotent: same name ⇒ same bytes
+                    fh.write(payload)
+                yield (shard, dt, path, first, last, len(chunk), len(payload))
 
     return write_rows
 
 
 def write_archive_with_manifest(
-    records: DataFrame, archive_path: str, manifest_path: str
+    records: DataFrame,
+    archive_path: str,
+    manifest_path: str,
+    max_file_bytes: int | None = None,
 ) -> None:
     """One micro-batch (or batch backfill) → seq-range-named archive
     files + appended MANIFEST_SCHEMA rows.
@@ -159,7 +184,9 @@ def write_archive_with_manifest(
     ).repartition(F.col("shard_id"))
     spark = records.sparkSession
     manifest_df = spark.createDataFrame(
-        rows.rdd.mapPartitions(_archive_file_writer(archive_path)),
+        rows.rdd.mapPartitions(
+            _archive_file_writer(archive_path, max_file_bytes)
+        ),
         "shard_id string, dt string, file_path string, first_seq string,"
         " last_seq string, record_count long, byte_size long",
     )
@@ -194,8 +221,13 @@ def record_stream_with_manifest(
         trigger_seconds = config.buffer_time_millis / 1000.0
 
     def handle_batch(batch_df: DataFrame, _epoch_id: int) -> None:
+        # B1 complete: byte bound from config (100 MB reference default)
+        # splits files inside the batch; the trigger is the time bound
         write_archive_with_manifest(
-            batch_df, config.archive_path, manifest_path
+            batch_df,
+            config.archive_path,
+            manifest_path,
+            max_file_bytes=config.buffer_size_bytes,
         )
 
     writer = (
@@ -220,6 +252,45 @@ def read_manifest(spark, manifest_path: str) -> DataFrame:
     )
 
 
+KINESIS_SOURCE_FORMAT = "aws-kinesis"
+_VALID_STARTING_POSITIONS = ("LATEST", "TRIM_HORIZON", "AT_TIMESTAMP")
+
+
+def kinesis_reader_options(
+    stream_name: str, region: str, **options
+) -> dict[str, str]:
+    """The exact DSv2 reader options for the Kinesis source (S1) — a
+    pure function so the contract is testable without a live stream or
+    the connector jar (tests/test_record_replay.py pins it).
+
+    Mirrors the reference's consumer configuration
+    (KinesisRecorder.java:26-35): stream name + region; the KCL DynamoDB
+    lease table (:27-28) is replaced by the query's checkpoint, and
+    ``startingPosition`` defaults to LATEST like a fresh KCL worker with
+    no prior lease.
+    """
+    if not stream_name:
+        raise ValueError("stream_name is required")
+    if not region:
+        raise ValueError("region is required")
+    starting = str(options.pop("startingPosition", "LATEST"))
+    if (
+        starting.upper() not in _VALID_STARTING_POSITIONS
+        and not starting.upper().startswith("AT_TIMESTAMP")
+    ):
+        raise ValueError(
+            f"startingPosition must be one of {_VALID_STARTING_POSITIONS}, "
+            f"got {starting!r}"
+        )
+    opts = {
+        "kinesis.streamName": stream_name,
+        "kinesis.region": region,
+        "kinesis.startingposition": starting,
+    }
+    opts.update({str(k): str(v) for k, v in options.items()})
+    return opts
+
+
 def read_kinesis_stream(spark, stream_name: str, region: str, **options) -> DataFrame:
     """Production source: Kinesis DSv2 connector (S1).
 
@@ -228,14 +299,10 @@ def read_kinesis_stream(spark, stream_name: str, region: str, **options) -> Data
     is replaced by the query's checkpoint. Import/availability gated —
     raises with guidance when the connector isn't present.
     """
+    opts = kinesis_reader_options(stream_name, region, **options)
     try:
-        reader = (
-            spark.readStream.format("aws-kinesis")
-            .option("kinesis.streamName", stream_name)
-            .option("kinesis.region", region)
-            .option("kinesis.startingposition", options.pop("startingPosition", "LATEST"))
-        )
-        for k, v in options.items():
+        reader = spark.readStream.format(KINESIS_SOURCE_FORMAT)
+        for k, v in opts.items():
             reader = reader.option(k, v)
         return reader.load()
     except Exception as exc:  # connector jar missing in this environment

@@ -121,3 +121,38 @@ def test_streaming_record_with_manifest(spark, tmp_path):
     assert {os.path.basename(r["file_path"]) for r in mdf.collect()} == {
         os.path.basename(f) for f in files
     }
+
+
+def test_byte_bound_splits_files(spark, tmp_path):
+    """B1's size bound (VcrConfiguration.java:13): one shard's batch is
+    split into sequence-contiguous files each at most max_file_bytes;
+    content round-trips unchanged and ranges don't overlap."""
+    base = datetime(2024, 3, 5, 10, 0, 0)
+    payloads = [f"record-{i:04d}".encode() for i in range(10)]
+    rows = [
+        (p, str(i).zfill(4), f"pk-{i}", "shard-0", base)
+        for i, p in enumerate(payloads)
+    ]
+    records = spark.createDataFrame(rows, RECORD_SCHEMA)
+    archive = str(tmp_path / "arch")
+    manifest = str(tmp_path / "manifest")
+    # each base64 line is 17 bytes (16 chars + newline) -> cap of 40
+    # bytes fits 2 lines per file -> 5 files
+    write_archive_with_manifest(records, archive, manifest, max_file_bytes=40)
+
+    mrows = sorted(
+        read_manifest(spark, manifest).collect(), key=lambda r: r["first_seq"]
+    )
+    assert len(mrows) == 5
+    assert all(r["byte_size"] <= 40 for r in mrows)
+    assert all(r["record_count"] == 2 for r in mrows)
+    # contiguous, non-overlapping sequence ranges
+    for prev, nxt in zip(mrows, mrows[1:]):
+        assert prev["last_seq"] < nxt["first_seq"]
+
+    now = datetime.utcnow()
+    got = read_archive(
+        spark, archive, now - timedelta(days=1), now + timedelta(days=1),
+        mtime_filter=False,
+    )
+    assert sorted(r["data"] for r in got.collect()) == sorted(payloads)

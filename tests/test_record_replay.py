@@ -126,3 +126,29 @@ def test_replay_foreachpartition_writer(spark, tmp_path):
     )
     total = sum(int(open(f).read()) for f in out_dir.glob("*.cnt"))
     assert total == 25
+
+
+def test_kinesis_reader_options_contract():
+    """S1 contract pinned without a live source (VERDICT r02 item 8):
+    exact option keys/values the DSv2 reader will receive."""
+    import pytest
+
+    from kinesis_vcr_spark.streaming.record import kinesis_reader_options
+
+    assert kinesis_reader_options("my-stream", "us-east-1") == {
+        "kinesis.streamName": "my-stream",
+        "kinesis.region": "us-east-1",
+        "kinesis.startingposition": "LATEST",
+    }
+    # startingPosition override + extra passthrough options stringify
+    got = kinesis_reader_options(
+        "s", "eu-west-1", startingPosition="TRIM_HORIZON", maxFetchRate=2,
+    )
+    assert got["kinesis.startingposition"] == "TRIM_HORIZON"
+    assert got["maxFetchRate"] == "2"
+    with pytest.raises(ValueError, match="stream_name"):
+        kinesis_reader_options("", "us-east-1")
+    with pytest.raises(ValueError, match="region"):
+        kinesis_reader_options("s", "")
+    with pytest.raises(ValueError, match="startingPosition"):
+        kinesis_reader_options("s", "r", startingPosition="BOGUS")
