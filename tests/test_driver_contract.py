@@ -32,3 +32,35 @@ def test_entry_runs(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "sum_qty" in df.columns
+
+
+def test_driver_window_covers_every_family():
+    """The driver correctness-checks exactly the FIRST 50 queries in
+    registration order (VERDICT r02: the 12 registered last got no row).
+    Registration order is load-bearing: every query family must appear
+    inside the window; only relational3's near-duplicate TPC-H variants
+    may overflow it."""
+    names = list(entrymod.queries())
+    window = set(names[:50])
+    required = {
+        # reference core (the family that had zero driver rows in r02)
+        "vcr_estimate_daily", "vcr_replay_roundtrip", "vcr_batch_plan",
+        # one representative per engine-added family
+        "user_event_gaps", "order_value_deciles", "distinct_users_daily",
+        "tfidf_top_terms", "bm25_search", "vocab_stats",
+        "text_token_stats", "text_langid", "text_quality",
+        "text_fingerprint",
+        "dedup_exact_events", "dedup_near_minhash",
+        "dedup_embedding_cosine_planted", "dedup_components",
+        "similarity_cosine_topk", "hll_distinct_users",
+        "skew_salted_event_totals", "event_value_stats",
+        "multimodal_payload_stats",
+        "q1_pricing_summary", "purchase_asof_click",
+    }
+    missing = required - window
+    assert not missing, f"queries pushed outside the driver window: {missing}"
+    overflow = set(names[50:])
+    assert all(n.startswith("q") for n in overflow), (
+        "only relational3 TPC-H variants may overflow the 50-query "
+        f"window, got: {sorted(n for n in overflow if not n.startswith('q'))}"
+    )
