@@ -7,11 +7,12 @@ typed metadata (the reference is "completely agnostic to the format of
 records on the wire", README.md "Format") — so ingest/shuffle/dedup all
 work on media without decoding.
 
-Decoding is the only step that needs Python libraries (PIL/ffmpeg are
-NOT in this environment): the decoders below are STUBS behind a
-registry; ``FakeDecoder`` is a deterministic stand-in that makes the
-Spark-side plumbing — schema, ``mapInPandas`` batching, Arrow transfer,
-partition-preserving shape — real and testable.
+Decoding: uncompressed container formats are decoded FOR REAL with
+numpy + the stdlib (PPM and uncompressed BMP images, PCM WAV audio —
+no PIL/ffmpeg needed); compressed formats (PNG/JPEG/MP3/H.264) raise
+``NotImplementedError`` slots where PIL/ffmpeg plug in. ``fake_decode``
+remains the deterministic stand-in used by the oracle-checked driver
+queries, because its arithmetic is reproducible in SQL.
 
 Scale posture: feature extraction is ``mapInPandas`` (one Arrow batch at
 a time, bounded memory via ``maxRecordsPerBatch``), a NARROW transform:
@@ -60,22 +61,110 @@ FEATURE_SCHEMA = StructType(
 Decoder = Callable[[str, bytes], dict[str, Any]]
 
 
-def decode_image(payload: bytes) -> dict[str, Any]:
-    """Real image decode — requires PIL, not present in this container.
+def _ppm_parse(payload: bytes):
+    """P6 PPM → (width, height, ndarray[h, w, 3] uint8)."""
+    import re
 
-    Cited behaviorally from the brief (decode / resize / frame-sample);
-    wire a real implementation by registering it as the decoder."""
+    import numpy as np
+
+    m = re.match(
+        rb"P6[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*(\d+)[ \t\r\n]+(\d+)"
+        rb"[ \t\r\n]+(\d+)[ \t\r\n]",
+        payload,
+    )
+    if not m:
+        raise ValueError("malformed PPM (P6) header")
+    w, h, maxval = (int(g) for g in m.groups())
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit-per-channel PPM supported")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=m.end())
+    if px.size != w * h * 3:
+        raise ValueError("PPM pixel data truncated")
+    return w, h, px.reshape(h, w, 3)
+
+
+def _bmp_parse(payload: bytes):
+    """Uncompressed 24/32-bit BI_RGB BMP → (width, height, ndarray of
+    pixel bytes with row padding stripped)."""
+    import struct
+
+    import numpy as np
+
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width = struct.unpack_from("<i", payload, 18)[0]
+    height_raw = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            "only uncompressed (BI_RGB) 24/32-bit BMP supported"
+        )
+    height = abs(height_raw)
+    row_bytes = width * (bpp // 8)
+    stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_off
+    ).reshape(height, stride)[:, :row_bytes]
+    return width, height, arr
+
+
+def decode_image(payload: bytes) -> dict[str, Any]:
+    """Real image decode for uncompressed containers (numpy, no PIL):
+    P6 PPM and 24/32-bit BI_RGB BMP. Compressed formats (PNG/JPEG) are
+    the PIL slot — registering a PIL-backed Decoder replaces only this
+    function; the Spark plumbing is identical."""
+    if payload[:2] == b"P6":
+        w, h, px = _ppm_parse(payload)
+        return {"width": w, "height": h, "mean_value": float(px.mean())}
+    if payload[:2] == b"BM":
+        w, h, px = _bmp_parse(payload)
+        return {"width": w, "height": h, "mean_value": float(px.mean())}
     raise NotImplementedError(
-        "image decoding requires PIL/pillow; register a real Decoder or "
-        "use FakeDecoder for pipeline testing"
+        "compressed image formats (PNG/JPEG) require PIL/pillow; "
+        "register a PIL-backed Decoder for them"
     )
 
 
 def decode_audio(payload: bytes) -> dict[str, Any]:
-    raise NotImplementedError(
-        "audio decoding requires soundfile/ffmpeg; register a real "
-        "Decoder or use FakeDecoder for pipeline testing"
-    )
+    """Real audio decode for PCM WAV (stdlib ``wave`` + numpy):
+    width = sample frames, height = channels, mean_value = mean absolute
+    amplitude normalized to [0, 1]. Compressed audio (MP3/AAC) is the
+    soundfile/ffmpeg slot."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "non-WAV audio requires soundfile/ffmpeg; register a real "
+            "Decoder for compressed formats"
+        )
+    with wave.open(io.BytesIO(payload)) as wav:
+        n_channels = wav.getnchannels()
+        sample_width = wav.getsampwidth()
+        n_frames = wav.getnframes()
+        raw = wav.readframes(n_frames)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sample_width)
+    if dtype is None:
+        raise NotImplementedError("only 8/16/32-bit PCM WAV supported")
+    samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sample_width == 1:  # 8-bit WAV is unsigned, centered at 128
+        samples -= 128.0
+    full_scale = {1: 128.0, 2: 32768.0, 4: 2147483648.0}[sample_width]
+    mean = float(np.abs(samples).mean() / full_scale) if samples.size else 0.0
+    return {"width": n_frames, "height": n_channels, "mean_value": mean}
+
+
+def real_decode(kind: str, payload: bytes) -> dict[str, Any]:
+    """Decoder dispatching to the REAL codecs above by media kind.
+    Video stays a slot (frame demux needs ffmpeg); use ``fake_decode``
+    or :func:`sample_frames`'s fixed-frame model for video plumbing."""
+    if kind == "image":
+        return decode_image(payload)
+    if kind == "audio":
+        return decode_audio(payload)
+    raise NotImplementedError(f"no real codec for kind={kind!r} (needs ffmpeg)")
 
 
 def fake_decode(kind: str, payload: bytes) -> dict[str, Any]:
@@ -174,6 +263,20 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(explode_frames, FRAME_SCHEMA)
+
+
+def ppm_resize(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for P6 PPM images (numpy row/column
+    index sampling — vectorized, no PIL), re-encoded as P6. Drop-in
+    ``resizer`` for :func:`resize_media`."""
+    import numpy as np
+
+    src_w, src_h, px = _ppm_parse(payload)
+    ys = (np.arange(height) * src_h) // height
+    xs = (np.arange(width) * src_w) // width
+    out = px[ys][:, xs]
+    header = f"P6\n{width} {height}\n255\n".encode()
+    return header + out.tobytes()
 
 
 def fake_resize(payload: bytes, width: int, height: int) -> bytes:

@@ -5,10 +5,21 @@ DataFrame`` with the equivalent ANSI SQL for DuckDB (the correctness
 oracle). Column names/aliases MUST match between the two — the driver
 sorts columns by name and value-hashes.
 
-Hash-parity rules used throughout (see SNIPPETS/guide + local harness
-``tools/oracle_check.py``):
+Hash-parity rules used throughout (enforced by the strict local harness
+``tools/oracle_check.py``, which compares raw value strings exactly like
+the driver):
 
-- money math in DECIMAL(18,4) casts on BOTH sides (exact, order-independent);
+- OUTPUT columns are never DECIMAL, DATE, or DuckDB-uncast integer sums:
+  a Spark Decimal hashes as '167509.0000' vs DuckDB's float64
+  '167509.0'; DuckDB ``sum(int)`` returns HUGEINT (→ float64) vs
+  Spark's int64; Spark DateType prints '2024-01-01' vs DuckDB DATE as a
+  midnight timestamp;
+- money math accumulates in DECIMAL(18,4) casts on BOTH sides (exact,
+  order-independent), then ``F.round(sum, 4).cast("double")`` ≡
+  ``CAST(round(sum, 4) AS DOUBLE)`` — the same exact decimal converts
+  to the same nearest-double on both engines;
+- integer sums in DuckDB oracles wear ``CAST(... AS BIGINT)``;
+- dates go out as 'yyyy-MM-dd' strings on both sides;
 - ratios/averages = exact decimal sums cast to double, then divided
   (bit-deterministic given identical inputs);
 - event-time filtering on ``ts_ns`` (exact int64) in Spark vs native

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import Row
 
 from kinesis_vcr_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
     decode_audio,
     decode_image,
     documents_as_media,
@@ -98,3 +99,119 @@ def test_resize_media_schema_roundtrip(spark):
     assert bytes(rows[2]["payload"]) == b"\x00" * 16
     # output schema round-trips into other media operators
     assert sample_frames(out, every_n=1).count() == 2
+
+
+def _ppm_bytes(w, h, pixel_fn):
+    """Hand-rolled P6 PPM: pixel_fn(x, y) -> (r, g, b)."""
+    body = bytearray()
+    for y in range(h):
+        for x in range(w):
+            body.extend(pixel_fn(x, y))
+    return f"P6\n{w} {h}\n255\n".encode() + bytes(body)
+
+
+def _bmp_bytes(w, h, pixel_fn):
+    """Hand-rolled uncompressed 24-bit BMP (bottom-up rows, 4-byte row
+    padding — the parts a naive parser gets wrong)."""
+    import struct
+
+    row = w * 3
+    stride = (row + 3) & ~3
+    pixel_data = bytearray()
+    for y in reversed(range(h)):  # BMP stores rows bottom-up
+        for x in range(w):
+            b, g, r = pixel_fn(x, y)[::-1]
+            pixel_data.extend((b, g, r))
+        pixel_data.extend(b"\x00" * (stride - row))
+    data_off = 14 + 40
+    size = data_off + len(pixel_data)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data),
+                      2835, 2835, 0, 0)
+    return header + dib + bytes(pixel_data)
+
+
+def _wav_bytes(samples, framerate=8000):
+    """Mono 16-bit PCM WAV from a list of int samples."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_real_ppm_decode():
+    from kinesis_vcr_spark.operators.multimodal import decode_image
+
+    # 2x2: known bytes -> exact mean
+    img = _ppm_bytes(2, 2, lambda x, y: (10, 20, 30))
+    got = decode_image(img)
+    assert (got["width"], got["height"]) == (2, 2)
+    assert got["mean_value"] == 20.0
+
+
+def test_real_bmp_decode_respects_row_padding():
+    from kinesis_vcr_spark.operators.multimodal import decode_image
+
+    # width 3 -> 9-byte rows padded to 12; padding bytes must NOT leak
+    # into the mean
+    img = _bmp_bytes(3, 2, lambda x, y: (100, 100, 100))
+    got = decode_image(img)
+    assert (got["width"], got["height"]) == (3, 2)
+    assert got["mean_value"] == 100.0
+
+
+def test_real_wav_decode():
+    from kinesis_vcr_spark.operators.multimodal import decode_audio
+
+    wav = _wav_bytes([0, 16384, -16384, 32767])
+    got = decode_audio(wav)
+    assert (got["width"], got["height"]) == (4, 1)  # frames, channels
+    expected = (0 + 16384 + 16384 + 32767) / 4 / 32768.0
+    assert abs(got["mean_value"] - expected) < 1e-12
+
+
+def test_real_ppm_resize_roundtrip():
+    from kinesis_vcr_spark.operators.multimodal import decode_image, ppm_resize
+
+    # left half red, right half blue; nearest-neighbor downscale keeps
+    # exactly one pixel of each
+    img = _ppm_bytes(
+        4, 2, lambda x, y: (255, 0, 0) if x < 2 else (0, 0, 255)
+    )
+    small = ppm_resize(img, 2, 1)
+    got = decode_image(small)
+    assert (got["width"], got["height"]) == (2, 1)
+    body = small.split(b"\n", 3)[3]
+    assert body == bytes((255, 0, 0, 0, 0, 255))
+
+
+def test_real_decoders_through_map_in_pandas(spark):
+    """End-to-end: real codecs run inside the Arrow/mapInPandas path."""
+    from kinesis_vcr_spark.operators.multimodal import (
+        extract_media_features,
+        real_decode,
+    )
+
+    rows = [
+        Row(media_id=1, kind="image",
+            payload=_ppm_bytes(2, 2, lambda x, y: (10, 20, 30)), meta={}),
+        Row(media_id=2, kind="image",
+            payload=_bmp_bytes(3, 2, lambda x, y: (100, 100, 100)), meta={}),
+        Row(media_id=3, kind="audio",
+            payload=_wav_bytes([0, 16384, -16384, 32767]), meta={}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r
+        for r in extract_media_features(media, decoder=real_decode).collect()
+    }
+    assert (got[1]["width"], got[1]["height"], got[1]["mean_value"]) == (2, 2, 20.0)
+    assert (got[2]["width"], got[2]["height"], got[2]["mean_value"]) == (3, 2, 100.0)
+    assert got[3]["width"] == 4 and got[3]["height"] == 1
