@@ -90,8 +90,11 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order → identical bucket boundaries in both engines).
 
     Global ranking is a deliberate single-partition sort here; the
-    100 TB variant assigns buckets by broadcast ``approx_percentile``
-    boundaries instead of a total sort."""
+    100 TB variant is implemented in
+    :mod:`kinesis_vcr_spark.operators.quantiles`
+    (``assign_quantile_buckets``: sketch boundaries + narrow
+    projection, no total sort — exact-vs-approx parity pinned in
+    tests/test_quantiles.py)."""
     od = load_table(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
