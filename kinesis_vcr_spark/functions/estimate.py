@@ -118,3 +118,49 @@ def estimate_replay_time(
         minutes=minutes,
         human=humanize_minutes(minutes),
     )
+
+
+def estimate_from_manifest(
+    spark: SparkSession,
+    manifest_path: str,
+    start: datetime,
+    end: datetime | None,
+    open_shards: int,
+) -> Estimate:
+    """Estimate from the MANIFEST table instead of a filesystem listing.
+
+    The listing path is O(files) through the driver's FS client — fine
+    to ~10^6 keys, but at 100 TB with years of retention the manifest
+    (one parquet row per archive file, written by the record path) is
+    the better source: a distributed, dt-pruned parquet scan whose cost
+    the cluster shares, with no LIST round-trips at all.
+
+    Range semantics: the manifest prunes on the ``dt`` write-date
+    partition (day granularity). That IS the reference's processing-time
+    semantics (the dt is stamped at flush, like Clock.systemUTC() in
+    InjectableS3Emitter.java:40); the listing path additionally applies
+    F3's second-granularity mtime filter — for sub-day bounds prefer
+    :func:`estimate_replay_time`.
+    """
+    from kinesis_vcr_spark.sources.archive import _dt_filter
+    from kinesis_vcr_spark.streaming.record import read_manifest
+    from kinesis_vcr_spark.timeparse import default_end, validate_range
+
+    if open_shards <= 0:
+        raise ValueError("open_shards must be positive")
+    end = default_end(start, end)
+    validate_range(start, end)
+    manifest = read_manifest(spark, manifest_path)
+    pruned = manifest.where(_dt_filter(start, end))
+    row = pruned.agg(
+        F.count("*").alias("file_count"),
+        F.coalesce(F.sum("byte_size"), F.lit(0)).alias("total_bytes"),
+    ).collect()[0]
+    minutes = replay_minutes(row["total_bytes"], open_shards)
+    return Estimate(
+        file_count=row["file_count"],
+        total_bytes=row["total_bytes"],
+        open_shards=open_shards,
+        minutes=minutes,
+        human=humanize_minutes(minutes),
+    )

@@ -71,3 +71,46 @@ def test_estimate_missing_partitions_empty(spark, tmp_path):
     )
     row = estimate_agg(listing).collect()[0]
     assert row["file_count"] == 0 and row["total_bytes"] == 0
+
+
+def test_estimate_from_manifest_matches_listing(spark, tmp_path):
+    """The manifest-based estimate (the 10^6-file scale path) must agree
+    with the listing-based one on the same archive, and prune by dt."""
+    from datetime import datetime, timedelta
+
+    from kinesis_vcr_spark.functions.estimate import (
+        estimate_from_manifest,
+        estimate_replay_time,
+    )
+    from kinesis_vcr_spark.model import RECORD_SCHEMA
+    from kinesis_vcr_spark.streaming.record import write_archive_with_manifest
+
+    base = datetime(2024, 3, 5, 10, 0, 0)
+    rows = [
+        (f"rec-{i}".encode(), str(i).zfill(6), f"pk-{i}", f"shard-{i % 2}",
+         base)
+        for i in range(12)
+    ]
+    records = spark.createDataFrame(rows, RECORD_SCHEMA)
+    archive = str(tmp_path / "arch")
+    manifest = str(tmp_path / "manifest")
+    write_archive_with_manifest(records, archive, manifest)
+
+    now = datetime.utcnow()
+    in_range = (now - timedelta(days=1), now + timedelta(days=1))
+    from_listing = estimate_replay_time(
+        spark, archive, *in_range, open_shards=2
+    )
+    from_manifest = estimate_from_manifest(
+        spark, manifest, *in_range, open_shards=2
+    )
+    assert from_manifest.file_count == from_listing.file_count == 2
+    assert from_manifest.total_bytes == from_listing.total_bytes > 0
+    assert from_manifest.minutes == from_listing.minutes
+
+    # dt pruning: a range entirely in the past sees nothing
+    past = estimate_from_manifest(
+        spark, manifest,
+        now - timedelta(days=30), now - timedelta(days=20), open_shards=2,
+    )
+    assert past.file_count == 0 and past.total_bytes == 0
