@@ -46,20 +46,44 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(f"kinesis-vcr-{verb}")
 
     if verb == "estimate":
-        start, end = _parse_range(argv[1:], "estimate")
+        args = list(argv[1:])
+        manifest_path = None
+        if "--manifest" in args:
+            # manifest-table estimate: distributed parquet scan instead
+            # of FS listing — the 10^6-file archive path
+            i = args.index("--manifest")
+            if i + 1 >= len(args):
+                print("--manifest requires a path", file=sys.stderr)
+                return 2
+            manifest_path = args[i + 1]
+            del args[i : i + 2]
+        start, end = _parse_range(args, "estimate")
         from kinesis_vcr_spark.functions.estimate import (
             boto3_describe_stream_factory,
+            count_open_shards,
+            estimate_from_manifest,
             estimate_replay_time,
         )
 
-        est = estimate_replay_time(
-            spark,
-            config.archive_path,
-            start,
-            end,
-            describe_stream=boto3_describe_stream_factory(),
-            target_stream=config.target_stream,
-        )
+        if manifest_path is not None:
+            est = estimate_from_manifest(
+                spark,
+                manifest_path,
+                start,
+                end,
+                open_shards=count_open_shards(
+                    boto3_describe_stream_factory(), config.target_stream
+                ),
+            )
+        else:
+            est = estimate_replay_time(
+                spark,
+                config.archive_path,
+                start,
+                end,
+                describe_stream=boto3_describe_stream_factory(),
+                target_stream=config.target_stream,
+            )
         # reference output shape: KinesisVcr.java:96-97
         print(
             f"Replaying {est.file_count} files ({est.total_bytes} bytes) "

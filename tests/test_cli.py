@@ -29,3 +29,11 @@ def test_unknown_verb(monkeypatch):
     monkeypatch.setenv("VCR_BUCKET", "/tmp/nowhere")
     monkeypatch.setenv("VCR_SOURCE_STREAM", "events")
     assert main(["frobnicate"]) == 2
+
+
+def test_estimate_manifest_flag_requires_path(monkeypatch):
+    monkeypatch.setenv("VCR_BUCKET", "/tmp/nowhere")
+    monkeypatch.setenv("VCR_SOURCE_STREAM", "events")
+    from kinesis_vcr_spark.__main__ import main
+
+    assert main(["estimate", "--manifest"]) == 2
