@@ -342,3 +342,99 @@ FROM comp ORDER BY doc_id
 
 register(QuerySpec("dedup_components", dedup_components, COMPONENTS_SQL,
                    "near-dup pair graph → connected components (dedup groups)"))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus-cleaning pipeline (exact → near-dup → quality)
+# ---------------------------------------------------------------------------
+
+
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline
+    (:func:`kinesis_vcr_spark.operators.pipeline.clean_corpus`):
+    exact dedup → near-dup components → quality filter, every doc
+    labeled with the stage that removed it. Output: per-(source,
+    status) doc counts; the oracle recomputes the ENTIRE pipeline
+    relationally (window-min winners, brute-force Jaccard pairs,
+    recursive-CTE components, the quality formula)."""
+    from kinesis_vcr_spark.operators.pipeline import clean_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = clean_corpus(
+        docs, jaccard_threshold=J_THRESHOLD, quality_threshold=0.6
+    )
+    return (
+        labeled.groupBy("source", "status")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "status")
+    )
+
+
+def _quality_sql_expr() -> str:
+    from kinesis_vcr_spark.queries.textstats import _EN
+
+    return f"""round((least(len(string_split(text, ' ')) / 100.0, 1.0)
+            + CAST(len(list_filter(string_split(text, ' '),
+                  x -> list_contains([{_EN}], x))) AS DOUBLE)
+              / len(string_split(text, ' '))
+            + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' '))
+            + CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+              / length(text)
+           ) / 4.0, 6)"""
+
+
+PIPELINE_SQL = f"""
+WITH RECURSIVE exact_w AS (
+  SELECT doc_id, text, source,
+         min(doc_id) OVER (PARTITION BY text) AS exact_winner
+  FROM documents
+), ek AS (
+  SELECT doc_id, text, source FROM exact_w WHERE doc_id = exact_winner
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM ek
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= {J_THRESHOLD}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+), near_drop AS (
+  SELECT node AS doc_id FROM (
+    SELECT node, min(lbl) AS component FROM reach GROUP BY node
+  ) WHERE node <> component
+), quality AS (
+  SELECT doc_id, {_quality_sql_expr()} AS q FROM ek
+), labeled AS (
+  SELECT e.source,
+         CASE WHEN e.doc_id <> e.exact_winner THEN 'dropped_exact'
+              WHEN nd.doc_id IS NOT NULL THEN 'dropped_near_dup'
+              WHEN q.q < 0.6 THEN 'dropped_quality'
+              ELSE 'kept' END AS status
+  FROM exact_w e
+  LEFT JOIN near_drop nd ON nd.doc_id = e.doc_id
+  LEFT JOIN quality q ON q.doc_id = e.doc_id
+)
+SELECT source, status, count(*) AS n_docs
+FROM labeled GROUP BY source, status ORDER BY source, status
+"""
+
+
+register(QuerySpec("corpus_clean_pipeline", corpus_clean_pipeline,
+                   PIPELINE_SQL,
+                   "composed pipeline: exact dedup → near-dup components "
+                   "→ quality filter, per-(source,status) counts"))

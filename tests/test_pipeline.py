@@ -1,0 +1,77 @@
+"""End-to-end corpus-cleaning pipeline: stage precedence, determinism,
+and kept-corpus properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kinesis_vcr_spark.operators.pipeline import (
+    STATUS_EXACT,
+    STATUS_KEPT,
+    STATUS_NEAR,
+    STATUS_QUALITY,
+    clean_corpus,
+    kept_corpus,
+)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside "
+    "as the sun rises slowly over the quiet town and people start their "
+    "day with fresh coffee and warm bread from the local bakery nearby"
+)
+
+
+def _corpus(spark):
+    rows = [
+        Row(doc_id=0, text=GOOD),
+        Row(doc_id=1, text=GOOD),                                # exact dup of 0
+        Row(doc_id=2, text=GOOD.replace("garden", "meadow")),    # near dup of 0
+        Row(doc_id=3, text="zzz 123 !!! ### $$$ %%% ^^^ &&&"),   # low quality
+        Row(doc_id=4, text="a completely different well formed document "
+                           "about spark catalyst optimizer plans and the "
+                           "shuffle exchanges with partition pruning and "
+                           "whole stage codegen in the physical planner "
+                           "that keeps every stage of the query pipeline "
+                           "running fast with vectorized readers and "
+                           "adaptive execution for the modern data stack"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_statuses_and_stage_precedence(spark):
+    got = {
+        r["doc_id"]: r["status"]
+        for r in clean_corpus(_corpus(spark), quality_threshold=0.6).collect()
+    }
+    assert got[0] == STATUS_KEPT          # min-id winner everywhere
+    assert got[1] == STATUS_EXACT         # identical text, higher id
+    assert got[2] == STATUS_NEAR          # survives exact, loses near-dup
+    assert got[3] == STATUS_QUALITY
+    assert got[4] == STATUS_KEPT
+
+
+def test_exact_dup_never_reaches_near_stage(spark):
+    """An exact duplicate must report dropped_exact even though it is
+    trivially also a near-dup of its twin (stage precedence)."""
+    out = clean_corpus(_corpus(spark))
+    assert out.where(
+        (F.col("doc_id") == 1) & (F.col("status") != STATUS_EXACT)
+    ).count() == 0
+
+
+def test_kept_corpus_is_clean(spark):
+    kept = kept_corpus(_corpus(spark), quality_threshold=0.6)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0, 4]
+    # no status column leaks into the production output
+    assert "status" not in kept.columns
+    # no duplicate texts survive
+    assert kept.count() == kept.select("text").distinct().count()
+
+
+def test_every_doc_gets_exactly_one_status(spark):
+    out = clean_corpus(_corpus(spark))
+    assert out.count() == 5
+    assert out.groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
