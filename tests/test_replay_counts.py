@@ -86,3 +86,37 @@ def test_replay_with_kinesis_fake_sink(spark, tmp_path):
     result = _replay(spark, tmp_path, writer)
     assert result.records_attempted == 25
     assert result.records_failed == 0
+
+
+def test_replay_dedup_drops_duplicate_payloads(spark, tmp_path):
+    """SURVEY §7.4 item 4: reference archives are at-least-once (a
+    failed emit redelivers the whole buffer), so dedup=True must
+    collapse duplicate payloads before the sink; default replays
+    faithfully."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "arc")
+    # DISTINCT payloads (make_records' default is n identical ones)
+    recs = make_records(spark, n=10, day="2024-03-05").withColumn(
+        "data", F.concat(F.col("data"), F.encode("sequence_number", "utf-8"))
+    )
+    # simulate the reference's duplicate-bearing archive: same batch
+    # archived twice (append mode)
+    write_archive(recs, path)
+    write_archive(recs, path)
+
+    seen: list = []
+
+    def consume(rows):
+        for r in rows:
+            seen.append(bytes(r["data"]))
+
+    kwargs = dict(parallelism=2, mtime_filter=False)
+    start = datetime(2024, 3, 5) - timedelta(days=1)
+    end = datetime(2024, 3, 6)
+
+    plain = replay(spark, path, start, end, consume, **kwargs)
+    assert plain.records_attempted == 20  # faithful: duplicates kept
+
+    deduped = replay(spark, path, start, end, consume, dedup=True, **kwargs)
+    assert deduped.records_attempted == 10
