@@ -156,3 +156,36 @@ def test_byte_bound_splits_files(spark, tmp_path):
         mtime_filter=False,
     )
     assert sorted(r["data"] for r in got.collect()) == sorted(payloads)
+
+
+def test_streaming_manifest_estimate_chain(spark, tmp_path):
+    """User flow: stream -> byte-bounded per-shard archive + manifest ->
+    estimate from the manifest == estimate from the FS listing."""
+    from kinesis_vcr_spark.functions.estimate import (
+        estimate_from_manifest,
+        estimate_replay_time,
+    )
+
+    payloads = [f"Record number {i}".encode() for i in range(30)]
+    stream = _source_records(spark, tmp_path, payloads)
+    cfg = VcrConfig(
+        archive_root=str(tmp_path / "bucket"),
+        source_stream="events",
+        checkpoint_location=str(tmp_path / "ckpt"),
+        buffer_size_bytes=64,  # force byte-bound splits
+    )
+    manifest = str(tmp_path / "manifest")
+    q = record_stream_with_manifest(stream, cfg, manifest, available_now=True)
+    q.awaitTermination(120)
+
+    mdf = read_manifest(spark, manifest)
+    mrows = mdf.collect()
+    assert sum(r["record_count"] for r in mrows) == len(payloads)
+    assert all(r["byte_size"] <= 64 for r in mrows)
+    assert len(mrows) > 1  # the byte bound actually split
+
+    now = datetime.utcnow()
+    rng = (now - timedelta(days=1), now + timedelta(days=1))
+    a = estimate_replay_time(spark, cfg.archive_path, *rng, open_shards=2)
+    b = estimate_from_manifest(spark, manifest, *rng, open_shards=2)
+    assert (a.file_count, a.total_bytes) == (b.file_count, b.total_bytes)
