@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -155,6 +157,103 @@ def detect_sequence_gaps(
         find_gaps,
         outputStructType=GAP_OUTPUT_SCHEMA,
         stateStructType=GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_approx_distinct(
+    records: DataFrame,
+    key_col: str,
+    value_col: str,
+    m: int | None = None,
+) -> DataFrame:
+    """Streaming approximate COUNT(DISTINCT value) per key — the
+    portable HLL sketch (:mod:`kinesis_vcr_spark.operators.sketch`) as
+    ``applyInPandasWithState`` state.
+
+    State per key is the m-register rank array (m longs — constant, no
+    matter the throughput); each trigger merges the batch into the
+    registers (``max`` per bucket — the sketch's merge operation) and
+    emits the running estimate. The numpy arithmetic here is the SAME
+    pinned hash/bucket/rank as the batch sketch, so a streaming run and
+    a batch ``hll_estimate(hll_sketch(...))`` over the same data emit
+    the IDENTICAL rounded estimate (pinned by the tests) — and a
+    streaming sketch can be merged into batch sketches later.
+    """
+    import math
+
+    from kinesis_vcr_spark.operators.sketch import (
+        HLL_A,
+        HLL_B,
+        HLL_M,
+        HLL_P,
+        HLL_W,
+    )
+
+    m = HLL_M if m is None else m
+    if m & (m - 1):
+        raise ValueError("m must be a power of two")
+    shift = m.bit_length() - 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    out_schema = StructType(
+        [
+            StructField(key_col, records.schema[key_col].dataType, True),
+            StructField("approx_distinct", DoubleType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("ranks", ArrayType(LongType()), True)]
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ranks = (
+            np.array(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(m, dtype=np.int64)
+        )
+        for pdf in batches:
+            v = pdf["__v"].to_numpy(dtype=np.int64)
+            h = (v * HLL_A + HLL_B) % HLL_P
+            hv = h >> shift
+            bitlen = np.zeros(len(hv), dtype=np.int64)
+            nz = hv > 0
+            # exact for hv < 2^23: log2 is correctly rounded and 2^k
+            # boundaries land exactly on integers
+            bitlen[nz] = np.floor(np.log2(hv[nz])).astype(np.int64) + 1
+            rank = np.where(nz, HLL_W - bitlen + 1, HLL_W + 1)
+            np.maximum.at(ranks, h & (m - 1), rank)
+        state.update((ranks.tolist(),))
+
+        obs = ranks > 0
+        n_obs = int(obs.sum())
+        # exact powers of two: sum order cannot perturb the double sum
+        sum_obs = float(np.sum(2.0 ** (-ranks[obs].astype(np.float64))))
+        zeros = m - n_obs
+        raw = alpha * m * m / (sum_obs + zeros)
+        est = (
+            m * math.log(m / zeros)
+            if (raw <= 2.5 * m and zeros > 0)
+            else raw
+        )
+        yield pd.DataFrame(
+            [{key_col: key[0], "approx_distinct": round(est, 4)}]
+        )
+
+    prepared = records.select(
+        key_col, F.col(value_col).cast("long").alias("__v")
+    )
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

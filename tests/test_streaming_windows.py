@@ -204,3 +204,49 @@ def test_dedup_stream_batch_fallback(spark):
         RECORD_SCHEMA,
     )
     assert dedup_stream(df).count() == 2
+
+
+def test_streaming_approx_distinct_matches_batch_sketch(spark, tmp_path):
+    """The streaming HLL (registers as applyInPandasWithState state)
+    must emit the IDENTICAL rounded estimate as the batch sketch over
+    the same data — same pinned hash/bucket/rank arithmetic, sketches
+    mergeable across the batch/streaming boundary."""
+    from pyspark.sql import functions as F
+
+    from kinesis_vcr_spark.operators.sketch import hll_estimate, hll_sketch
+    from kinesis_vcr_spark.streaming.windows import streaming_approx_distinct
+
+    rows = [
+        (f"type-{i % 3}", (i * 7919) % 400)  # ~400 distinct values
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    src = str(tmp_path / "src")
+    df.write.mode("overwrite").parquet(src)
+
+    batch = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_estimate(
+            hll_sketch(df, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+
+    stream = spark.readStream.schema("event_type string, user_id long").parquet(src)
+    q = (
+        streaming_approx_distinct(stream, "event_type", "user_id")
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: r["approx_distinct"]
+        for r in spark.sql(
+            "SELECT * FROM hll_stream"
+        ).groupBy("event_type").agg(
+            F.last("approx_distinct").alias("approx_distinct")
+        ).collect()
+    }
+    assert got == batch
