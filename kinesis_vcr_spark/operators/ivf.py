@@ -150,9 +150,21 @@ def ivf_topk(
         ).alias("cid"),
     )
     cand = q.join(v, "cid")
+    return _rank_candidates(cand, query_id_col, id_col, k, exclude_self)
+
+
+def _rank_candidates(
+    cand: DataFrame,
+    query_id_col: str,
+    id_col: str,
+    k: int,
+    exclude_self: bool,
+) -> DataFrame:
     if exclude_self:
         cand = cand.where(F.col(query_id_col) != F.col(id_col))
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
     return (
         cand.select(
             query_id_col,
@@ -164,3 +176,75 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    index_path: str,
+    k_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train and PERSIST the IVF index: centroids + the assigned
+    inverted lists (id, unit vector, centroid id) as parquet under
+    ``index_path``. Build once, query many — at corpus scale the
+    k-means pass and the per-vector assignment are the costs to pay
+    once, not per query batch; a later search is one parquet scan
+    pruned to the probed lists plus the re-rank."""
+    spark = vectors.sparkSession
+    centroids = train_centroids(
+        vectors, k_centroids, id_col=id_col, vec_col=vec_col
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "cid int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{index_path}/centroids")
+    (
+        vectors.select(
+            F.col(id_col),
+            unit_double(F.col(vec_col)).alias("__v_unit"),
+            assign_centroid(F.col(vec_col), centroids).alias("cid"),
+        )
+        # cluster the lists on disk so a probe reads contiguous data
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{index_path}/lists")
+    )
+
+
+def load_ivf_index(spark, index_path: str) -> tuple[np.ndarray, DataFrame]:
+    """(centroids matrix, inverted-lists DataFrame) from
+    :func:`build_ivf_index` output."""
+    rows = (
+        spark.read.parquet(f"{index_path}/centroids").orderBy("cid").collect()
+    )
+    centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    lists = spark.read.parquet(f"{index_path}/lists")
+    return centroids, lists
+
+
+def ivf_topk_indexed(
+    index: tuple[np.ndarray, DataFrame],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ANN top-k against a persisted index (:func:`build_ivf_index` /
+    :func:`load_ivf_index`) — no training, no re-assignment; the
+    ``cid`` equi-join prunes the scan to the probed partitions.
+    Identical results to :func:`ivf_topk` with the same centroids."""
+    centroids, lists = index
+    q = queries.select(
+        F.col(query_id_col),
+        unit_double(F.col(vec_col)).alias("__q_unit"),
+        F.explode(
+            probe_centroids(F.col(vec_col), centroids, nprobe)
+        ).alias("cid"),
+    )
+    cand = q.join(lists, "cid")
+    return _rank_candidates(cand, query_id_col, id_col, k, exclude_self)

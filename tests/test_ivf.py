@@ -54,3 +54,32 @@ def test_ivf_partial_probe_recall(spark, sf_dir):
                                       exclude_self=True).collect()}
     for r in approx:
         assert r["cosine"] == exact_cos[(r["query_id"], r["vec_id"])]
+
+
+def test_persisted_index_matches_live_search(spark, tmp_path):
+    """build_ivf_index → load_ivf_index → ivf_topk_indexed must return
+    exactly what ivf_topk returns with the same centroids (assignment is
+    deterministic given the centroid matrix)."""
+    from kinesis_vcr_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        load_ivf_index,
+    )
+    from kinesis_vcr_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    probes = emb.limit(4).select(
+        emb.vec_id.alias("query_id"), "embedding"
+    )
+
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, path, k_centroids=8)
+    index = load_ivf_index(spark, path)
+
+    live = ivf_topk(
+        emb, probes, k=5, k_centroids=8, nprobe=3, centroids=index[0]
+    )
+    persisted = ivf_topk_indexed(index, probes, k=5, nprobe=3)
+    assert sorted(map(tuple, live.collect()), key=lambda t: (t[0], t[3])) == \
+        sorted(map(tuple, persisted.collect()), key=lambda t: (t[0], t[3]))
