@@ -198,3 +198,31 @@ def fingerprint_features() -> Column:
         return pd.DataFrame({"fp": fps, "n_grams": counts})
 
     return _fp
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Class-based patterns only (no lookaround, no \b), so Java regex
+# (Spark) and RE2 (DuckDB) match identical spans.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII kind (email/phone/ipv4) in ``text``."""
+    return F.regexp_count(text, F.lit(PII_PATTERNS[kind]))
+
+
+def redact_pii(text: Column, kinds: tuple[str, ...] = ("email", "phone", "ipv4")) -> Column:
+    """Replace each PII span with ``<KIND>``. Order matters: emails
+    first (their local part contains digits a phone pattern could
+    bite), then phones, then bare IPv4s."""
+    out = text
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out

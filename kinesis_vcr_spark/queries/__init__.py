@@ -73,6 +73,7 @@ def _load_all() -> None:
         skewq,
         stats,
         multimodal,
+        llmprep,
         relational,
         relational2,
         relational3,

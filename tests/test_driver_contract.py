@@ -56,12 +56,18 @@ def test_driver_window_covers_every_family():
         "similarity_cosine_topk", "hll_distinct_users",
         "skew_salted_event_totals", "event_value_stats",
         "multimodal_payload_stats",
+        # training-data prep family (sampling/splits/decontam/PII)
+        "sample_bernoulli_docs", "sample_stratified_docs",
+        "sample_split_counts", "decontam_ngram_overlap",
+        "text_pii_redaction",
         "q1_pricing_summary", "purchase_asof_click",
     }
     missing = required - window
     assert not missing, f"queries pushed outside the driver window: {missing}"
     overflow = set(names[50:])
-    relational_variants = {"rollup_returns"}  # ROLLUP; CUBE is in-window
+    # ROLLUP (CUBE is in-window) + anti-join TPC-H variants: same
+    # relational family as the in-window q1/q3/q5 representatives
+    relational_variants = {"rollup_returns", "customers_without_orders"}
     bad = sorted(
         n for n in overflow
         if not n.startswith("q") and n not in relational_variants
