@@ -87,3 +87,107 @@ def hll_estimate(
     return agg.select(
         *key_cols, F.round(est, 4).alias("approx_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch — approximate frequencies / heavy hitters
+# ---------------------------------------------------------------------------
+
+#: pinned pairwise-independent hash rows ``(a_i, b_i)`` over the same
+#: prime field as the HLL; d = 4 rows.
+CMS_P = HLL_P
+CMS_ROWS: tuple[tuple[int, int], ...] = (
+    (1_103_515_245, 12_345),
+    (22_695_477, 1),
+    (1_664_525, 1_013_904_223),
+    (69_069, 362_437),
+)
+CMS_W = 512  # counters per row
+
+
+def cms_coords(value: Column, w: int = CMS_W) -> Column:
+    """Array of d (row, col) coordinate structs for one int value."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(value.cast("long") * a + b, F.lit(CMS_P))
+                .bitwiseAND(F.lit(w - 1))
+                .alias("col"),
+            )
+            for i, (a, b) in enumerate(CMS_ROWS)
+        ]
+    )
+
+
+def cms_sketch(
+    df: DataFrame, key_cols: list[str], value_col: str, w: int = CMS_W
+) -> DataFrame:
+    """Per-key count-min sketch: ``(keys…, row, col, n)`` — at most
+    d·w rows per key regardless of input size, built in ONE grouped
+    aggregation with full map-side combine. Sketches merge by summing
+    ``n`` per (row, col) — associative/commutative, so any partial
+    aggregation tree (or day-by-day incremental build) yields the
+    identical sketch.
+
+    Guarantees (standard CMS): estimate ≥ true count always;
+    overshoot ≤ e/w · N with prob ≥ 1 − e^−d.
+    """
+    coords = cms_coords(F.col(value_col), w)
+    return (
+        df.select(*key_cols, F.explode(coords).alias("c"))
+        .groupBy(*key_cols, F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_estimate(
+    items: DataFrame,
+    sketch: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Point-query the sketch for each item row: join the item's d
+    coordinates against the sketch and take the min counter —
+    ``(items…, est_n)``. The sketch is ≤ d·w rows per key: broadcast
+    it; the item side never shuffles (beyond its own groupBy if any).
+    """
+    item_cols = [c for c in items.columns]
+    probes = (
+        items.withColumn("__c", F.explode(cms_coords(F.col(value_col), w)))
+        .withColumn("row", F.col("__c.row"))
+        .withColumn("col", F.col("__c.col"))
+        .drop("__c")
+    )
+    joined = probes.join(F.broadcast(sketch), on=[*key_cols, "row", "col"], how="inner")
+    return joined.groupBy(*item_cols).agg(F.min("n").alias("est_n"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    min_fraction: float,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Values whose estimated frequency is ≥ ``min_fraction`` of their
+    key group — ``(keys…, value, est_n, total_n)``. CMS guarantees no
+    false negatives (estimates never undercount).
+
+    The candidate set is the distinct (key, value) pairs — one extra
+    map-side-combined shuffle in batch mode (a streaming deployment
+    would keep a per-partition top-k heap instead); the sketch itself
+    is broadcast, never shuffled with the data.
+    """
+    sketch = cms_sketch(df, key_cols, value_col, w)
+    d = len(CMS_ROWS)
+    totals = sketch.groupBy(*key_cols).agg(
+        (F.sum("n") / d).cast("long").alias("total_n")
+    )
+    candidates = df.select(*key_cols, value_col).distinct()
+    est = cms_estimate(candidates, sketch, key_cols, value_col, w)
+    return (
+        est.join(F.broadcast(totals), on=list(key_cols), how="inner")
+        .where(F.col("est_n") >= F.col("total_n") * min_fraction)
+    )

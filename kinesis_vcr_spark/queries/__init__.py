@@ -82,4 +82,10 @@ def _load_all() -> None:
 
 def all_queries() -> dict[str, QuerySpec]:
     _load_all()
-    return dict(REGISTRY)
+    # No-oracle (rows-only) queries go dead last: a driver-window slot
+    # spent on a rows-only check displaces a full value-hash check of an
+    # oracle-paired query. The rows-only ops are recall/property-tested
+    # in tests/ instead.
+    paired = {n: s for n, s in REGISTRY.items() if s.oracle is not None}
+    rows_only = {n: s for n, s in REGISTRY.items() if s.oracle is None}
+    return {**paired, **rows_only}

@@ -103,3 +103,77 @@ ORDER BY event_type
 
 register(QuerySpec("hll_distinct_users", hll_distinct_users, HLL_SQL,
                    "portable HLL approx-distinct vs exact, per event type"))
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+HH_FRACTION = 0.01
+
+
+def cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: users with estimated frequency >= 1% of the
+    type's events, via the portable count-min sketch, joined to exact
+    counts so the driver row also audits the error (est_n >= n_exact
+    always — CMS never undercounts)."""
+    from kinesis_vcr_spark.operators.sketch import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    hh = heavy_hitters(ev, ["event_type"], "user_id", HH_FRACTION)
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n_exact")
+    )
+    return (
+        hh.join(exact, on=["event_type", "user_id"], how="inner")
+        .select("event_type", "user_id", "n_exact", "est_n", "total_n")
+        .orderBy("event_type", "user_id")
+    )
+
+
+def _cms_rows_sql() -> str:
+    from kinesis_vcr_spark.operators.sketch import CMS_ROWS
+
+    vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(CMS_ROWS))
+    return f"(VALUES {vals}) AS hashes(i, a, b)"
+
+
+def _cms_sql() -> str:
+    from kinesis_vcr_spark.operators.sketch import CMS_P, CMS_W
+
+    return f"""
+WITH coords AS (
+  SELECT e.event_type, e.user_id, hashes.i AS row_i,
+         ((e.user_id * hashes.a + hashes.b) % {CMS_P}) & {CMS_W - 1} AS col_i
+  FROM events e CROSS JOIN {_cms_rows_sql()}
+), sketch AS (
+  SELECT event_type, row_i, col_i, count(*) AS n
+  FROM coords GROUP BY 1, 2, 3
+), cand AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), probe AS (
+  SELECT c.event_type, c.user_id, hashes.i AS row_i,
+         ((c.user_id * hashes.a + hashes.b) % {CMS_P}) & {CMS_W - 1} AS col_i
+  FROM cand c CROSS JOIN {_cms_rows_sql()}
+), est AS (
+  SELECT p.event_type, p.user_id, min(s.n) AS est_n
+  FROM probe p
+  JOIN sketch s ON p.event_type = s.event_type
+               AND p.row_i = s.row_i AND p.col_i = s.col_i
+  GROUP BY 1, 2
+), totals AS (
+  SELECT event_type, count(*) AS total_n FROM events GROUP BY 1
+), exact AS (
+  SELECT event_type, user_id, count(*) AS n_exact FROM events GROUP BY 1, 2
+)
+SELECT est.event_type, est.user_id, n_exact, est_n, total_n
+FROM est
+JOIN totals USING (event_type)
+JOIN exact USING (event_type, user_id)
+WHERE est_n >= total_n * {HH_FRACTION}
+ORDER BY est.event_type, est.user_id
+"""
+
+
+register(QuerySpec("cms_heavy_users", cms_heavy_users, _cms_sql(),
+                   "count-min sketch heavy hitters vs exact counts"))

@@ -251,3 +251,62 @@ register(QuerySpec("user_event_paths", user_event_paths, PATHS_SQL,
                    "ordered event-type path per user (string aggregation)"))
 register(QuerySpec("distinct_users_daily", distinct_users_daily, DISTINCT_SQL,
                    "exact distinct users per day/type"))
+
+
+# ---------------------------------------------------------------------------
+# bucketed interval join (no equi key — the case Spark plans as a
+# nested-loop join; operators/rangejoin.py turns it into an equi-join)
+# ---------------------------------------------------------------------------
+
+_HOUR_NS = 3_600_000_000_000
+_ATTR_WINDOW_NS = 2 * _HOUR_NS
+
+
+def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global attribution windows: every purchase opens a 2-hour window
+    [ts, ts+2h); count views (any user) landing inside each window via
+    the bucketed interval join. No equi key — the naive plan is
+    O(purchases x views) BroadcastNestedLoopJoin; the bucketed plan is
+    a plain equi-join on hour buckets."""
+    from kinesis_vcr_spark.operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    intervals = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_ns").alias("start_ns"),
+        (F.col("ts_ns") + _ATTR_WINDOW_NS).alias("end_ns"),
+    )
+    points = ev.where(F.col("event_type") == "view").select(
+        F.col("ts_ns").alias("v_ts"), F.col("user_id").alias("viewer")
+    )
+    joined = interval_join(
+        points, intervals, "v_ts", "start_ns", "end_ns", bucket_width=_HOUR_NS
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(
+            F.count("*").alias("n_views"),
+            F.countDistinct("viewer").alias("n_viewers"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+INTERVAL_JOIN_SQL = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, epoch_ns(ts) AS s,
+         epoch_ns(ts) + {_ATTR_WINDOW_NS} AS e
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT epoch_ns(ts) AS t, user_id FROM events WHERE event_type = 'view'
+)
+SELECT purchase_id, count(*) AS n_views,
+       count(DISTINCT user_id) AS n_viewers
+FROM v JOIN p ON v.t >= p.s AND v.t < p.e
+GROUP BY purchase_id ORDER BY purchase_id
+"""
+
+
+register(QuerySpec("interval_join_attribution", interval_join_attribution,
+                   INTERVAL_JOIN_SQL,
+                   "bucketed interval join: views inside 2h purchase windows"))

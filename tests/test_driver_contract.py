@@ -56,6 +56,7 @@ def test_driver_window_covers_every_family():
         "similarity_cosine_topk", "hll_distinct_users",
         "skew_salted_event_totals", "event_value_stats",
         "multimodal_payload_stats",
+        "interval_join_attribution", "cms_heavy_users",
         # training-data prep family (sampling/splits/decontam/PII)
         "sample_bernoulli_docs", "sample_stratified_docs",
         "sample_split_counts", "decontam_ngram_overlap",
@@ -64,15 +65,23 @@ def test_driver_window_covers_every_family():
     }
     missing = required - window
     assert not missing, f"queries pushed outside the driver window: {missing}"
+    # every in-window slot must be oracle-paired: a slot spent on a
+    # rows-only query displaces a full value-hash check
+    oracles = entrymod.oracle_sql()
+    unpaired = [n for n in names[:50] if n not in oracles]
+    assert not unpaired, f"rows-only queries inside the window: {unpaired}"
+
     overflow = set(names[50:])
     # ROLLUP (CUBE is in-window) + anti-join TPC-H variants: same
     # relational family as the in-window q1/q3/q5 representatives
     relational_variants = {"rollup_returns", "customers_without_orders"}
     bad = sorted(
         n for n in overflow
-        if not n.startswith("q") and n not in relational_variants
+        if not n.startswith("q")
+        and n not in relational_variants
+        and n in oracles  # rows-only queries deliberately sort last
     )
     assert not bad, (
-        "only relational grouping/TPC-H variants may overflow the "
-        f"50-query window, got: {bad}"
+        "only relational grouping/TPC-H variants and rows-only queries "
+        f"may overflow the 50-query window, got: {bad}"
     )
