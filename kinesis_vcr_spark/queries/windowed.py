@@ -310,3 +310,56 @@ GROUP BY purchase_id ORDER BY purchase_id
 register(QuerySpec("interval_join_attribution", interval_join_attribution,
                    INTERVAL_JOIN_SQL,
                    "bucketed interval join: views inside 2h purchase windows"))
+
+
+# ---------------------------------------------------------------------------
+# skew-safe top-k per group (operators/topk.py two-phase refinement)
+# ---------------------------------------------------------------------------
+
+
+def topk_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three most recent events per event type over the RAW event rows
+    via the two-phase salted top-k — the plan that survives a hot event
+    type at 100 TB where a plain window serializes the type through one
+    task. Total order (ts_ns desc, event_id asc) makes it oracle-exact."""
+    from kinesis_vcr_spark.operators.topk import topk_per_group
+
+    ev = load_table(spark, sf_dir, "events")
+    top = topk_per_group(
+        ev.select("event_type", "event_id", "user_id", "ts_ns"),
+        ["event_type"],
+        [F.col("ts_ns").desc(), F.col("event_id")],
+        k=3,
+        salt_factor=8,
+        rank_col="rank",
+    )
+    return top.select(
+        "event_type",
+        "rank",
+        "event_id",
+        "user_id",
+        F.date_format(
+            F.expr("CAST(ts_ns div 1000000000 AS TIMESTAMP)"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("ts_s"),
+    ).orderBy("event_type", "rank")
+
+
+TOPK_SQL = """
+SELECT event_type, rank, event_id, user_id, ts_s
+FROM (
+  SELECT event_type, event_id, user_id,
+         strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+         CAST(row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY epoch_ns(ts) DESC, event_id
+         ) AS INT) AS rank
+  FROM events
+)
+WHERE rank <= 3
+ORDER BY event_type, rank
+"""
+
+
+register(QuerySpec("topk_recent_events", topk_recent_events, TOPK_SQL,
+                   "skew-safe two-phase top-3 most recent events per type"))

@@ -57,6 +57,7 @@ def test_driver_window_covers_every_family():
         "skew_salted_event_totals", "event_value_stats",
         "multimodal_payload_stats",
         "interval_join_attribution", "cms_heavy_users",
+        "topk_recent_events",
         # training-data prep family (sampling/splits/decontam/PII)
         "sample_bernoulli_docs", "sample_stratified_docs",
         "sample_split_counts", "decontam_ngram_overlap",
