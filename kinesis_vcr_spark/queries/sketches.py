@@ -177,3 +177,91 @@ ORDER BY est.event_type, est.user_id
 
 register(QuerySpec("cms_heavy_users", cms_heavy_users, _cms_sql(),
                    "count-min sketch heavy hitters vs exact counts"))
+
+
+# ---------------------------------------------------------------------------
+# incremental mergeable rollup (operators/rollup.py)
+# ---------------------------------------------------------------------------
+
+
+def rollup_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily (day, event_type) rollup built INCREMENTALLY: the events
+    table is split into two arbitrary halves (even/odd event_id), each
+    half summarized independently, the partial rollups merged, then
+    reported. The oracle computes the same report in one direct pass —
+    equality proves the merge is lossless (exact decimal sums add;
+    HLL registers max-merge), i.e. backfill/late-data re-merges cannot
+    change the report."""
+    from kinesis_vcr_spark.operators.rollup import (
+        build_rollup,
+        merge_rollups,
+        rollup_report,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    halves = [
+        build_rollup(
+            ev.where(F.pmod("event_id", F.lit(2)) == i),
+            "ts_ns",
+            ["event_type"],
+            ["value"],
+            "user_id",
+        )
+        for i in (0, 1)
+    ]
+    report = rollup_report(merge_rollups(*halves))
+    return report.orderBy("day", "event_type")
+
+
+ROLLUP_SQL = f"""
+WITH base AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         event_type, user_id, value
+  FROM events
+),
+scalars AS (
+  SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+           AS sum_value
+  FROM base GROUP BY 1, 2
+),
+hashed AS (
+  SELECT day, event_type,
+         (user_id * {HLL_A} + {HLL_B}) % {HLL_P} AS h
+  FROM base
+),
+ranks AS (
+  SELECT day, event_type, h % {HLL_M} AS bucket,
+         max(CASE WHEN h // {HLL_M} > 0
+                  THEN {HLL_W} - length(bin(h // {HLL_M})) + 1
+                  ELSE {HLL_W} + 1 END) AS max_rank
+  FROM hashed GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT day, event_type, count(*) AS n_obs,
+         sum(pow(2.0, -max_rank)) AS sum_obs
+  FROM ranks GROUP BY 1, 2
+),
+est AS (
+  SELECT day, event_type,
+         round(CASE WHEN (0.7213 / (1 + 1.079 / {HLL_M}))
+                         * {HLL_M} * {HLL_M}
+                         / (sum_obs + ({HLL_M} - n_obs))
+                        <= 2.5 * {HLL_M}
+                     AND {HLL_M} - n_obs > 0
+               THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - n_obs))
+               ELSE (0.7213 / (1 + 1.079 / {HLL_M}))
+                    * {HLL_M} * {HLL_M}
+                    / (sum_obs + ({HLL_M} - n_obs))
+               END, 4) AS approx_distinct
+  FROM agg
+)
+SELECT day, event_type, n, sum_value, approx_distinct
+FROM scalars JOIN est USING (day, event_type)
+ORDER BY day, event_type
+"""
+
+
+register(QuerySpec("rollup_incremental_daily", rollup_incremental_daily,
+                   ROLLUP_SQL,
+                   "incremental daily rollup: split-merge == direct pass"))

@@ -57,7 +57,7 @@ def test_driver_window_covers_every_family():
         "skew_salted_event_totals", "event_value_stats",
         "multimodal_payload_stats",
         "interval_join_attribution", "cms_heavy_users",
-        "topk_recent_events",
+        "topk_recent_events", "rollup_incremental_daily",
         # training-data prep family (sampling/splits/decontam/PII)
         "sample_bernoulli_docs", "sample_stratified_docs",
         "sample_split_counts", "decontam_ngram_overlap",
@@ -73,16 +73,19 @@ def test_driver_window_covers_every_family():
     assert not unpaired, f"rows-only queries inside the window: {unpaired}"
 
     overflow = set(names[50:])
-    # ROLLUP (CUBE is in-window) + anti-join TPC-H variants: same
-    # relational family as the in-window q1/q3/q5 representatives
-    relational_variants = {"rollup_returns", "customers_without_orders"}
+    # near-duplicate second shapes of families whose representative is
+    # pinned in-window: ROLLUP (CUBE is in), anti-join TPC-H variants
+    # (q1/q3/q5 are in), forward as-of (backward as-of is in)
+    family_variants = {
+        "rollup_returns", "customers_without_orders", "purchase_next_click",
+    }
     bad = sorted(
         n for n in overflow
         if not n.startswith("q")
-        and n not in relational_variants
+        and n not in family_variants
         and n in oracles  # rows-only queries deliberately sort last
     )
     assert not bad, (
-        "only relational grouping/TPC-H variants and rows-only queries "
+        "only same-family variants and rows-only queries "
         f"may overflow the 50-query window, got: {bad}"
     )

@@ -153,3 +153,22 @@ def test_heavy_hitters_finds_the_heavy_one(freq_df):
     assert 8 not in vals  # 0.1 < 0.3 — CMS overshoot ≤ e/512·100 < 1
     one = hh.where(F.col("v") == 7).collect()[0]
     assert one.total_n == 100 and one.est_n >= 50
+
+
+def test_interval_join_plan_is_equi_join(pts, ivs):
+    """The whole point: the bucketed plan must contain a hash/merge
+    equi-join and NO nested-loop/cartesian stage, while the naive
+    BETWEEN join degenerates to BroadcastNestedLoopJoin."""
+    from kinesis_vcr_spark.operators.rangejoin import interval_join
+
+    bucketed = interval_join(
+        pts, ivs, "t", "s", "e", bucket_width=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in bucketed and "Cartesian" not in bucketed
+
+    from pyspark.sql import functions as F
+
+    naive = pts.join(
+        ivs, (F.col("t") >= F.col("s")) & (F.col("t") < F.col("e"))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" in naive or "Cartesian" in naive
