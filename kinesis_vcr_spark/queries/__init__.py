@@ -71,6 +71,7 @@ _MODULE_ORDER = (
     "stats",
     "multimodal",
     "llmprep",
+    "corpusprep",
     "relational",
     "relational2",
     "relational3",

@@ -1,0 +1,213 @@
+"""Corpus-preparation queries — repetition quality signals, cross-doc
+line dedup, and sequence packing.
+
+The driver-checkable surface of :mod:`operators.repetition`,
+:mod:`operators.linededup` and :mod:`operators.packing` (chunk mode —
+the greedy mode is sequential-by-design and property-tested in
+``tests/test_packing.py`` instead).
+
+The fixture corpus has no physical newlines, so "lines" are
+deterministic fixed-width token chunks (``chunk_lines``) — the SQL
+oracle rebuilds the identical chunking with ``list_slice``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_vcr_spark.functions.text import token_count
+from kinesis_vcr_spark.operators.linededup import dedup_lines
+from kinesis_vcr_spark.operators.packing import bin_stats, pack_chunk
+from kinesis_vcr_spark.operators.repetition import chunk_lines, repetition_signals
+from kinesis_vcr_spark.queries import QuerySpec, register
+from kinesis_vcr_spark.tables import load_table
+
+# DuckDB fragment: width-K token chunks of string_split(text, ' ').
+# list_slice end is inclusive and clamps at the array end, mirroring
+# F.slice's remainder behavior.
+
+
+def _chunk_sql(width: int) -> str:
+    return (
+        f"list_transform(range(1, CAST(ceil(len(t) / {width}.0) AS BIGINT) + 1), "
+        f"i -> array_to_string(list_slice(t, (i - 1) * {width} + 1, i * {width}), ' '))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals
+# ---------------------------------------------------------------------------
+
+_LINE_W = 2  # 2-token lines: small fixture vocab → real within-doc dups
+
+
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition filters (Gopher §A1.1): duplicated-line
+    occurrence/character fractions over width-2 token chunks, and the
+    dominant word-2-gram's character coverage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        repetition_signals(docs, "doc_id", "text", line_width=_LINE_W)
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, length(text) AS total_chars, string_split(text, ' ') AS t
+  FROM documents
+), lin AS (
+  SELECT doc_id, unnest({_chunk_sql(_LINE_W)}) AS line FROM toks
+), locc AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS chars
+  FROM lin WHERE length(line) > 0 GROUP BY doc_id, line
+), lstats AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_lines,
+         round((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE), 6)
+           AS dup_line_frac,
+         round(sum((c - 1) * chars) / CAST(sum(c * chars) AS DOUBLE), 6)
+           AS dup_line_char_frac
+  FROM locc GROUP BY doc_id
+), gr AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS gram
+  FROM toks
+), gocc AS (
+  SELECT doc_id, gram, count(*) AS c FROM gr GROUP BY doc_id, gram
+), gbest AS (
+  SELECT doc_id, gram AS top_bigram, c AS top_bigram_count
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, gram DESC) AS rk
+        FROM gocc)
+  WHERE rk = 1
+)
+SELECT t.doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+       top_bigram, CAST(top_bigram_count AS BIGINT) AS top_bigram_count,
+       round(top_bigram_count * length(top_bigram)
+             / CAST(total_chars AS DOUBLE), 6) AS top_bigram_char_frac
+FROM toks t JOIN lstats USING (doc_id) JOIN gbest USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4-style cross-document line dedup
+# ---------------------------------------------------------------------------
+
+_DEDUP_W = 3  # 3-token lines: ~230 lines shared by >= 3 docs at sf0.01
+_MIN_DOCS = 3
+
+
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 boilerplate removal: drop every line occurring in ≥ 3
+    distinct documents, reassemble documents in original line order;
+    audit row = per-doc kept/removed counts + md5 of the cleaned text
+    (proves byte-exact reassembly, not just counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    cleaned = dedup_lines(
+        toks.select("doc_id", chunk_lines(F.col("t"), _DEDUP_W).alias("ls")),
+        "doc_id",
+        F.col("ls"),
+        min_docs=_MIN_DOCS,
+    )
+    return cleaned.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        F.length("clean_text").alias("clean_len"),
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+LINE_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), ch AS (
+  SELECT doc_id, {_chunk_sql(_DEDUP_W)} AS ls FROM toks
+), lines AS (
+  SELECT doc_id, unnest(ls) AS line,
+         unnest(range(1, len(ls) + 1)) AS pos
+  FROM ch
+), ne AS (
+  SELECT * FROM lines WHERE length(line) > 0
+), bp AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS d FROM ne GROUP BY line
+  ) WHERE d >= {_MIN_DOCS}
+), fl AS (
+  SELECT n.doc_id, n.pos, n.line, (b.line IS NOT NULL) AS is_bp
+  FROM ne n LEFT JOIN bp b USING (line)
+), agg AS (
+  SELECT doc_id,
+         count(*) AS n_lines,
+         CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         coalesce(string_agg(CASE WHEN NOT is_bp THEN line END,
+                             chr(10) ORDER BY pos), '') AS clean_text
+  FROM fl GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_removed,
+       length(clean_text) AS clean_len, md5(clean_text) AS clean_md5
+FROM agg ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concatenate-then-split)
+# ---------------------------------------------------------------------------
+
+_CAPACITY = 256
+_STREAMS = 8
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-mode sequence packing of the corpus into 256-token
+    training windows across 8 deterministic streams; output is the
+    per-(stream, bin) packing audit. One window cumsum per stream —
+    entirely Catalyst, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    prepared = docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    packed = pack_chunk(prepared, "doc_id", "n_tok", _CAPACITY, _STREAMS)
+    return (
+        bin_stats(packed.select("doc_id", "stream", "bin_id", "n_tok"), "n_tok")
+        .orderBy("stream", "bin_id")
+    )
+
+
+PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+         CAST(doc_id % {_STREAMS} AS INT) AS stream
+  FROM documents
+), c AS (
+  SELECT *,
+         sum(n_tok) OVER (PARTITION BY stream ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
+  FROM d
+), b AS (
+  SELECT stream, CAST(floor(start_tok / {_CAPACITY}.0) AS BIGINT) AS bin_id,
+         doc_id, n_tok
+  FROM c
+)
+SELECT stream, bin_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_id, max(doc_id) AS last_id
+FROM b GROUP BY stream, bin_id ORDER BY stream, bin_id
+"""
+
+
+register(QuerySpec(
+    "text_repetition_signals", text_repetition_signals, REPETITION_SQL,
+    "Gopher repetition filters: dup-line + top-bigram character fractions",
+))
+register(QuerySpec(
+    "corpus_line_dedup", corpus_line_dedup, LINE_DEDUP_SQL,
+    "C4 cross-doc line dedup: boilerplate removal + md5-exact reassembly",
+))
+register(QuerySpec(
+    "pack_training_sequences", pack_training_sequences, PACK_SQL,
+    "sequence packing into 256-token windows (concatenate-then-split audit)",
+))
