@@ -1,0 +1,173 @@
+"""Archive compaction — merge small sequence-range files into
+target-sized ones, manifest-driven.
+
+The record side flushes a file per (shard, dt, trigger) — the
+reference's 60 s default (VcrConfiguration.java:15) on a quiet shard
+produces thousands of tiny S3 objects per day, and at 100 TB the
+listing + per-object GET overhead dominates replay ("small-file
+problem"). Compaction rewrites each (shard, dt) run of
+sequence-adjacent files into files of ~``target_bytes``, preserving the
+archive invariants: one shard per file, contiguous ``[firstSeq,
+lastSeq]`` naming, byte-identical payload concatenation (files already
+end in '\\n', so merge = concat).
+
+Design:
+
+- **Plan** is pure DataFrame math over the manifest (no file IO): a
+  window cumulative sum per (shard, dt) ordered by numeric sequence,
+  chunked by ``floor(start/target)`` — the same concatenate-then-chunk
+  discipline as sequence packing (operators/packing.py), applied to
+  bytes instead of tokens.
+- **Execute** reads only multi-file groups through Spark's
+  ``binaryFile`` source (distributed, no driver IO), merges each group
+  in one ``applyInPandas`` task (a group is ≤ ~target_bytes by
+  construction — bounded task memory), and writes the merged file into
+  a NEW archive root (copy-on-compact). Untouched single-file groups
+  keep their original paths: the returned manifest points readers at
+  exactly one copy of every byte, old generation or new — an atomic
+  swap is "start reading the new manifest", and a failed run changes
+  nothing (the old manifest never references the new root).
+
+Scale posture: one window per (shard, dt) key (thousands of files per
+key, not millions — keys partition the work), one shuffle to group file
+*contents* by merge group, writer tasks bounded by ``target_bytes``.
+The driver never sees a file path or payload.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+def _seq_order() -> list:
+    """Numeric order for decimal-string sequence numbers (unique per
+    shard): shorter string = smaller number, then lexicographic.
+    Built lazily — Column construction needs an active session."""
+    return [F.length("first_seq"), F.col("first_seq")]
+
+
+def plan_compaction(manifest: DataFrame, target_bytes: int) -> DataFrame:
+    """Assign every manifest file to a merge group.
+
+    Adds ``group_id`` (chunk index within its (shard, dt) run) and
+    ``group_files`` (files in that group — 1 ⇒ nothing to rewrite).
+    A file bigger than ``target_bytes`` lands alone in its group; the
+    chunk boundary math never splits a file.
+    """
+    w = (
+        Window.partitionBy("shard_id", "dt")
+        .orderBy(*_seq_order())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = manifest.withColumn(
+        "group_id",
+        F.floor(
+            (F.sum("byte_size").over(w) - F.col("byte_size"))
+            / F.lit(float(target_bytes))
+        ).cast("long"),
+    )
+    counts = planned.groupBy("shard_id", "dt", "group_id").agg(
+        F.count("*").alias("group_files")
+    )
+    return planned.join(counts, ["shard_id", "dt", "group_id"])
+
+
+def compact_archive(
+    spark: SparkSession,
+    manifest: DataFrame,
+    compacted_root: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Execute a compaction plan; returns the NEW manifest.
+
+    Multi-file groups are merged into ``compacted_root/dt=…/shard=…/
+    {firstSeq}-{lastSeq}``; single-file groups pass through untouched
+    (their manifest rows keep the original path). The output has
+    MANIFEST_SCHEMA shape and is safe to write with ``mode("append")``
+    semantics disabled — it is a full replacement manifest.
+    """
+    plan = plan_compaction(manifest, target_bytes)
+    passthrough = plan.where(F.col("group_files") == 1).select(*manifest.columns)
+    todo = plan.where(F.col("group_files") > 1)
+
+    paths = [r["file_path"] for r in todo.select("file_path").collect()]
+    if not paths:
+        return passthrough
+
+    contents = (
+        spark.read.format("binaryFile")
+        .load(paths)
+        # binaryFile reports URIs ('file:/…'); the manifest stores the
+        # path as written — normalize so the join keys line up
+        .select(
+            F.regexp_replace(F.col("path"), "^file:", "").alias("file_path"),
+            "content",
+        )
+    )
+    with_meta = todo.select(
+        "shard_id",
+        F.col("dt").cast("string").alias("dt"),
+        "group_id",
+        "file_path",
+        "first_seq",
+        "last_seq",
+        "record_count",
+    ).join(contents, "file_path")
+
+    out_schema = (
+        "shard_id string, dt string, file_path string, first_seq string,"
+        " last_seq string, record_count long, byte_size long"
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            by="first_seq", key=lambda s: [(len(x), x) for x in s]
+        )
+        shard, dt = pdf["shard_id"].iat[0], pdf["dt"].iat[0]
+        payload = b"".join(pdf["content"])  # files already newline-terminated
+        first = pdf["first_seq"].iat[0]
+        last = pdf["last_seq"].iat[-1]
+        # mirror the recorder's layout (streaming/record.py): the shard
+        # component is already filesystem-safe in manifest paths
+        part_dir = os.path.join(compacted_root, f"dt={dt}", f"shard={shard}")
+        os.makedirs(part_dir, exist_ok=True)
+        path = os.path.join(part_dir, f"{first}-{last}")
+        with open(path, "wb") as fh:  # idempotent: same name ⇒ same bytes
+            fh.write(payload)
+        return pd.DataFrame(
+            {
+                "shard_id": [shard],
+                "dt": [dt],
+                "file_path": [path],
+                "first_seq": [first],
+                "last_seq": [last],
+                "record_count": [int(pdf["record_count"].sum())],
+                "byte_size": [len(payload)],
+            }
+        )
+
+    merged = (
+        with_meta.groupBy("shard_id", "dt", "group_id")
+        .applyInPandas(merge, out_schema)
+        .select(
+            "shard_id",
+            F.col("dt").cast("date").alias("dt"),
+            "file_path",
+            "first_seq",
+            "last_seq",
+            "record_count",
+            "byte_size",
+        )
+    )
+    return passthrough.select(
+        "shard_id",
+        F.col("dt").cast("date").alias("dt"),
+        "file_path",
+        "first_seq",
+        "last_seq",
+        "record_count",
+        "byte_size",
+    ).unionByName(merged)

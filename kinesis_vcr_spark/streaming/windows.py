@@ -292,3 +292,54 @@ def dedup_stream(
     if records.isStreaming:
         return wm.dropDuplicatesWithinWatermark(key_cols)
     return records.dropDuplicates(key_cols)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "arrival_ts",
+    right_ts: str = "arrival_ts",
+    within: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join.
+
+    Pairs every left row with the right rows sharing its key whose
+    event time falls in ``[left_ts − within, left_ts]`` — the streaming
+    counterpart of the bucketed interval join (operators/rangejoin.py)
+    and the enrichment shape a live replay monitor needs (e.g. join
+    emitted records to their delivery acks within an hour).
+
+    Both sides carry watermarks, so Spark bounds the join state: a
+    buffered left row is evicted once the right watermark passes
+    ``left_ts + within``; right rows age out after ``within`` plus the
+    watermark delay. Without the time condition the state would grow
+    unboundedly — the interval bound IS the state bound (watermark +
+    condition → state eviction). Outer joins emit the unmatched side
+    only after the watermark closes the interval, per Spark semantics.
+
+    ``left_ts`` and ``right_ts`` must be differently-named columns (or
+    rename before calling): the joined schema keeps both. Works on
+    batch frames too (watermarks are streaming-only — skipped) — the
+    tests pin batch/streaming result parity.
+    """
+    if left_ts == right_ts:
+        raise ValueError(
+            "left_ts and right_ts must differ in name; rename one side "
+            f"(both are {left_ts!r})"
+        )
+    lw = left.withWatermark(left_ts, watermark_delay) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark_delay) if right.isStreaming else right
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (lw[k] == rw[k])
+    cond = (
+        cond
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {within}"))
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    joined = lw.join(rw, cond, how)
+    # single copy of the (equal) key columns
+    return joined.drop(*[rw[k] for k in key_cols])

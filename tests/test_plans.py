@@ -205,3 +205,36 @@ def test_bm25_is_top_k_not_global_sort(spark, sf_dir):
 
     plan = _formatted_plan(all_queries()["bm25_search"].spark_fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_corpusprep_plans_stay_jvm_side(spark, sf_dir):
+    """Round-4 corpus-prep queries: no Python stages, partial (map-side)
+    aggregation, and no single-partition window — the properties their
+    docstrings promise for the 100 TB posture."""
+    from kinesis_vcr_spark.queries.corpusprep import (
+        corpus_line_dedup,
+        pack_training_sequences,
+        text_repetition_signals,
+    )
+
+    for fn in (text_repetition_signals, corpus_line_dedup):
+        plan = _formatted_plan(fn(spark, sf_dir))
+        assert "EvalPython" not in plan, fn.__name__
+        assert plan.count("HashAggregate") >= 2, fn.__name__  # partial+final
+
+    plan = _formatted_plan(pack_training_sequences(spark, sf_dir))
+    assert "EvalPython" not in plan
+    # the packing cumsum must be a per-stream window, never a global sort
+    assert "SinglePartition" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_line_dedup_boilerplate_join_is_broadcast(spark, sf_dir):
+    """The membership join back (line → is-boilerplate) must broadcast
+    the (small) boilerplate set, not shuffle the exploded corpus."""
+    from kinesis_vcr_spark.queries.corpusprep import corpus_line_dedup
+
+    plan = _formatted_plan(corpus_line_dedup(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
