@@ -211,3 +211,125 @@ register(QuerySpec(
     "pack_training_sequences", pack_training_sequences, PACK_SQL,
     "sequence packing into 256-token windows (concatenate-then-split audit)",
 ))
+
+
+# ---------------------------------------------------------------------------
+# linear quality model (hashing trick)
+# ---------------------------------------------------------------------------
+
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality score per document via the
+    feature-hashing trick: md5-derived integer milli-weights per token
+    (exact, order-independent sum), sigmoid applied once to the exact
+    logit. No vocabulary table, no shuffle beyond the doc-key groupBy."""
+    from kinesis_vcr_spark.operators.classify import score_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return score_documents(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# DuckDB reproduction of hash_weight_milli: base-16 value of the first
+# 6 md5 hex digits via character arithmetic (no hex-cast builtin).
+_HEXVAL = (
+    "list_aggregate(list_transform(range(1, 7), i -> "
+    "(CASE WHEN substr(h, i, 1) BETWEEN '0' AND '9' "
+    "THEN ascii(substr(h, i, 1)) - 48 "
+    "ELSE ascii(substr(h, i, 1)) - 87 END) "
+    "* CAST(pow(16, 6 - i) AS BIGINT)), 'sum')"
+)
+
+QUALITY_MODEL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), ne AS (
+  SELECT doc_id, substr(md5(token), 1, 6) AS h
+  FROM toks WHERE length(token) > 0
+), w AS (
+  SELECT doc_id, {_HEXVAL} % 2001 - 1000 AS wm FROM ne
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(wm) AS BIGINT) AS logit_milli,
+       round(1.0 / (1.0 + exp(-(CAST(sum(wm) AS DOUBLE) / 1000.0))), 6)
+         AS score
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization error audit
+# ---------------------------------------------------------------------------
+
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit per-dimension min-max ranges over the corpus, quantize every
+    element to an 8-bit code, and report per-label reconstruction
+    error — code range proves full 0..255 utilization, the mean
+    absolute error is DECIMAL-summed (exact, order-independent)."""
+    from kinesis_vcr_spark.operators.quantize import (
+        embedding_ranges,
+        quantize_elements,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qel = quantize_elements(emb, embedding_ranges(emb), "vec_id", "embedding")
+    labeled = qel.join(emb.select("vec_id", "label"), "vec_id")
+    return (
+        labeled.groupBy("label")
+        .agg(
+            F.count("*").alias("n_elems"),
+            F.min("code").alias("min_code"),
+            F.max("code").alias("max_code"),
+            F.round(
+                F.sum(F.col("abs_err").cast("decimal(24,15)")).cast("double")
+                / F.count("*"),
+                8,
+            ).alias("mean_abs_err"),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_elems", "min_code", "max_code", "mean_abs_err",
+        )
+        .orderBy("label")
+    )
+
+
+QUANTIZE_SQL = """
+WITH el AS (
+  SELECT vec_id, label,
+         unnest(embedding) AS xf,
+         unnest(range(0, len(embedding))) AS pos
+  FROM embeddings
+), d AS (
+  SELECT vec_id, label, pos, CAST(xf AS DOUBLE) AS x FROM el
+), r AS (
+  SELECT pos, min(x) AS vmin, max(x) AS vmax FROM d GROUP BY pos
+), q AS (
+  SELECT d.label,
+         CASE WHEN vmax = vmin THEN 0
+              ELSE CAST(round((x - vmin) / ((vmax - vmin) / 255.0)) AS INT)
+         END AS code,
+         CASE WHEN vmax = vmin THEN 0.0
+              ELSE abs(x - (vmin
+                   + CAST(round((x - vmin) / ((vmax - vmin) / 255.0)) AS INT)
+                     * ((vmax - vmin) / 255.0)))
+         END AS abs_err
+  FROM d JOIN r USING (pos)
+)
+SELECT CAST(label AS INT) AS label,
+       count(*) AS n_elems,
+       min(code) AS min_code,
+       max(code) AS max_code,
+       round(CAST(sum(CAST(abs_err AS DECIMAL(24,15))) AS DOUBLE)
+             / count(*), 8) AS mean_abs_err
+FROM q GROUP BY label ORDER BY label
+"""
+
+
+register(QuerySpec(
+    "text_quality_model", text_quality_model, QUALITY_MODEL_SQL,
+    "linear quality model via feature hashing: exact integer logit + sigmoid",
+))
+register(QuerySpec(
+    "embedding_quantize_error", embedding_quantize_error, QUANTIZE_SQL,
+    "int8 min-max embedding quantization: per-label reconstruction error",
+))

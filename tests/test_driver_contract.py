@@ -63,10 +63,11 @@ def test_driver_window_covers_every_family():
         "sample_split_counts", "decontam_ngram_overlap",
         "text_pii_redaction",
         # corpus-prep family (round 4): repetition filters, cross-doc
-        # line dedup, sequence packing
+        # line dedup, sequence packing, model scoring, quantization
         "text_repetition_signals", "corpus_line_dedup",
-        "pack_training_sequences",
-        "q1_pricing_summary", "purchase_asof_click",
+        "pack_training_sequences", "text_quality_model",
+        "embedding_quantize_error",
+        "q1_pricing_summary", "purchase_asof_click", "user_sessions",
     }
     missing = required - window
     assert not missing, f"queries pushed outside the driver window: {missing}"
@@ -86,6 +87,7 @@ def test_driver_window_covers_every_family():
     family_variants = {
         "rollup_returns", "customers_without_orders",
         "premium_active_customers", "event_type_daily_pivot",
+        "purchase_next_click", "top3_orders_per_customer",
     }
     bad = sorted(
         n for n in overflow
