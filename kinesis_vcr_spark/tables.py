@@ -39,15 +39,30 @@ def _apply_session_quirks(spark: SparkSession) -> None:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table with normalized schema."""
+    """Load one synthetic table with normalized schema.
+
+    ``events.ts`` has shipped in two physical forms across driver
+    testdata generations — parquet TIMESTAMP(NANOS) (read as int64 via
+    ``nanosAsLong``) and parquet timestamp[us] (read as TIMESTAMP_NTZ).
+    Both normalize to the same exposed pair: exact int64 ``ts_ns``
+    (boundary-exact filtering; DuckDB oracles use ``epoch_ns(ts)``)
+    plus a microsecond TimestampType ``ts`` for calendar operations.
+    """
     _apply_session_quirks(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
-        # nanosAsLong leaves ts as int64 nanos; keep it exact and add a
-        # microsecond timestamp for calendar operations.
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":
+            # nanosAsLong left ts as int64 nanos.
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        else:
+            # timestamp[us] storage; session tz is pinned UTC, so the
+            # NTZ→TZ cast is wall-clock-identical on every executor.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+                "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
+            )
     return df
 
 
