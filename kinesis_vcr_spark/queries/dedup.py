@@ -438,3 +438,71 @@ register(QuerySpec("corpus_clean_pipeline", corpus_clean_pipeline,
                    PIPELINE_SQL,
                    "composed pipeline: exact dedup → near-dup components "
                    "→ quality filter, per-(source,status) counts"))
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring pairs via winnowed fingerprints
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 50
+WINNOW_W = 16
+
+
+def substr_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing a verbatim ≥ 50-char substring, found via
+    content-defined winnowed fingerprints (operators/winnow.py — the
+    distributable stand-in for Lee et al. 2022's suffix-array
+    ExactSubstr dedup). Detection is GUARANTEED for shared spans of
+    ≥ k + w − 1 = 65 chars; the whole pipeline is deterministic
+    (md5 + window-min), so DuckDB reproduces it bit-for-bit rather
+    than brute-forcing a different definition. At sf0.01 this
+    recovers exactly the planted near-dup pairs — verbatim-copy
+    evidence complementing ``dedup_near_minhash``'s bag-of-shingles
+    signal."""
+    from kinesis_vcr_spark.operators.winnow import shared_substring_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shared_substring_pairs(
+        docs, "doc_id", "text", k=WINNOW_K, w=WINNOW_W,
+        max_docs_per_fp=1000,
+    )
+    return pairs.select(
+        "id_a", "id_b", "n_shared_fp", "sample_gram"
+    ).orderBy("id_a", "id_b")
+
+
+WINNOW_SQL = f"""
+WITH g AS (
+  SELECT doc_id, p AS pos,
+         md5(substr(text, CAST(p AS INT), {WINNOW_K}))
+           || substr(text, CAST(p AS INT), {WINNOW_K}) AS key
+  FROM documents,
+       unnest(range(1, greatest(length(text) - {WINNOW_K - 1}, 1) + 1)) t(p)
+), wmin AS (
+  SELECT doc_id, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {WINNOW_W - 1} FOLLOWING) AS fp,
+         greatest(count(*) OVER (PARTITION BY doc_id)
+                  - {WINNOW_W - 1}, 1) AS n_starts
+  FROM g
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= n_starts
+), capped AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_docs FROM fps
+  ) WHERE n_docs <= 1000
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fp,
+       substr(min(a.fp), 33) AS sample_gram
+FROM capped a JOIN capped b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+register(QuerySpec("substr_winnow_pairs", substr_winnow_pairs, WINNOW_SQL,
+                   "winnowed-fingerprint verbatim-substring duplicate pairs "
+                   "(guaranteed ≥ 65-char span detection)"))
