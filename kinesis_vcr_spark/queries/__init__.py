@@ -75,6 +75,9 @@ _MODULE_ORDER = (
     "relational",
     "relational2",
     "relational3",
+    # overflow by design: the 50-slot window is fully allocated above;
+    # these stay green via the strict local harness instead
+    "filterq",
 )
 
 

@@ -1,0 +1,110 @@
+"""Blocklist hygiene (operators/blockfilter.py) + unigram-LM scoring
+(operators/lmscore.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from kinesis_vcr_spark.operators.blockfilter import filter_clean, flag_blocked
+from kinesis_vcr_spark.operators.lmscore import (
+    MICRO,
+    score_documents_lm,
+    unigram_nll_table,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+# ---------------------------------------------------------------------------
+# blocklist
+# ---------------------------------------------------------------------------
+
+
+def test_whole_token_term_matching(spark):
+    df = _docs(spark, [
+        (0, "clean text here"),
+        (1, "contains spamword today"),
+        (2, "spamwordish is not a hit"),   # substring must NOT match
+        (3, "spamword spamword twice"),
+    ])
+    v = {r.doc_id: r for r in flag_blocked(
+        df, spark, bad_terms=["spamword"]).collect()}
+    assert not v[0].blocked and v[0].term_hits == 0
+    assert v[1].blocked and v[1].term_hits == 1
+    assert not v[2].blocked
+    assert v[3].term_hits == 2
+
+
+def test_domain_matching_case_insensitive(spark):
+    df = _docs(spark, [
+        (0, "go to https://Bad.Example.COM/x now"),
+        (1, "go to https://good.example.com/x now"),
+        (2, "http://bad.example.com also flagged"),
+        (3, "bad.example.com bare mention is not a URL"),
+    ])
+    v = {r.doc_id: r for r in flag_blocked(
+        df, spark, bad_domains=["BAD.example.com"]).collect()}
+    assert v[0].blocked and v[0].domain_hits == 1
+    assert not v[1].blocked
+    assert v[2].blocked
+    assert not v[3].blocked
+
+
+def test_filter_clean_keeps_survivors(spark):
+    df = _docs(spark, [
+        (0, "fine"), (1, "has spamword"), (2, "see https://evil.test/a"),
+    ])
+    kept = filter_clean(
+        df, spark, bad_terms=["spamword"], bad_domains=["evil.test"]
+    )
+    assert {r.doc_id for r in kept.collect()} == {0}
+
+
+def test_empty_denylists_block_nothing(spark):
+    df = _docs(spark, [(0, "anything"), (1, "at all")])
+    v = flag_blocked(df, spark).collect()
+    assert all(not r.blocked for r in v)
+    assert len(v) == 2
+
+
+# ---------------------------------------------------------------------------
+# unigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_nll_table_exact_values(spark):
+    # corpus: "a a b" -> N=3, V=2; add-1: p(a)=(2+1)/(3+2), p(b)=(1+1)/(3+2)
+    df = _docs(spark, [(0, "a a b")])
+    nll = {r.token: r.nll_micro for r in unigram_nll_table(df).collect()}
+    assert nll["a"] == round(math.log(5 / 3) * MICRO)
+    assert nll["b"] == round(math.log(5 / 2) * MICRO)
+
+
+def test_common_tokens_score_lower(spark):
+    rows = [(i, "the the the common words") for i in range(9)]
+    rows.append((9, "zxqv unseen rarities only"))
+    scored = {r.doc_id: r.avg_nll for r in score_documents_lm(
+        _docs(spark, rows)).collect()}
+    assert scored[9] > scored[0]  # rare-token doc = higher NLL
+
+
+def test_external_lm_oov_penalty(spark):
+    train = _docs(spark, [(0, "a a b")])
+    lm = unigram_nll_table(train)
+    test = _docs(spark, [(1, "a zzz")])
+    oov = round(math.log(5 / 1) * MICRO)  # ln((N + aV)/a)
+    r = score_documents_lm(test, lm=lm, oov_nll_micro=oov).collect()[0]
+    assert r.n_tokens == 2
+    assert r.nll_micro_total == round(math.log(5 / 3) * MICRO) + oov
+
+
+def test_external_lm_requires_oov(spark):
+    train = _docs(spark, [(0, "a a b")])
+    lm = unigram_nll_table(train)
+    with pytest.raises(ValueError, match="oov"):
+        score_documents_lm(_docs(spark, [(1, "a")]), lm=lm)

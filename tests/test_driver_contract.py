@@ -89,6 +89,9 @@ def test_driver_window_covers_every_family():
         "rollup_returns", "customers_without_orders",
         "premium_active_customers", "event_type_daily_pivot",
         "purchase_next_click", "top3_orders_per_customer",
+        # filterq module: overflow by design (window fully allocated);
+        # held green by tools/oracle_check.py instead of a driver row
+        "text_blocklist_filter", "lm_unigram_score",
     }
     bad = sorted(
         n for n in overflow
