@@ -1,0 +1,118 @@
+"""SemDeDup — semantic deduplication via embedding clustering.
+
+Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication") prune LAION/C4-scale corpora by
+embedding every item, k-means clustering the embeddings, and removing
+all but one member of every intra-cluster ε-ball (pairwise cosine ≥
+threshold). Clustering is what makes web scale tractable: pairwise
+comparison happens only WITHIN a cluster, so total work is
+Σ n_c² ≈ N²/k instead of N² — the paper runs k = 50k over 5B items.
+The price is boundary misses (a near-dup pair split across clusters is
+never compared); that approximation is the published algorithm, not a
+shortcut taken here.
+
+Spark shape:
+
+1. centroids: deterministic seeds + distributed Lloyd steps
+   (reused from :mod:`kinesis_vcr_spark.operators.ivf` — k×dim matrix,
+   broadcast in the assignment UDF's closure);
+2. assign: one vectorized Pandas-UDF matmul pass;
+3. intra-cluster pairs: equi-self-join on the cluster id (bucketed —
+   never all-pairs) + exact cosine filter; ``max_cluster_members``
+   guards a degenerate centroid from going quadratic, same discipline
+   as the LSH hot-band cap;
+4. ε-balls: :func:`connected_components` over the pair graph (min-id
+   root = the kept representative, deterministic);
+5. verdict: every input id labeled keep/drop + its group root.
+
+Scale knob: pick ``k_clusters ∝ N / target_cluster_size`` (the paper's
+regime); each Lloyd step is one full pass, the self-join shuffles on
+the cluster id only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kinesis_vcr_spark.operators.components import connected_components
+from kinesis_vcr_spark.operators.ivf import assign_centroid, train_centroids
+from kinesis_vcr_spark.operators.similarity import cosine, unit_double
+
+
+def intra_cluster_pairs(
+    assigned: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_cluster_members: int | None = 10_000,
+) -> DataFrame:
+    """``(id_a, id_b, cosine)`` for same-cluster pairs with cosine ≥
+    threshold. ``assigned`` needs columns ``id_col, unit, cid``."""
+    members = assigned
+    if max_cluster_members is not None:
+        members = (
+            members.withColumn(
+                "__n", F.count("*").over(Window.partitionBy("cid"))
+            )
+            .where(F.col("__n") <= max_cluster_members)
+            .drop("__n")
+        )
+    a = members.select(
+        F.col(id_col).alias("id_a"), F.col("unit").alias("ua"), "cid"
+    )
+    b = members.select(
+        F.col(id_col).alias("id_b"), F.col("unit").alias("ub"), "cid"
+    )
+    return (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine(F.col("ua"), F.col("ub")).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    k_clusters: int = 16,
+    refine_iterations: int = 1,
+    max_cluster_members: int | None = 10_000,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Per-item dedup verdict: ``(id_col, cid, group, keep)``.
+
+    ``group`` = min id of the item's ε-ball (its own id when unique);
+    ``keep`` = the item IS that representative. Drop-side filter:
+    ``semantic_dedup(...).where("NOT keep")``.
+    """
+    centroids = train_centroids(
+        df, k=k_clusters, id_col=id_col, vec_col=vec_col,
+        refine_iterations=refine_iterations,
+    )
+    assigned = df.select(
+        F.col(id_col),
+        unit_double(F.col(vec_col)).alias("unit"),
+        assign_centroid(F.col(vec_col), centroids).alias("cid"),
+    )
+    pairs = intra_cluster_pairs(
+        assigned, id_col, threshold, max_cluster_members
+    )
+    comp = connected_components(
+        pairs, "id_a", "id_b", checkpoint_dir=checkpoint_dir
+    ).withColumnRenamed("node", id_col)
+    return (
+        assigned.select(id_col, "cid")
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            "cid",
+            F.coalesce("component", F.col(id_col)).alias("group"),
+            (F.coalesce("component", F.col(id_col)) == F.col(id_col)).alias(
+                "keep"
+            ),
+        )
+    )

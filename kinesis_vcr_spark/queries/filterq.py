@@ -184,3 +184,85 @@ GROUP BY s.source ORDER BY s.source
 register(QuerySpec("lm_unigram_score", lm_unigram_score, LM_SCORE_SQL,
                    "CCNet-style unigram-LM scoring: exact micro-nat NLL "
                    "totals, per-source perplexity profile"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: embedding-cluster semantic dedup (planted, hash-independent)
+# ---------------------------------------------------------------------------
+
+SEM_THRESHOLD = 0.95
+
+
+def semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup verdict on the planted-twin corpus: every 10th vector
+    gets an identical twin at ``vec_id + 1e6`` (the
+    ``dedup_embedding_cosine_planted`` fixture), and the clustered
+    pipeline must drop exactly the twins, keeping the originals as
+    ε-ball representatives. The output is clustering-INDEPENDENT —
+    identical vectors always co-cluster, and the raw fixture tops out
+    at cosine ≈ 0.51 ≪ 0.95 — so a brute-force relational oracle
+    reproduces it exactly even though k-means itself isn't
+    SQL-expressible."""
+    from kinesis_vcr_spark.operators.semdedup import semantic_dedup
+    from kinesis_vcr_spark.queries.dedup import PLANT_MOD, PLANT_OFFSET
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    twins = emb.where(F.col("vec_id") % PLANT_MOD == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(PLANT_OFFSET)
+    )
+    corpus = emb.unionByName(twins).select("vec_id", "embedding")
+    verdict = semantic_dedup(
+        corpus, "vec_id", "embedding",
+        threshold=SEM_THRESHOLD, k_clusters=8, refine_iterations=1,
+    )
+    return (
+        verdict.where(~F.col("keep"))
+        .select("vec_id", F.col("group").alias("kept_as"))
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_sql() -> str:
+    from kinesis_vcr_spark.queries.dedup import PLANT_MOD, PLANT_OFFSET
+
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id, embedding
+  FROM embeddings WHERE vec_id % {PLANT_MOD} = 0
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM corpus
+), n AS (
+  SELECT vec_id, e,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM v
+), u AS (
+  SELECT vec_id, list_transform(e, x -> x / nrm) AS un FROM n
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
+  WHERE list_reduce(list_transform(range(1, 65),
+            i -> a.un[i] * b.un[i]), (x, y) -> x + y) >= {SEM_THRESHOLD}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node, min(lbl) AS kept_as FROM reach GROUP BY node
+)
+SELECT node AS vec_id, kept_as FROM comp
+WHERE node <> kept_as ORDER BY vec_id
+"""
+
+
+register(QuerySpec("semantic_dedup_planted", semantic_dedup_planted,
+                   _semdedup_sql(),
+                   "SemDeDup: k-means clusters → intra-cluster ε-balls → "
+                   "planted twins dropped, originals kept"))
