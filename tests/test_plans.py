@@ -238,3 +238,42 @@ def test_line_dedup_boilerplate_join_is_broadcast(spark, sf_dir):
 
     plan = _formatted_plan(corpus_line_dedup(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_round5_filter_dedup_plan_shapes(spark, sf_dir):
+    """Winnow / blocklist / LM-score plan posture: zero Python stages
+    (all three are pure Catalyst), denylist and NLL-table lookups ride
+    broadcast joins (the corpus side never shuffles for a lookup), and
+    aggregations are partial."""
+    from kinesis_vcr_spark.queries.dedup import substr_winnow_pairs
+    from kinesis_vcr_spark.queries.filterq import (
+        lm_unigram_score,
+        text_blocklist_filter,
+    )
+
+    plan = _formatted_plan(substr_winnow_pairs(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # fingerprint self-join is an equi-join (SortMerge or Hash)
+    assert "Join" in plan
+
+    plan = _formatted_plan(text_blocklist_filter(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # denylist lookups
+    assert "CartesianProduct" not in plan
+
+    plan = _formatted_plan(lm_unigram_score(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # NLL-table lookup
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_semdedup_intra_cluster_join_is_equi(spark, sf_dir):
+    """SemDeDup's pairwise stage must join on the cluster id (bucketed),
+    never a cartesian product; the only Python stages are the two
+    vectorized centroid-assignment UDF passes."""
+    from kinesis_vcr_spark.queries.filterq import semantic_dedup_planted
+
+    plan = _formatted_plan(semantic_dedup_planted(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
