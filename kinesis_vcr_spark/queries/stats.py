@@ -74,13 +74,17 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one pass — Spark expands the sets with partial aggregation."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    # project the decimal product BEFORE the cube: Expand replicates
+    # every row once per grouping set, so computing rev upstream runs
+    # the wide-decimal multiply N times instead of 4N
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        li.select("l_returnflag", "l_linestatus", rev.alias("__rev"))
+        .cube("l_returnflag", "l_linestatus")
         # grand-total magnitudes push the (38,8) sum past float64's 17
         # significant digits, where the engines' decimal->double paths
         # diverge by 1 ulp — downcast once to (18,4) on both sides
         .agg(F.count("*").alias("n_lines"),
-             F.round(F.sum(rev), 4).cast("double").alias("revenue"))
+             F.round(F.sum("__rev"), 4).cast("double").alias("revenue"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
