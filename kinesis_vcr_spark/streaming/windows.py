@@ -343,3 +343,85 @@ def interval_join_streams(
     joined = lw.join(rw, cond, how)
     # single copy of the (equal) key columns
     return joined.drop(*[rw[k] for k in key_cols])
+
+
+def streaming_frequency(
+    records: DataFrame,
+    key_col: str,
+    value_col: str,
+    w: int | None = None,
+) -> DataFrame:
+    """Streaming per-value frequency estimates — the portable count-min
+    sketch (:mod:`kinesis_vcr_spark.operators.sketch`) as
+    ``applyInPandasWithState`` state.
+
+    State per key is the d×w counter matrix (d·w longs — constant, no
+    matter the throughput; sketch merge = cell-wise sum, so adding a
+    batch IS the merge). Each trigger folds the batch into the
+    counters and emits the RUNNING estimate for every value seen in
+    that batch: ``(key, value, est_n)``, CMS-guaranteed ≥ the true
+    running count. The hash arithmetic is bit-identical to the batch
+    sketch (same ``CMS_ROWS``/modulus/width, int64 wrap + non-negative
+    mod match Java long semantics), so after a stream drains, the last
+    estimate per value equals ``cms_estimate`` over the same data —
+    test-pinned, and a streaming sketch can be summed into batch
+    sketches later.
+    """
+    from kinesis_vcr_spark.operators.sketch import CMS_P, CMS_ROWS, CMS_W
+
+    w = CMS_W if w is None else w
+    if w & (w - 1):
+        raise ValueError("w must be a power of two")
+    d = len(CMS_ROWS)
+
+    out_schema = StructType(
+        [
+            StructField(key_col, records.schema[key_col].dataType, True),
+            StructField(value_col, LongType(), True),
+            StructField("est_n", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("counters", ArrayType(LongType()), True)]
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        counters = (
+            np.array(state.get[0], dtype=np.int64).reshape(d, w)
+            if state.exists
+            else np.zeros((d, w), dtype=np.int64)
+        )
+        seen: set[int] = set()
+        for pdf in batches:
+            v = pdf["__v"].to_numpy(dtype=np.int64)
+            seen.update(int(x) for x in np.unique(v))
+            for i, (a, b) in enumerate(CMS_ROWS):
+                cols = np.mod(v * a + b, CMS_P) & (w - 1)
+                np.add.at(counters[i], cols, 1)
+        state.update((counters.reshape(-1).tolist(),))
+
+        vals = np.array(sorted(seen), dtype=np.int64)
+        est = np.full(len(vals), np.iinfo(np.int64).max, dtype=np.int64)
+        for i, (a, b) in enumerate(CMS_ROWS):
+            cols = np.mod(vals * a + b, CMS_P) & (w - 1)
+            est = np.minimum(est, counters[i][cols])
+        yield pd.DataFrame(
+            {key_col: key[0], value_col: vals, "est_n": est}
+        )
+
+    prepared = records.select(
+        key_col, F.col(value_col).cast("long").alias("__v")
+    )
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -250,3 +250,50 @@ def test_streaming_approx_distinct_matches_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_streaming_frequency_matches_batch_cms(spark, tmp_path):
+    """The streaming CMS (counter matrix as applyInPandasWithState
+    state) must converge to the batch sketch's point estimates over the
+    same data — identical pinned hash arithmetic, merge = cell sum."""
+    from pyspark.sql import functions as F
+
+    from kinesis_vcr_spark.operators.sketch import cms_estimate, cms_sketch
+    from kinesis_vcr_spark.streaming.windows import streaming_frequency
+
+    rows = [
+        ("type-%d" % (i % 2), (i * 13) % 50)  # 50 values, skewed-ish
+        for i in range(4000)
+    ] + [("type-0", 7)] * 500                  # one heavy hitter
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    src = str(tmp_path / "cms_src")
+    df.write.mode("overwrite").parquet(src)
+
+    sketch = cms_sketch(df, ["event_type"], "user_id")
+    items = df.select("event_type", "user_id").distinct()
+    batch = {
+        (r["event_type"], r["user_id"]): r["est_n"]
+        for r in cms_estimate(items, sketch, ["event_type"], "user_id").collect()
+    }
+
+    stream = spark.readStream.schema("event_type string, user_id long").parquet(src)
+    q = (
+        streaming_frequency(stream, "event_type", "user_id")
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_type"], r["user_id"]): r["est_n"]
+        for r in spark.sql("SELECT * FROM cms_stream")
+        .groupBy("event_type", "user_id")
+        .agg(F.last("est_n").alias("est_n"))
+        .collect()
+    }
+    assert got == batch
+    # CMS never undercounts: the planted heavy hitter's estimate covers
+    # its true count
+    assert got[("type-0", 7)] >= 500
