@@ -125,3 +125,28 @@ def test_fast_path_matches_portable(spark):
         == {(r.id_a, r.id_b) for r in fast.collect()}
         == {(0, 1)}
     )
+
+
+def test_randomized_planted_spans_all_recovered(spark):
+    """Randomized sweep of the winnowing guarantee in ONE job: 40 doc
+    pairs, each sharing a random-length span (≥ w+k−1) at random
+    offsets inside otherwise-independent random texts — every pair
+    must surface, and no cross-pair false positives."""
+    rng = random.Random(123)
+    rows, expected = [], set()
+    for p in range(40):
+        span = _rand_text(rng, GUARANTEE + rng.randrange(0, 40))
+        a, b = 2 * p, 2 * p + 1
+        rows.append((a, _rand_text(rng, rng.randrange(0, 150)) + span
+                     + _rand_text(rng, rng.randrange(0, 150))))
+        rows.append((b, _rand_text(rng, rng.randrange(0, 150)) + span
+                     + _rand_text(rng, rng.randrange(0, 150))))
+        expected.add((a, b))
+    found = {
+        (r.id_a, r.id_b)
+        for r in shared_substring_pairs(_docs(spark, rows), k=K, w=W).collect()
+    }
+    assert expected <= found  # guarantee: every planted pair recovered
+    # random flank text must not connect unrelated pairs
+    extras = found - expected
+    assert not extras, extras
