@@ -266,3 +266,64 @@ register(QuerySpec("semantic_dedup_planted", semantic_dedup_planted,
                    _semdedup_sql(),
                    "SemDeDup: k-means clusters → intra-cluster ε-balls → "
                    "planted twins dropped, originals kept"))
+
+
+# ---------------------------------------------------------------------------
+# sliding-window document chunking (embedding/RAG prep)
+# ---------------------------------------------------------------------------
+
+CHUNK_WINDOW = 32
+CHUNK_OVERLAP = 8
+
+
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source chunking audit for 32-token windows with 8-token
+    overlap: exact integer chunk/token accounting (operators/
+    chunking.py — the zero-shuffle 1→N projection before embedding)."""
+    from kinesis_vcr_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, "doc_id", "text",
+        window_tokens=CHUNK_WINDOW, overlap_tokens=CHUNK_OVERLAP,
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(chunks, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("total_chunk_tokens"),
+            F.max("n_chunk_tokens").alias("max_chunk_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_STRIDE = CHUNK_WINDOW - CHUNK_OVERLAP
+
+CHUNKS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t,
+         greatest(CAST(ceil(greatest(len(string_split(text, ' '))
+                  - {CHUNK_OVERLAP}, 1) / {_STRIDE}.0) AS INT), 1) AS nc
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         len(list_slice(t, i * {_STRIDE} + 1,
+                        i * {_STRIDE} + {CHUNK_WINDOW})) AS n_tok
+  FROM d, unnest(range(0, nc)) u(i)
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tok) AS BIGINT) AS total_chunk_tokens,
+       CAST(max(n_tok) AS BIGINT) AS max_chunk_tokens
+FROM c GROUP BY source ORDER BY source
+"""
+
+
+register(QuerySpec("doc_chunks_overlap", doc_chunks_overlap, CHUNKS_SQL,
+                   "sliding-window chunking audit: 32-token windows, "
+                   "8-token overlap, exact token accounting"))
