@@ -226,3 +226,39 @@ def redact_pii(text: Column, kinds: tuple[str, ...] = ("email", "phone", "ipv4")
     for kind in kinds:
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (corpus canonical form)
+# ---------------------------------------------------------------------------
+
+# C0/C1 control characters minus \t \n \r — the standard strip set
+CONTROL_CHARS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]"
+
+
+def nfc_normalize(text: Column) -> Column:
+    """Unicode NFC canonical composition — the corpus-prep step that
+    makes 'e +  ̈' and 'ë' the SAME bytes before any hashing, dedup, or
+    tokenization runs (decomposed vs composed forms otherwise defeat
+    exact dedup and split token statistics). Vectorized Pandas UDF
+    (pandas ``str.normalize`` → unicodedata); NFC only — NFKC's
+    compatibility mappings are lossy (ligatures, superscripts) and
+    engine implementations diverge more across Unicode versions."""
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    return _nfc(text)
+
+
+def strip_control_chars(text: Column) -> Column:
+    """Remove C0/C1 controls (keeping \\t \\n \\r) — JVM-side regex."""
+    return F.regexp_replace(text, CONTROL_CHARS, "")
+
+
+def canonicalize_text(text: Column) -> Column:
+    """NFC + control strip: the canonical form every downstream
+    operator (dedup fingerprints, token counts, LM scores) should see
+    exactly once, at ingest."""
+    return strip_control_chars(nfc_normalize(text))

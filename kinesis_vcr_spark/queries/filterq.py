@@ -327,3 +327,84 @@ FROM c GROUP BY source ORDER BY source
 register(QuerySpec("doc_chunks_overlap", doc_chunks_overlap, CHUNKS_SQL,
                    "sliding-window chunking audit: 32-token windows, "
                    "8-token overlap, exact token accounting"))
+
+
+# ---------------------------------------------------------------------------
+# Unicode canonicalization (NFC + control strip), injected non-vacuous
+# ---------------------------------------------------------------------------
+
+NFC_MOD = 4      # every 4th doc: decomposed e + U+0301 (NFC composes to e-acute)
+CTRL_MOD = 6     # every 6th doc: BEL control char (stripped)
+
+
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization audit: plant DECOMPOSED combining sequences and
+    control characters, run NFC + control-strip
+    (functions/text.py::canonicalize_text), report per-source how many
+    documents changed plus exact codepoint counts before/after (both
+    engines' length() counts codepoints, so the audit is exact: the
+    combining pair collapses 2 -> 1, the control char 1 -> 0)."""
+    from kinesis_vcr_spark.functions.text import canonicalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod("doc_id", F.lit(NFC_MOD)) == 0,
+                F.lit(" nfc:e\u0301"),  # decomposed: e + combining acute
+            ).otherwise(F.lit("")),
+            F.when(
+                F.pmod("doc_id", F.lit(CTRL_MOD)) == 0, F.lit("\u0007x")  # BEL + x
+            ).otherwise(F.lit("")),
+        ).alias("txt"),
+    )
+    out = injected.select(
+        "source",
+        F.length("txt").alias("len_before"),
+        F.length(canonicalize_text(F.col("txt"))).alias("len_after"),
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("len_before") != F.col("len_after")).cast("long"))
+            .alias("n_changed"),
+            F.sum("len_before").alias("chars_before"),
+            F.sum("len_after").alias("chars_after"),
+        )
+        .orderBy("source")
+    )
+
+
+NFC_SQL = rf"""
+WITH injected AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % {NFC_MOD} = 0
+                 THEN ' nfc:e' || chr(769) ELSE '' END
+         || CASE WHEN doc_id % {CTRL_MOD} = 0
+                 THEN chr(7) || 'x' ELSE '' END AS txt
+  FROM documents
+), canon AS (
+  SELECT source, length(txt) AS len_before,
+         length(regexp_replace(nfc_normalize(txt),
+                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g'))
+           AS len_after
+  FROM injected
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN len_before <> len_after THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changed,
+       CAST(sum(len_before) AS BIGINT) AS chars_before,
+       CAST(sum(len_after) AS BIGINT) AS chars_after
+FROM canon GROUP BY source ORDER BY source
+"""
+
+
+register(QuerySpec("text_unicode_nfc", text_unicode_nfc, NFC_SQL,
+                   "NFC canonicalization + control strip: injected "
+                   "decomposed/control chars, exact codepoint audit"))

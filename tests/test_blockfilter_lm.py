@@ -108,3 +108,31 @@ def test_external_lm_requires_oov(spark):
     lm = unigram_nll_table(train)
     with pytest.raises(ValueError, match="oov"):
         score_documents_lm(_docs(spark, [(1, "a")]), lm=lm)
+
+
+# ---------------------------------------------------------------------------
+# Unicode canonicalization
+# ---------------------------------------------------------------------------
+
+
+def test_nfc_composes_and_strips_controls(spark):
+    from pyspark.sql import functions as F
+
+    from kinesis_vcr_spark.functions.text import canonicalize_text
+
+    rows = [
+        (0, "cafe\u0301"),              # decomposed -> composed (5 -> 4 cps)
+        (1, "caf\u00e9"),               # already composed (unchanged)
+        (2, "ab\u0007\u200b"),         # BEL stripped, ZWSP kept (not a control)
+        (3, "tab\tand\nnewline"),      # \t \n survive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.c
+        for r in df.select(
+            "doc_id", canonicalize_text(F.col("text")).alias("c")
+        ).collect()
+    }
+    assert got[0] == got[1] == "caf\u00e9"   # dedup-equal after NFC
+    assert got[2] == "ab\u200b"
+    assert got[3] == "tab\tand\nnewline"
