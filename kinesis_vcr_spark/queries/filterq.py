@@ -408,3 +408,77 @@ FROM canon GROUP BY source ORDER BY source
 register(QuerySpec("text_unicode_nfc", text_unicode_nfc, NFC_SQL,
                    "NFC canonicalization + control strip: injected "
                    "decomposed/control chars, exact codepoint audit"))
+
+
+# ---------------------------------------------------------------------------
+# weighted corpus mixing (Pile/DoReMi epoch weights)
+# ---------------------------------------------------------------------------
+
+MIX_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0}
+MIX_SEED = "mix"
+
+
+def corpus_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized mixture audit: src0 at 2.5 epochs (2 full copies +
+    ticket-half), src1 downsampled to 0.25, src2 dropped, everything
+    else at 1.0 — per-source input vs output row counts, exact. The
+    operator really runs (posexplode fan-out); the oracle recomputes
+    the copy arithmetic from the same md5 tickets."""
+    from kinesis_vcr_spark.operators.mixing import weighted_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = weighted_mix(
+        docs, "source", ["doc_id"], MIX_WEIGHTS, seed=MIX_SEED
+    )
+    out_counts = mixed.groupBy("source").agg(
+        F.count("*").alias("n_rows_out")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs_in"))
+        .join(out_counts, "source", "left")
+        .select(
+            "source",
+            "n_docs_in",
+            F.coalesce("n_rows_out", F.lit(0)).alias("n_rows_out"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mix_sql() -> str:
+    import math
+
+    from kinesis_vcr_spark.operators.sampling import ticket_threshold
+
+    base = " ".join(
+        f"WHEN source = '{s}' THEN {math.floor(w)}"
+        for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    cut = " ".join(
+        f"WHEN source = '{s}' THEN '{ticket_threshold(w - math.floor(w))}'"
+        for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH t AS (
+  SELECT source, doc_id,
+         substr(md5(concat_ws(chr(31), '{MIX_SEED}',
+                CAST(doc_id AS VARCHAR))), 1, 8) AS tk
+  FROM documents
+), c AS (
+  SELECT source,
+         CASE {base} ELSE 1 END
+         + CASE WHEN tk < CASE {cut} ELSE '00000000' END
+                THEN 1 ELSE 0 END AS n
+  FROM t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs_in,
+       CAST(sum(n) AS BIGINT) AS n_rows_out
+FROM c GROUP BY source ORDER BY source
+"""
+
+
+register(QuerySpec("corpus_mix_epochs", corpus_mix_epochs, _mix_sql(),
+                   "Pile/DoReMi-style epoch-weighted mixing: exact "
+                   "per-source copy accounting from hash tickets"))

@@ -93,7 +93,7 @@ def test_driver_window_covers_every_family():
         # held green by tools/oracle_check.py instead of a driver row
         "text_blocklist_filter", "lm_unigram_score",
         "semantic_dedup_planted", "doc_chunks_overlap",
-        "text_unicode_nfc",
+        "text_unicode_nfc", "corpus_mix_epochs",
     }
     bad = sorted(
         n for n in overflow
