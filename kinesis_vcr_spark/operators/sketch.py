@@ -191,3 +191,72 @@ def heavy_hitters(
         est.join(F.broadcast(totals), on=list(key_cols), how="inner")
         .where(F.col("est_n") >= F.col("total_n") * min_fraction)
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / K-Minimum-Values) sketch — distinct counts AND set
+# overlap between corpora
+# ---------------------------------------------------------------------------
+
+#: bottom-k size. 1024 → relative error ≈ 1/sqrt(k-2) ≈ 3% on distinct
+#: estimates; Jaccard resolution 1/k.
+KMV_K = 1024
+
+#: hex digits of the md5 prefix used as the KMV hash (60 bits —
+#: comfortably inside signed-64 range in BOTH engines' hex parsing).
+KMV_DIGITS = 15
+KMV_SPACE = float(16**KMV_DIGITS)
+
+
+def kmv_hash(value: Column) -> Column:
+    """Deterministic uniform 64-bit hash as fixed-width lowercase hex —
+    lexicographic order == numeric order, identical in DuckDB."""
+    return F.substring(F.md5(value.cast("string").cast("binary")), 1, KMV_DIGITS)
+
+
+def kmv_sketch(
+    df: DataFrame, key_cols: list[str], value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-key bottom-k sketch: the k smallest DISTINCT hash values —
+    ``(keys…, hs: array<string> sorted asc)``. Fully deterministic
+    (no seeds, no randomness), so two engines — or two corpora hashed
+    independently — produce comparable sketches; merge = union +
+    re-take bottom-k (associative, order-free). Build is a two-phase
+    distinct then one ``slice(sort_array(collect_set))`` per key; for
+    very hot keys swap in the salted top-k refinement
+    (operators/topk.py) — same result, bounded per-task state."""
+    hashed = df.select(
+        *key_cols, kmv_hash(F.col(value_col)).alias("h")
+    ).distinct()
+    return hashed.groupBy(*key_cols).agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("hs")
+    )
+
+
+def kmv_distinct(hs: Column, k: int = KMV_K) -> Column:
+    """Distinct-count estimate from a bottom-k array: ``(k−1)/h_k``
+    normalized to the hash space; exact |set| when the set had < k
+    members (the sketch IS the set then)."""
+    n = F.size(hs)
+    kth_frac = (
+        F.conv(F.element_at(hs, n), 16, 10).cast("double") / F.lit(KMV_SPACE)
+    )
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.round((F.lit(float(k - 1))) / kth_frac, 4)
+    )
+
+
+def kmv_jaccard(a_hs: Column, b_hs: Column, k: int = KMV_K) -> Column:
+    """Column-level KMV Jaccard: bottom-k of the union, fraction
+    present in both sketches. 4-dp rounded double."""
+    au = F.array_distinct(a_hs)
+    bu = F.array_distinct(b_hs)
+    k_lim = F.least(F.lit(k), F.size(F.array_union(au, bu)))
+    union_bottom = F.slice(F.sort_array(F.array_union(au, bu)), 1, k_lim)
+    inter = F.size(
+        F.filter(
+            union_bottom,
+            lambda h: F.array_contains(au, h) & F.array_contains(bu, h),
+        )
+    )
+    return F.round(inter.cast("double") / k_lim.cast("double"), 4)

@@ -482,3 +482,89 @@ FROM c GROUP BY source ORDER BY source
 register(QuerySpec("corpus_mix_epochs", corpus_mix_epochs, _mix_sql(),
                    "Pile/DoReMi-style epoch-weighted mixing: exact "
                    "per-source copy accounting from hash tickets"))
+
+
+# ---------------------------------------------------------------------------
+# KMV corpus-overlap sketch (cross-corpus contamination estimate)
+# ---------------------------------------------------------------------------
+
+KMV_QUERY_K = 1024
+
+
+def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level overlap between two halves of the corpus (doc_id
+    parity) over word-3-shingle sets, via deterministic bottom-k (KMV)
+    sketches: per-side distinct-shingle estimates plus the KMV Jaccard
+    of the union bottom-k. The sketch is vocabulary-sized state built
+    in one two-phase distinct — the "how much does corpus A overlap
+    corpus B" answer that at 100 TB cannot afford an exact set
+    intersection; everything is md5-deterministic, so DuckDB rebuilds
+    the identical sketch and estimates."""
+    from kinesis_vcr_spark.operators.dedup import word_shingles
+    from kinesis_vcr_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = docs.select(
+        F.pmod("doc_id", F.lit(2)).alias("side"),
+        F.explode(word_shingles(F.col("text"), 3)).alias("s"),
+    )
+    sk = kmv_sketch(shingled, ["side"], "s", k=KMV_QUERY_K)
+    a = sk.where(F.col("side") == 0).select(F.col("hs").alias("a_hs"))
+    b = sk.where(F.col("side") == 1).select(F.col("hs").alias("b_hs"))
+    return a.crossJoin(b).select(
+        kmv_distinct(F.col("a_hs"), KMV_QUERY_K).alias("distinct_a"),
+        kmv_distinct(F.col("b_hs"), KMV_QUERY_K).alias("distinct_b"),
+        kmv_jaccard(F.col("a_hs"), F.col("b_hs"), KMV_QUERY_K).alias(
+            "jaccard"
+        ),
+    )
+
+
+_KMV_SPACE_60 = 16**15
+
+
+def _kmv_est_sql(hs: str) -> str:
+    return f"""CASE WHEN len({hs}) < {KMV_QUERY_K}
+         THEN CAST(len({hs}) AS DOUBLE)
+         ELSE round({KMV_QUERY_K - 1}.0
+              / (CAST('0x' || {hs}[len({hs})] AS UBIGINT)
+                 / {_KMV_SPACE_60}.0), 4) END"""
+
+
+KMV_SQL = f"""
+WITH toks AS (
+  SELECT doc_id % 2 AS side, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT side, array_to_string(list_slice(t, i, i + 2), ' ') AS s
+  FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) u(i)
+), h AS (
+  SELECT DISTINCT side, substr(md5(s), 1, 15) AS h FROM sh
+), bk AS (
+  SELECT side, list_slice(list_sort(list(h)), 1, {KMV_QUERY_K}) AS hs
+  FROM h GROUP BY side
+), ab AS (
+  SELECT (SELECT hs FROM bk WHERE side = 0) AS a_hs,
+         (SELECT hs FROM bk WHERE side = 1) AS b_hs
+), j AS (
+  SELECT a_hs, b_hs,
+         list_slice(list_sort(list_distinct(a_hs || b_hs)), 1,
+                    least({KMV_QUERY_K},
+                          len(list_distinct(a_hs || b_hs)))) AS ub
+  FROM ab
+)
+SELECT {_kmv_est_sql("a_hs")} AS distinct_a,
+       {_kmv_est_sql("b_hs")} AS distinct_b,
+       round(CAST(len(list_filter(ub,
+                 x -> list_contains(a_hs, x) AND list_contains(b_hs, x)))
+             AS DOUBLE) / len(ub), 4) AS jaccard
+FROM j
+"""
+
+
+register(QuerySpec("corpus_overlap_kmv", corpus_overlap_kmv, KMV_SQL,
+                   "KMV bottom-k corpus-overlap sketch: per-side distinct "
+                   "estimates + union-bottom-k Jaccard, fully deterministic"))
