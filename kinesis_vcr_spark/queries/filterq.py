@@ -568,3 +568,53 @@ FROM j
 register(QuerySpec("corpus_overlap_kmv", corpus_overlap_kmv, KMV_SQL,
                    "KMV bottom-k corpus-overlap sketch: per-side distinct "
                    "estimates + union-bottom-k Jaccard, fully deterministic"))
+
+
+# ---------------------------------------------------------------------------
+# table profiling (ANALYZE-style data-quality audit)
+# ---------------------------------------------------------------------------
+
+PROFILE_COLS = ("event_id", "user_id", "event_type", "value", "props", "ts_ns")
+
+
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the events table in ONE aggregation pass:
+    null counts, exact distincts (Spark plans the multi-distinct via
+    Expand — still one scan), 6-dp numeric ranges, string ranges
+    (operators/profile.py; at 100 TB flip exact_distinct=False for
+    HLL)."""
+    from kinesis_vcr_spark.operators.profile import profile_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_table(ev, list(PROFILE_COLS)).orderBy("col_name")
+
+
+def _profile_sql() -> str:
+    numeric = {"event_id", "user_id", "value", "ts_ns"}
+    parts = []
+    for c in PROFILE_COLS:
+        expr = "epoch_ns(ts)" if c == "ts_ns" else c
+        if c in numeric:
+            mn = f"round(CAST(min({expr}) AS DOUBLE), 6)"
+            mx = f"round(CAST(max({expr}) AS DOUBLE), 6)"
+            ms = "CAST(NULL AS VARCHAR)"
+            xs = "CAST(NULL AS VARCHAR)"
+        else:
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
+            ms = f"min({expr})"
+            xs = f"max({expr})"
+        parts.append(f"""
+SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({expr}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+       {mn} AS min_num, {mx} AS max_num,
+       {ms} AS min_str, {xs} AS max_str
+FROM events""")
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+register(QuerySpec("profile_events", profile_events, _profile_sql(),
+                   "one-pass ANALYZE-style column profile: nulls, exact "
+                   "distincts, typed ranges"))

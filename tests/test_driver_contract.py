@@ -94,7 +94,7 @@ def test_driver_window_covers_every_family():
         "text_blocklist_filter", "lm_unigram_score",
         "semantic_dedup_planted", "doc_chunks_overlap",
         "text_unicode_nfc", "corpus_mix_epochs",
-        "corpus_overlap_kmv",
+        "corpus_overlap_kmv", "profile_events",
     }
     bad = sorted(
         n for n in overflow
