@@ -618,3 +618,78 @@ FROM events""")
 register(QuerySpec("profile_events", profile_events, _profile_sql(),
                    "one-pass ANALYZE-style column profile: nulls, exact "
                    "distincts, typed ranges"))
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff (generation-gate audit)
+# ---------------------------------------------------------------------------
+
+DIFF_CHANGE_MOD = 9    # every 9th doc: text edited in the new snapshot
+DIFF_REMOVE_MOD = 13   # every 13th (non-edited) doc: dropped
+DIFF_ADD_OFFSET = 5_000_000
+DIFF_ADD_MOD = 17      # every 17th doc: cloned in as a brand-new id
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-vs-snapshot delta audit (operators/diffing.py): the
+    'new' generation deterministically edits every 9th document, drops
+    every 13th, and adds clones at ``doc_id + 5e6`` for every 17th —
+    per-status document counts must account for every key exactly
+    once. One co-partitioned full-outer join on 16-byte digests."""
+    from kinesis_vcr_spark.operators.diffing import corpus_diff, diff_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text")
+    changed = F.when(
+        F.pmod("doc_id", F.lit(DIFF_CHANGE_MOD)) == 0,
+        F.concat(F.col("text"), F.lit(" [edited]")),
+    ).otherwise(F.col("text"))
+    base_new = (
+        old.where(
+            (F.pmod("doc_id", F.lit(DIFF_REMOVE_MOD)) != 0)
+            | (F.pmod("doc_id", F.lit(DIFF_CHANGE_MOD)) == 0)
+        )
+        .select("doc_id", changed.alias("text"))
+    )
+    additions = old.where(
+        F.pmod("doc_id", F.lit(DIFF_ADD_MOD)) == 0
+    ).select(
+        (F.col("doc_id") + F.lit(DIFF_ADD_OFFSET)).alias("doc_id"), "text"
+    )
+    new = base_new.unionByName(additions)
+    return (
+        diff_summary(corpus_diff(old, new, ["doc_id"], ["text"]))
+        .orderBy("status")
+    )
+
+
+DIFF_SQL = f"""
+WITH old AS (
+  SELECT doc_id, text FROM documents
+), base_new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DIFF_CHANGE_MOD} = 0
+              THEN text || ' [edited]' ELSE text END AS text
+  FROM old
+  WHERE doc_id % {DIFF_REMOVE_MOD} <> 0 OR doc_id % {DIFF_CHANGE_MOD} = 0
+), new AS (
+  SELECT * FROM base_new
+  UNION ALL
+  SELECT doc_id + {DIFF_ADD_OFFSET} AS doc_id, text
+  FROM old WHERE doc_id % {DIFF_ADD_MOD} = 0
+), diff AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text = n.text THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+FROM diff GROUP BY status ORDER BY status
+"""
+
+
+register(QuerySpec("corpus_snapshot_diff", corpus_snapshot_diff, DIFF_SQL,
+                   "generation-gate diff: added/removed/changed/unchanged "
+                   "accounting across deterministic snapshot edits"))

@@ -95,6 +95,7 @@ def test_driver_window_covers_every_family():
         "semantic_dedup_planted", "doc_chunks_overlap",
         "text_unicode_nfc", "corpus_mix_epochs",
         "corpus_overlap_kmv", "profile_events",
+        "corpus_snapshot_diff",
     }
     bad = sorted(
         n for n in overflow
