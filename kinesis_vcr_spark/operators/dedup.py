@@ -33,6 +33,26 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+def cap_group_size(
+    df: "DataFrame", group_cols: list[str], cap: int | None
+) -> "DataFrame":
+    """Drop every row belonging to a group with more than ``cap``
+    members — the shared quadratic-blowup guard behind the LSH
+    hot-band cap, the winnow hot-fingerprint cap, and the SemDeDup
+    cluster-member cap. ``cap=None`` disables. The window count rides
+    whatever exchange the caller's group key already needs; a future
+    at-scale refinement (e.g. approximate pre-count) lands here once
+    for all three."""
+    if cap is None:
+        return df
+    w = Window.partitionBy(*group_cols)
+    return (
+        df.withColumn("__grp_n", F.count("*").over(w))
+        .where(F.col("__grp_n") <= F.lit(cap))
+        .drop("__grp_n")
+    )
+
+
 def content_key(*cols: str | Column) -> Column:
     """256-bit content hash over the given columns (collision-safe key
     for grouping at 100 TB — 64-bit hashes collide at ~4B rows)."""
@@ -222,15 +242,11 @@ def _candidate_pairs_from_bands(
     # shuffle; ReuseExchange shares it across both sides) AND a
     # materialization barrier so band-hash expressions are computed once,
     # not re-inlined into join codegen.
-    if band_member_cap is not None:
-        # same partition keys as the repartition above → the window
-        # count rides the existing exchange, no extra shuffle
-        wb = Window.partitionBy("band_pos", "band_hash")
-        exploded = (
-            exploded.withColumn("__band_n", F.count("*").over(wb))
-            .where(F.col("__band_n") <= F.lit(band_member_cap))
-            .drop("__band_n")
-        )
+    # same partition keys as the repartition above → the window count
+    # rides the existing exchange, no extra shuffle
+    exploded = cap_group_size(
+        exploded, ["band_pos", "band_hash"], band_member_cap
+    )
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (

@@ -21,22 +21,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# unit separator + NULL sentinel keep ("a", None) ≠ ("a", "") ≠ (None, "a")
-_SEP = "\x1f"
-_NULL = "\x00NULL"
-
-
 def content_digest(cols: list[str]) -> F.Column:
-    """Null-safe md5 digest of the content columns."""
-    return F.md5(
-        F.concat_ws(
-            _SEP,
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
-                for c in cols
-            ],
-        ).cast("binary")
-    )
+    """Null-safe, INJECTIVE md5 digest of the content columns.
+
+    Each field is length-prefixed (``<len>:<value>``; NULL encodes as
+    ``N:``) before concatenation, so no choice of separators inside
+    the data can make distinct tuples collide — ('a\\x1f', 'b') and
+    ('a', '\\x1fb') encode differently, and NULL ≠ '' ≠ any value.
+    Raw web text DOES contain control bytes; a plain separator join
+    would be ambiguous exactly there."""
+    encoded = [
+        F.coalesce(
+            F.concat(
+                F.length(F.col(c).cast("string")).cast("string"),
+                F.lit(":"),
+                F.col(c).cast("string"),
+            ),
+            F.lit("N:"),
+        )
+        for c in cols
+    ]
+    return F.md5(F.concat(*encoded).cast("binary"))
 
 
 def corpus_diff(

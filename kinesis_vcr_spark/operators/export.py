@@ -50,7 +50,10 @@ def export_corpus_shards(
     per-shard audit ``(shard, n_rows)`` computed FROM THE DATA (compare
     against :func:`shard_manifest` of the landed files to detect a
     short write)."""
-    sharded = assign_shard(df, key_cols, n_shards)
+    # persist: the write and the audit would otherwise each scan (and
+    # re-hash) the full input; one materialization feeds both, and the
+    # audit releases it when collected
+    sharded = assign_shard(df, key_cols, n_shards).persist()
     (
         sharded.repartition(n_shards, F.col(SHARD_COL))
         .write.mode(mode)

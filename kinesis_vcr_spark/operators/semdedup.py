@@ -32,7 +32,7 @@ the cluster id only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kinesis_vcr_spark.operators.components import connected_components
@@ -48,15 +48,9 @@ def intra_cluster_pairs(
 ) -> DataFrame:
     """``(id_a, id_b, cosine)`` for same-cluster pairs with cosine ≥
     threshold. ``assigned`` needs columns ``id_col, unit, cid``."""
-    members = assigned
-    if max_cluster_members is not None:
-        members = (
-            members.withColumn(
-                "__n", F.count("*").over(Window.partitionBy("cid"))
-            )
-            .where(F.col("__n") <= max_cluster_members)
-            .drop("__n")
-        )
+    from kinesis_vcr_spark.operators.dedup import cap_group_size
+
+    members = cap_group_size(assigned, ["cid"], max_cluster_members)
     a = members.select(
         F.col(id_col).alias("id_a"), F.col("unit").alias("ua"), "cid"
     )
@@ -93,11 +87,14 @@ def semantic_dedup(
         df, k=k_clusters, id_col=id_col, vec_col=vec_col,
         refine_iterations=refine_iterations,
     )
+    # persist: `assigned` feeds BOTH the pair self-join and the final
+    # verdict join, which share no exchange — without this the scan +
+    # normalization + assignment-UDF matmul run once per branch
     assigned = df.select(
         F.col(id_col),
         unit_double(F.col(vec_col)).alias("unit"),
         assign_centroid(F.col(vec_col), centroids).alias("cid"),
-    )
+    ).persist()
     pairs = intra_cluster_pairs(
         assigned, id_col, threshold, max_cluster_members
     )

@@ -135,15 +135,11 @@ def shared_substring_pairs(
     ``sample_gram`` is the smallest shared gram (an actual common
     substring of both texts, modulo md5 collision — 128-bit, ignored).
     """
+    from kinesis_vcr_spark.operators.dedup import cap_group_size
+
     fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w, portable=portable)
     # boilerplate guard: drop corpus-viral fingerprints pre-join
-    capped = (
-        fps.withColumn(
-            "n_docs", F.count("*").over(Window.partitionBy("fp"))
-        )
-        .where(F.col("n_docs") <= max_docs_per_fp)
-        .drop("n_docs")
-    )
+    capped = cap_group_size(fps, ["fp"], max_docs_per_fp)
     a = capped.select(F.col(id_col).alias("id_a"), "fp")
     b = capped.select(F.col(id_col).alias("id_b"), "fp")
     return (

@@ -214,6 +214,10 @@ def semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict = semantic_dedup(
         corpus, "vec_id", "embedding",
         threshold=SEM_THRESHOLD, k_clusters=8, refine_iterations=1,
+        # no member cap: the oracle brute-forces ALL pairs, so any
+        # capped-away cluster would silently diverge at larger sf
+        # (driver fixtures stay far under quadratic danger here)
+        max_cluster_members=None,
     )
     return (
         verdict.where(~F.col("keep"))

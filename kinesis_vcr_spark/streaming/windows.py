@@ -192,8 +192,8 @@ def streaming_approx_distinct(
     )
 
     m = HLL_M if m is None else m
-    if m & (m - 1):
-        raise ValueError("m must be a power of two")
+    if m <= 0 or m & (m - 1):
+        raise ValueError("m must be a positive power of two")
     shift = m.bit_length() - 1
     alpha = 0.7213 / (1 + 1.079 / m)
 
@@ -370,8 +370,8 @@ def streaming_frequency(
     from kinesis_vcr_spark.operators.sketch import CMS_P, CMS_ROWS, CMS_W
 
     w = CMS_W if w is None else w
-    if w & (w - 1):
-        raise ValueError("w must be a power of two")
+    if w <= 0 or w & (w - 1):
+        raise ValueError("w must be a positive power of two")
     d = len(CMS_ROWS)
 
     out_schema = StructType(

@@ -46,3 +46,12 @@ def test_identical_snapshots_all_unchanged(spark):
     s = {r.status: r.n_docs for r in diff_summary(
         corpus_diff(snap, snap, ["doc_id"], ["text", "meta"])).collect()}
     assert s == {"unchanged": 50}
+
+
+def test_digest_injective_under_separator_bytes(spark):
+    """Length-prefixed encoding: no byte inside the data can shift
+    content between fields — ('a<US>', 'b') != ('a', '<US>b')."""
+    old = _snap(spark, [(1, "a\x1f", "b")])
+    new = _snap(spark, [(1, "a", "\x1fb")])
+    d = corpus_diff(old, new, ["doc_id"], ["text", "meta"]).collect()
+    assert d[0].status == "changed"
