@@ -51,16 +51,28 @@ def export_corpus_shards(
     against :func:`shard_manifest` of the landed files to detect a
     short write)."""
     # persist: the write and the audit would otherwise each scan (and
-    # re-hash) the full input; one materialization feeds both, and the
-    # audit releases it when collected
+    # re-hash) the full input; one materialization feeds both. The
+    # audit is only n_shards rows, so it is collected eagerly HERE and
+    # the cache released before returning — no session-lifetime leak
+    # (ADVICE r03).
     sharded = assign_shard(df, key_cols, n_shards).persist()
-    (
-        sharded.repartition(n_shards, F.col(SHARD_COL))
-        .write.mode(mode)
-        .partitionBy(SHARD_COL)
-        .parquet(path)
+    try:
+        (
+            sharded.repartition(n_shards, F.col(SHARD_COL))
+            .write.mode(mode)
+            .partitionBy(SHARD_COL)
+            .parquet(path)
+        )
+        audit_rows = (
+            sharded.groupBy(SHARD_COL)
+            .agg(F.count("*").alias("n_rows"))
+            .collect()
+        )
+    finally:
+        sharded.unpersist()
+    return df.sparkSession.createDataFrame(
+        audit_rows, schema=f"{SHARD_COL} int, n_rows bigint"
     )
-    return sharded.groupBy(SHARD_COL).agg(F.count("*").alias("n_rows"))
 
 
 def shard_manifest(spark: SparkSession, path: str) -> DataFrame:

@@ -101,8 +101,19 @@ def semantic_dedup(
     comp = connected_components(
         pairs, "id_a", "id_b", checkpoint_dir=checkpoint_dir
     ).withColumnRenamed("node", id_col)
+    # connected_components materialized `comp` (per-round lineage
+    # truncation), so the only live consumer of the fat `assigned`
+    # cache (id + unit vector + cid) is the slim 2-column verdict
+    # input. Materialize that projection, then release the embeddings
+    # cache before returning — no session-lifetime leak (ADVICE r03).
+    ids = assigned.select(id_col, "cid")
+    ids = (
+        ids.checkpoint() if checkpoint_dir is not None
+        else ids.localCheckpoint()
+    )
+    assigned.unpersist()
     return (
-        assigned.select(id_col, "cid")
+        ids
         .join(comp, id_col, "left")
         .select(
             id_col,

@@ -214,6 +214,15 @@ def kmv_hash(value: Column) -> Column:
     return F.substring(F.md5(value.cast("string").cast("binary")), 1, KMV_DIGITS)
 
 
+#: survivor-budget multiple for the kmv_sketch pre-filter. Keeping
+#: hashes below cut = OVERSAMPLE·k/n of the hash space leaves
+#: Binomial(n, OVERSAMPLE·k/n) survivors — expectation OVERSAMPLE·k,
+#: and P(fewer than k survive) < exp(-k·(OVERSAMPLE-1)²/(2·OVERSAMPLE))
+#: (Chernoff) ≈ e^-3000 at k=1024, so the pruned build is the exact
+#: bottom-k with overwhelming margin even with HLL's ~2% count error.
+KMV_OVERSAMPLE = 8.0
+
+
 def kmv_sketch(
     df: DataFrame, key_cols: list[str], value_col: str, k: int = KMV_K
 ) -> DataFrame:
@@ -221,14 +230,41 @@ def kmv_sketch(
     ``(keys…, hs: array<string> sorted asc)``. Fully deterministic
     (no seeds, no randomness), so two engines — or two corpora hashed
     independently — produce comparable sketches; merge = union +
-    re-take bottom-k (associative, order-free). Build is a two-phase
-    distinct then one ``slice(sort_array(collect_set))`` per key; for
-    very hot keys swap in the salted top-k refinement
-    (operators/topk.py) — same result, bounded per-task state."""
-    hashed = df.select(
-        *key_cols, kmv_hash(F.col(value_col)).alias("h")
-    ).distinct()
-    return hashed.groupBy(*key_cols).agg(
+    re-take bottom-k (associative, order-free).
+
+    Scale posture (ADVICE r03): the naive build collects EVERY distinct
+    hash per key before slicing — unbounded executor memory on
+    high-cardinality keys. Instead: one HLL pass estimates per-key
+    distincts, then only hashes below ``OVERSAMPLE·k/n`` of the hash
+    space survive into the distinct + ``collect_set`` — per-task state
+    is ~8k entries per key regardless of cardinality, and the distinct
+    shuffle itself shrinks by the same factor. The cut is a
+    deterministic function of the data (HLL is seedless), so the
+    result is still the exact bottom-k (see :data:`KMV_OVERSAMPLE`)."""
+    hashed = df.select(*key_cols, kmv_hash(F.col(value_col)).alias("h"))
+    cuts = hashed.groupBy(*key_cols).agg(
+        F.least(
+            F.lit(1.0),
+            F.lit(KMV_OVERSAMPLE * k) / F.approx_count_distinct("h"),
+        ).alias("__cut_frac")
+    )
+    # plain equi-join on the grouping keys: one row per key, so AQE
+    # turns it into a broadcast join for any sane key cardinality
+    survivors = (
+        hashed.join(cuts, list(key_cols))
+        .where(
+            # keep-everything case first: at cut_frac == 1.0 a strict
+            # `<` could drop the top hash to double rounding of conv()
+            (F.col("__cut_frac") >= 1.0)
+            | (
+                F.conv(F.col("h"), 16, 10).cast("double")
+                < F.col("__cut_frac") * F.lit(KMV_SPACE)
+            )
+        )
+        .drop("__cut_frac")
+        .distinct()
+    )
+    return survivors.groupBy(*key_cols).agg(
         F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("hs")
     )
 

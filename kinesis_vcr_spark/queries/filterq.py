@@ -541,7 +541,11 @@ def _kmv_est_sql(hs: str) -> str:
 
 KMV_SQL = f"""
 WITH toks AS (
-  SELECT doc_id % 2 AS side, string_split(text, ' ') AS t FROM documents
+  -- \\s+ regexp split == Spark tokens()'s F.split(text, '\\s+'):
+  -- parity must not depend on fixture text being single-spaced
+  -- (ADVICE r03). Both engines keep leading/trailing empty tokens.
+  SELECT doc_id % 2 AS side, regexp_split_to_array(text, '\\s+') AS t
+  FROM documents
 ), sh AS (
   SELECT side, array_to_string(list_slice(t, i, i + 2), ' ') AS s
   FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) u(i)

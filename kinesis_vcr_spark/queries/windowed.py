@@ -14,12 +14,12 @@ Scale posture:
   within partitions — the standard sessionization shape; skewed power
   users hot-spot a partition, inherent to the semantics (salt + re-merge
   if a single user exceeds a partition).
-- ``order_value_deciles`` uses a GLOBAL ntile — a deliberate single-
-  partition total sort, fine for ranked reporting output but NOT the
-  100 TB plan; at scale switch to ``approx_percentile`` boundaries +
-  broadcast range assignment (documented in the docstring, and the
-  global window is applied AFTER the aggregate would have reduced data
-  had there been one — here it's the ranking itself that is the query).
+- ``order_value_deciles`` computes a GLOBAL ntile WITHOUT a single-
+  partition sort: ``operators/quantiles.exact_ntile`` range-partitions
+  on the order keys, ranks locally per partition, and folds in an
+  O(partitions) offset prefix-sum — exact NTILE semantics, every
+  data-row path distributed (the approximate sketch-boundary variant
+  lives in the same module for boundary-only products).
 - the views-before-purchase join is an equi-join on ``user_id`` with a
   range residual — shuffles both sides once on the key; the range
   predicate filters inside the joined partition (no cross join, no
@@ -89,18 +89,27 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE(10) over all orders by total price (tiebreak o_orderkey →
     total order → identical bucket boundaries in both engines).
 
-    Global ranking is a deliberate single-partition sort here; the
-    100 TB variant is implemented in
-    :mod:`kinesis_vcr_spark.operators.quantiles`
-    (``assign_quantile_buckets``: sketch boundaries + narrow
-    projection, no total sort — exact-vs-approx parity pinned in
-    tests/test_quantiles.py)."""
+    Ranks via :func:`kinesis_vcr_spark.operators.quantiles.exact_ntile`
+    — range-repartition + parallel per-partition row_number + an
+    O(partitions) offset prefix-sum, value-identical to the SQL
+    ``NTILE(10) OVER (ORDER BY …)`` the oracle runs but with no
+    single-partition total sort (the r01-r03 shape; 2.08× its pin by
+    r03 and the one non-distributed window left in the registry).
+    ``assign_quantile_buckets`` in the same module is the sketch-based
+    approximate variant for when boundaries, not exact membership,
+    are the product."""
+    from kinesis_vcr_spark.operators.quantiles import exact_ntile
+
     od = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        od.select(
-            F.ntile(10).over(w).alias("decile"),
-            F.col("o_totalprice").cast(DEC).alias("price"),
+        exact_ntile(
+            od.select("o_totalprice", "o_orderkey"),
+            ["o_totalprice", "o_orderkey"],
+            10,
+            ntile_col="decile",
+        )
+        .select(
+            "decile", F.col("o_totalprice").cast(DEC).alias("price")
         )
         .groupBy("decile")
         .agg(

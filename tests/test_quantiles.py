@@ -70,3 +70,49 @@ def test_no_shuffle_of_data_rows(spark):
     out = assign_quantile_buckets(df, "v", num_buckets=10)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# exact distributed NTILE (no single-partition sort)
+# ---------------------------------------------------------------------------
+
+
+def test_exact_global_rank_is_dense_and_ordered(spark):
+    from kinesis_vcr_spark.operators.quantiles import exact_global_rank
+
+    df = spark.range(0, 997).select(
+        (F.col("id") * 7919 % 997).alias("v"), "id"
+    )
+    ranked, total = exact_global_rank(df, ["v", "id"], num_partitions=7)
+    assert total == 997
+    rows = ranked.orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, 998))
+    # rank order == (v, id) order
+    assert [r["v"] for r in rows] == sorted(r["v"] for r in rows)
+
+
+@pytest.mark.parametrize("n,k", [(2000, 10), (1003, 7), (5, 10), (13, 4)])
+def test_exact_ntile_matches_window_ntile(spark, n, k):
+    """Value-identical to NTILE(k) OVER (ORDER BY v, id) — including
+    the ragged case (N % k != 0) and N < k."""
+    from kinesis_vcr_spark.operators.quantiles import exact_ntile
+
+    df = spark.range(0, n).select((F.col("id") * 37 % 1999).alias("v"), "id")
+    got = exact_ntile(df, ["v", "id"], k, num_partitions=5)
+    want = df.withColumn("nt", F.ntile(k).over(Window.orderBy("v", "id")))
+    diff = (
+        got.join(want.select("id", "nt"), "id")
+        .where(F.col("ntile") != F.col("nt"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_exact_ntile_plan_has_no_single_partition_sort(spark):
+    """The whole point: no exchange to ONE partition anywhere in the
+    plan (a global window would show Exchange SinglePartition)."""
+    from kinesis_vcr_spark.operators.quantiles import exact_ntile
+
+    df = spark.range(0, 100).select(F.col("id").alias("v"), "id")
+    plan = exact_ntile(df, ["v", "id"], 10)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
