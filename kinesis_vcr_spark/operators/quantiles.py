@@ -81,48 +81,73 @@ def exact_global_rank(
     """EXACT ``row_number() OVER (ORDER BY order_cols)`` without a
     single-partition total sort. Returns ``(df + rank_col, total_rows)``.
 
-    Shape: one sketch pass picks ``num_partitions - 1`` range
-    boundaries on the leading order key; those come back to the driver
-    as CONSTANTS, so the range-block assignment is a pure deterministic
-    column expression — every subsequent job agrees on it. (The tempting
-    ``repartitionByRange + spark_partition_id`` version is WRONG here:
-    each action re-samples range boundaries with a new RDD id, so the
-    counts job and the rank job can see different partitionings —
-    observed as duplicate ranks.) Then: per-block counts (one map-side-
-    combined groupBy, O(partitions) rows to the driver), prefix-summed
-    into offsets, and ``rank = offset[block] + row_number within
-    block`` — parallel local sorts, no single-partition exchange,
-    no persist. The block function is monotone in the leading key and
-    ties share a block, so offset + local rank IS the exact global
-    row_number over ``order_cols``. Skewed leading keys degrade block
-    balance, never correctness (a block holds at least each distinct
-    boundary value's ties — inherent to ranking ties contiguously)."""
+    Two passes, both fully distributed:
+
+    1. per-BLOCK counts, where the block id is a STATIC monotone
+       function of the leading key — ``floor(log(v)·64)`` per sign
+       branch (Java's ``Math.log`` is documented semi-monotonic, and
+       ×64 / ``floor`` preserve order), ~64 blocks per e-fold of value
+       range. Static matters: the tempting ``repartitionByRange +
+       spark_partition_id`` version is WRONG here — each action
+       re-samples range boundaries with a new RDD id, so the counts
+       job and the rank job can see different partitionings (observed
+       as duplicate ranks). A sketch-boundary pass would also work but
+       costs a third full scan; the static function needs none.
+    2. ``rank = offset[block] + row_number() within block`` — the
+       O(blocks) count rows prefix-sum on the driver and come back as
+       a broadcast-joined offset table; the per-block sorts run in
+       parallel and spill, never a single-partition exchange.
+
+    The block function is monotone in the leading key and ties share a
+    block, so offset + local rank IS the exact global row_number over
+    ``order_cols``. Value-skewed data degrades block balance (an
+    equal-value run must sit in one block to be ranked contiguously),
+    never correctness. ``num_partitions`` is accepted for API
+    compatibility; block granularity is fixed by the static function."""
     from pyspark.sql import Window  # noqa: PLC0415
 
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
     cols = [F.col(c) for c in order_cols]
-    bounds = (
-        quantile_boundaries(df, order_cols[0], n) if n >= 2 else []
-    )
     v = F.col(order_cols[0]).cast("double")
-    block: Column = F.lit(1)
-    for b in bounds:
-        block = block + (v > F.lit(float(b))).cast("int")
+    block = (
+        # branch order matters: Spark sorts NULL first (asc) and NaN
+        # last, and NaN > 0 is TRUE in Spark — so both need explicit
+        # blocks before the sign branches
+        F.when(v.isNull(), F.lit(-(1 << 42)))
+        .when(F.isnan(v), F.lit(1 << 62))
+        .when(v == F.lit(float("inf")), F.lit(1 << 61))
+        .when(v == F.lit(float("-inf")), F.lit(-(1 << 42) + 1))
+        .when(v > 0, F.floor(F.log(v) * 64))
+        .when(v == 0, F.lit(-(1 << 40)))
+        .otherwise(-F.floor(F.log(-v) * 64) - F.lit(1 << 41))
+        .cast("long")
+    )
     blocked = df.withColumn("__blk", block)
     counts = blocked.groupBy("__blk").count().collect()
-    offsets = [0] * (len(bounds) + 1)
     acc = 0
+    offset_rows = []
     for row in sorted(counts, key=lambda r: r["__blk"]):
-        offsets[row["__blk"] - 1] = acc
+        offset_rows.append((row["__blk"], acc))
         acc += row["count"]
-    local = F.row_number().over(Window.partitionBy("__blk").orderBy(*cols))
-    off = F.element_at(
-        F.array(*[F.lit(o) for o in offsets]), F.col("__blk")
+    offsets = spark.createDataFrame(
+        offset_rows or [(0, 0)], schema="__blk long, __off long"
     )
+    local = F.row_number().over(Window.partitionBy("__blk").orderBy(*cols))
     return (
-        blocked.withColumn(rank_col, (off + local).cast("long")).drop("__blk"),
+        blocked.join(F.broadcast(offsets), "__blk")
+        .withColumn(rank_col, (F.col("__off") + local).cast("long"))
+        .drop("__blk", "__off"),
         acc,
     )
+
+
+#: below this row count a single-partition window is cheaper than the
+#: two-pass distributed rank (one task sorting ≤ a few million slim
+#:  rows beats two extra distributed jobs of fixed overhead) — the same
+#: adaptive-threshold logic Spark applies to broadcast joins. The
+#: distributed path takes over exactly where the single sort would
+#: start to hurt.
+SMALL_RANK_ROWS = 4_000_000
 
 
 def exact_ntile(
@@ -131,14 +156,27 @@ def exact_ntile(
     num_buckets: int,
     ntile_col: str = "ntile",
     num_partitions: int | None = None,
+    small_input_rows: int = SMALL_RANK_ROWS,
 ) -> DataFrame:
     """EXACT ``NTILE(num_buckets) OVER (ORDER BY order_cols)`` — same
-    values as the SQL window function, built on
-    :func:`exact_global_rank` instead of a single-partition sort.
+    values as the SQL window function, without an unconditional
+    single-partition sort.
+
+    Adaptive: the total row count (needed for the NTILE closed form
+    anyway) picks the plan — at or below ``small_input_rows`` the plain
+    window wins (one small sort vs two extra jobs); above it,
+    :func:`exact_global_rank` keeps every data path distributed. Both
+    paths produce identical values (pinned in tests/test_quantiles.py).
 
     NTILE semantics: with ``N = q·k + rem`` rows over ``k`` buckets,
     the first ``rem`` buckets take ``q+1`` rows, the rest ``q`` — a
     closed form of the global rank, applied as pure column arithmetic."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    total = df.count()
+    if total <= small_input_rows:
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        return df.withColumn(ntile_col, F.ntile(num_buckets).over(w))
     ranked, total = exact_global_rank(
         df, order_cols, "__rank", num_partitions
     )

@@ -21,7 +21,7 @@ from kinesis_vcr_spark.operators.dedup import (
     near_dup_pairs_simhash,
 )
 from kinesis_vcr_spark.queries import QuerySpec, register
-from kinesis_vcr_spark.tables import load_table
+from kinesis_vcr_spark.tables import load_table, widen_small_scan
 
 # ---------------------------------------------------------------------------
 # exact dedup — events.props carries natural duplicate payloads
@@ -111,7 +111,9 @@ NGRAM_THRESHOLD = 0.7
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-4-gram Jaccard near-dup pairs (MinHash-LSH candidates,
     exact verification) — whitespace/tokenizer-insensitive variant."""
-    docs = load_table(spark, sf_dir, "documents")
+    # char-4-gram explode over full text is per-row-CPU heavy — widen
+    # the single-split fixture scan (A/B: 7.6 s -> 5.8 s at sf0.1)
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
     # 8 bands x 8 rows (not 16x4): char-4-grams of same-vocabulary docs
     # run J≈0.35-0.45 between unrelated pairs, so 4-row bands admit ~10%
     # of all pairs as candidates; 8-row bands drop noise collisions
@@ -461,7 +463,9 @@ def substr_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal."""
     from kinesis_vcr_spark.operators.winnow import shared_substring_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    # winnowing hashes every k-gram position — widen the single-split
+    # fixture scan (A/B: 5.2 s -> 1.7 s at sf0.1)
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
     pairs = shared_substring_pairs(
         docs, "doc_id", "text", k=WINNOW_K, w=WINNOW_W,
         max_docs_per_fp=1000,

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from kinesis_vcr_spark.operators.blockfilter import flag_blocked
 from kinesis_vcr_spark.operators.lmscore import MICRO, score_documents_lm
 from kinesis_vcr_spark.queries import QuerySpec, register
-from kinesis_vcr_spark.tables import load_table
+from kinesis_vcr_spark.tables import load_table, widen_small_scan
 
 # ---------------------------------------------------------------------------
 # C4-style blocklist filter (inject-then-flag: the fixture is clean)
@@ -511,7 +511,9 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_sketch,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # shingle+md5 over every token trigram — widen the single-split
+    # fixture scan (A/B: 4.3 s -> 1.8 s at sf0.1)
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
     shingled = docs.select(
         F.pmod("doc_id", F.lit(2)).alias("side"),
         F.explode(word_shingles(F.col("text"), 3)).alias("s"),

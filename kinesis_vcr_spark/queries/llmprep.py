@@ -23,7 +23,7 @@ from kinesis_vcr_spark.operators.sampling import (
     train_val_test_split,
 )
 from kinesis_vcr_spark.queries import QuerySpec, register
-from kinesis_vcr_spark.tables import load_table
+from kinesis_vcr_spark.tables import load_table, widen_small_scan
 
 _SEP_SQL = "chr(31)"
 
@@ -220,7 +220,9 @@ def _injected_text() -> F.Column:
 
 
 def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # three regex families over injected full text — widen the
+    # single-split fixture scan (A/B: 0.8 s -> 0.4 s at sf0.1)
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
     injected = docs.select("doc_id", "lang", _injected_text().alias("txt"))
     counted = injected.select(
         "lang",

@@ -14,12 +14,12 @@ Scale posture:
   within partitions — the standard sessionization shape; skewed power
   users hot-spot a partition, inherent to the semantics (salt + re-merge
   if a single user exceeds a partition).
-- ``order_value_deciles`` computes a GLOBAL ntile WITHOUT a single-
-  partition sort: ``operators/quantiles.exact_ntile`` range-partitions
-  on the order keys, ranks locally per partition, and folds in an
-  O(partitions) offset prefix-sum — exact NTILE semantics, every
-  data-row path distributed (the approximate sketch-boundary variant
-  lives in the same module for boundary-only products).
+- ``order_value_deciles`` ranks via ``operators/quantiles.exact_ntile``
+  — adaptive between a plain window (small inputs, one cheap sort) and
+  a fully distributed static-log-block rank with an O(blocks) offset
+  prefix-sum (large inputs) — exact NTILE semantics on both paths; the
+  approximate sketch-boundary variant lives in the same module for
+  boundary-only products.
 - the views-before-purchase join is an equi-join on ``user_id`` with a
   range residual — shuffles both sides once on the key; the range
   predicate filters inside the joined partition (no cross join, no
@@ -90,14 +90,13 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     total order → identical bucket boundaries in both engines).
 
     Ranks via :func:`kinesis_vcr_spark.operators.quantiles.exact_ntile`
-    — range-repartition + parallel per-partition row_number + an
-    O(partitions) offset prefix-sum, value-identical to the SQL
-    ``NTILE(10) OVER (ORDER BY …)`` the oracle runs but with no
-    single-partition total sort (the r01-r03 shape; 2.08× its pin by
-    r03 and the one non-distributed window left in the registry).
-    ``assign_quantile_buckets`` in the same module is the sketch-based
-    approximate variant for when boundaries, not exact membership,
-    are the product."""
+    — adaptive: a plain window at fixture scale (one small sort is
+    cheapest), switching to the fully distributed static-log-block +
+    offset-prefix-sum rank above ~4M rows, value-identical on both
+    paths. r01-r03 used an unconditional global window (the one
+    non-distributed plan left in the registry by r03's verdict);
+    ``assign_quantile_buckets`` in the same module remains the
+    sketch-based approximate variant for boundary-only products."""
     from kinesis_vcr_spark.operators.quantiles import exact_ntile
 
     od = load_table(spark, sf_dir, "orders")

@@ -38,6 +38,33 @@ def _apply_session_quirks(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def widen_small_scan(df: DataFrame) -> DataFrame:
+    """Repartition a scan that produced fewer splits than cores.
+
+    The fixture parquet files are written as a SINGLE row group, so
+    Spark scans each as ONE split no matter what
+    ``files.maxPartitionBytes`` says — and every downstream per-row
+    stage (shingling, md5, Pandas-UDF matmuls) serializes on one core
+    (measured: the sf0.1 documents shingle+hash pass alone was 2.7 s
+    single-task, ~0.1 s widened). At production scale inputs scan as
+    ≥cores splits and this is a no-op; on under-split inputs the one
+    round-robin shuffle of a small table buys full-cluster parallelism
+    for everything above it. Semantically neutral: every operator in
+    this engine is partition-layout independent by design (hash-ticket
+    sampling, deterministic tiebreaks, salt re-aggregation).
+
+    Callers opt in per query: an A/B sweep over all 31 document
+    queries showed only the shingle-explode-heavy ones win (overlap
+    sketch 4.3→1.8 s, winnowing 5.2→1.7 s, n-gram Jaccard 7.6→5.8 s,
+    PII regex 0.8→0.4 s at sf0.1) — everything scan+agg-shaped pays
+    more for the round-robin shuffle than the parallelism returns, so
+    widening inside ``load_table`` itself was a net loss."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table with normalized schema.
 
