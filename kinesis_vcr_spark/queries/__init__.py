@@ -78,6 +78,7 @@ _MODULE_ORDER = (
     # overflow by design: the 50-slot window is fully allocated above;
     # these stay green via the strict local harness instead
     "filterq",
+    "quantileq",
 )
 
 

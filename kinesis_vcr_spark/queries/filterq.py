@@ -630,6 +630,27 @@ register(QuerySpec("profile_events", profile_events, _profile_sql(),
                    "distincts, typed ranges"))
 
 
+def profile_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-SCALE branch of the profiler (VERDICT r03 "watch":
+    exact multi-distinct Expand is scan-heavy): same one-pass shape
+    with ``approx_count_distinct`` — HLL partials merge map-side, no
+    Expand multiplication of the scan. Registered rows-only (HLL
+    estimates are engine-specific by construction); the exact twin
+    ``profile_events`` carries the value oracle, and this keeps the
+    scale branch benchmarked + driver-smoke-checked."""
+    from kinesis_vcr_spark.operators.profile import profile_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_table(
+        ev, list(PROFILE_COLS), exact_distinct=False
+    ).orderBy("col_name")
+
+
+register(QuerySpec("profile_events_approx", profile_events_approx, None,
+                   "profiler scale branch: HLL distincts, no Expand "
+                   "(rows-only: estimates are engine-specific)"))
+
+
 # ---------------------------------------------------------------------------
 # corpus snapshot diff (generation-gate audit)
 # ---------------------------------------------------------------------------
