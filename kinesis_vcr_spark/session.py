@@ -49,6 +49,21 @@ def get_spark(
         # testdata events.parquet uses TIMESTAMP(NANOS): read as long
         # (kinesis_vcr_spark.tables normalizes back to timestamp)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate duplicates the generator child into a
+        # pushed-down `size(child) > 0` filter. For a cheap array column
+        # that's free pruning; for this engine's shingle pipelines the
+        # child is transform(...)-over-split(...), and alias substitution
+        # inlines the split INTO the HOF lambda inside the filter — the
+        # interpreted per-element re-evaluation trap — so every
+        # explode-of-shingles paid the whole shingle build twice, one
+        # copy in slow form (measured: 2.9 s -> 0.24 s for the sf0.1
+        # document shingle explode with the rule excluded). The rule
+        # only ever ADDS a redundant filter; excluding it cannot change
+        # results.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
     )
     # NOTE: spark.driver.memory must be set BEFORE the JVM starts (e.g.

@@ -36,6 +36,15 @@ def _apply_session_quirks(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.chunkBase64String.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # see session.py: InferFiltersFromGenerate re-evaluates expensive
+    # generator children (shingle pipelines) in a duplicated filter with
+    # the tokenize inlined into the HOF lambda — 12x slower explodes.
+    # Re-applied here because the correctness driver brings its own
+    # session.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
 
 
 def widen_small_scan(df: DataFrame) -> DataFrame:
