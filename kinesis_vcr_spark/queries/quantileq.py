@@ -72,3 +72,116 @@ register(QuerySpec("event_value_percentiles", event_value_percentiles,
                    PCT_SQL,
                    "per-group exact PERCENTILE_CONT profile (p25-p99 + "
                    "min/max) over event values"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixed-size per-group sample (eval-set carving)
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 20
+SAMPLE_SEED_K = "r6k"
+
+
+def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly ``min(K, group size)`` documents per source, chosen by
+    md5-ticket rank — the fixed-size companion of the hash-Bernoulli
+    family (llmprep): deterministic, layout/retry-stable, and the
+    sample NESTS (the K=10 sample is a prefix of the K=20 sample, so a
+    grown eval set never churns existing members). Runs on the
+    skew-safe two-phase top-k (operators/topk.py): a hot source is
+    salted across tasks in phase 1, so no task ever sorts more than
+    ~1/salt of a group."""
+    from kinesis_vcr_spark.operators.sampling import sample_ticket
+    from kinesis_vcr_spark.operators.topk import topk_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_ticket = docs.select(
+        "source", "doc_id",
+        sample_ticket("doc_id", seed=SAMPLE_SEED_K).alias("__t"),
+    )
+    picked = topk_per_group(
+        with_ticket, ["source"], [F.col("__t"), F.col("doc_id")], SAMPLE_K
+    )
+    return picked.select("source", "doc_id").orderBy("source", "doc_id")
+
+
+SAMPLE_K_SQL = f"""
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(concat_ws(chr(31), '{SAMPLE_SEED_K}',
+                                         CAST(doc_id AS VARCHAR))), 1, 8),
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {SAMPLE_K} ORDER BY source, doc_id
+"""
+
+
+register(QuerySpec("sample_k_per_source", sample_k_per_source,
+                   SAMPLE_K_SQL,
+                   "deterministic fixed-K per-group sample: md5-ticket "
+                   "rank via skew-safe two-phase top-k; samples nest"))
+
+
+# ---------------------------------------------------------------------------
+# key-skew profile (the salting decision input)
+# ---------------------------------------------------------------------------
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-size distribution of events per user — the diagnostic that
+    decides whether a key needs salting (operators/skew.py): key count,
+    row count, min/max/mean group size, p50/p90/p99 group size, and the
+    skew factor (max / mean). Two aggregations: per-key counts (one
+    keyed shuffle with map-side combine), then stats over ONE ROW PER
+    KEY — the second agg's input is already reduced, so the exact
+    percentile here is over group-size integers, not data rows."""
+    ev = load_table(spark, sf_dir, "events")
+    sizes = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    nd = F.col("n").cast("double")
+    agged = sizes.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.min("n").alias("min_group"),
+        F.max("n").alias("max_group"),
+        F.percentile(nd, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias(
+            "__ps"
+        ),
+    )
+    mean = F.col("n_rows") / F.col("n_keys")
+    return agged.select(
+        "n_keys",
+        "n_rows",
+        "min_group",
+        "max_group",
+        F.round(mean, 6).alias("mean_group"),
+        F.round(F.element_at("__ps", 1), 6).alias("p50_group"),
+        F.round(F.element_at("__ps", 2), 6).alias("p90_group"),
+        F.round(F.element_at("__ps", 3), 6).alias("p99_group"),
+        F.round(F.col("max_group") / mean, 6).alias("skew_factor"),
+    )
+
+
+SKEW_SQL = """
+WITH sizes AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(min(n) AS BIGINT) AS min_group,
+       CAST(max(n) AS BIGINT) AS max_group,
+       round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mean_group,
+       round(quantile_cont(CAST(n AS DOUBLE), 0.5), 6) AS p50_group,
+       round(quantile_cont(CAST(n AS DOUBLE), 0.9), 6) AS p90_group,
+       round(quantile_cont(CAST(n AS DOUBLE), 0.99), 6) AS p99_group,
+       round(CAST(max(n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) / count(*)), 6)
+         AS skew_factor
+FROM sizes
+"""
+
+
+register(QuerySpec("key_skew_profile", key_skew_profile, SKEW_SQL,
+                   "group-size distribution + skew factor per key: the "
+                   "input to the salting decision"))

@@ -104,9 +104,10 @@ def test_driver_window_covers_every_family():
         # windowed gaps/deciles/paths/interval/topk) stay in-window
         "dedup_ngram_jaccard", "dedup_embedding_cosine",
         "views_before_purchase",
-        # quantileq module (round 4): new overflow family, rotation
-        # candidate for round 5
-        "event_value_percentiles",
+        # quantileq module (round 4): new overflow families, rotation
+        # candidates for round 5
+        "event_value_percentiles", "sample_k_per_source",
+        "key_skew_profile",
     }
     bad = sorted(
         n for n in overflow

@@ -277,3 +277,25 @@ def test_semdedup_intra_cluster_join_is_equi(spark, sf_dir):
     plan = _formatted_plan(semantic_dedup_planted(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shingle_explode_has_no_duplicated_generator_filter(spark, sf_dir):
+    """Guard the InferFiltersFromGenerate exclusion (session.py): the
+    rule would duplicate the whole shingle build into a pushed-down
+    size(...) > 0 filter with the tokenizer inlined into the HOF lambda
+    — the interpreted re-evaluation trap (measured 12x slower explode).
+    If this starts failing, the exclusion stopped reaching the session."""
+    from kinesis_vcr_spark.operators.dedup import tokens, word_shingles_from_tokens
+    from kinesis_vcr_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_sh = docs.select(
+        F.col("doc_id"), tokens("text").alias("__toks")
+    ).select(
+        F.col("doc_id"),
+        word_shingles_from_tokens(F.col("__toks"), 3).alias("shingles"),
+    )
+    plan = _formatted_plan(with_sh.select(F.explode("shingles")))
+    assert "Filter (size(array_distinct" not in plan
+    assert plan.count("array_distinct") == 1, plan
