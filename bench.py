@@ -74,9 +74,44 @@ def bench_vcr_core(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def detect_spark_contention() -> int:
+    """Count FOREIGN JVMs already running a Spark driver/executor.
+
+    BASELINE.md documents ~1.6× timing inflation when another Spark
+    session shares the rig; pins recorded under contention absorb that
+    noise. Called BEFORE this process creates its own session, so any
+    org.apache.spark JVM found belongs to someone else. The count is
+    annotated into both the stdout line and BENCH_DETAIL.json so a
+    reader can discount (or re-run) a contended measurement.
+    """
+    n = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == os.getpid():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read()
+            except OSError:
+                continue
+            if b"java" in cmd and b"org.apache.spark" in cmd:
+                n += 1
+    except OSError:
+        return 0
+    return n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    contention = detect_spark_contention()
+    if contention:
+        print(
+            f"WARNING: {contention} foreign Spark JVM(s) alive — timings "
+            "will be inflated (BASELINE.md: ~1.6x); results are annotated "
+            '"contended": true.',
+            file=sys.stderr,
+        )
 
     from kinesis_vcr_spark.queries import all_queries
     from kinesis_vcr_spark.session import get_spark
@@ -112,6 +147,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "contended": bool(contention),
+        "foreign_spark_jvms": contention,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -137,6 +174,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
+                "contended": bool(contention),
             }
         )
         if len(line) > 1000:
@@ -152,6 +190,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
+                "contended": bool(contention),
             }
         )
     )

@@ -102,12 +102,16 @@ def kinesis_partition_writer(
     put_records_factory: Callable[[], Callable[..., dict]],
     max_count: int = MAX_BATCH_COUNT,
     max_bytes: int = MAX_BATCH_BYTES,
+    budget_seconds: float = PUT_RETRY_BUDGET_SECONDS,
 ):
     """Build a ``foreachPartition`` function writing ``data`` rows to Kinesis.
 
     ``put_records_factory`` is called once per partition ON THE EXECUTOR
     (boto3 clients aren't picklable); pass e.g.
-    ``lambda: boto3.client("kinesis").put_records``.
+    ``lambda: boto3.client("kinesis").put_records``. ``budget_seconds``
+    caps each batch's retry loop (the reference's 30 s give-up budget,
+    KinesisPlayer.java:122-155); tests shrink it to exercise give-ups
+    without real waits.
     """
 
     def write_partition(rows) -> int:
@@ -115,7 +119,9 @@ def kinesis_partition_writer(
         payloads = (row["data"] for row in rows)
         failed = 0
         for batch in iter_batches(payloads, max_count, max_bytes):
-            failed += put_with_retry(put, stream_name, make_entries(batch))
+            failed += put_with_retry(
+                put, stream_name, make_entries(batch), budget_seconds
+            )
         return failed
 
     return write_partition

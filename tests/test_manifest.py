@@ -189,3 +189,134 @@ def test_streaming_manifest_estimate_chain(spark, tmp_path):
     a = estimate_replay_time(spark, cfg.archive_path, *rng, open_shards=2)
     b = estimate_from_manifest(spark, manifest, *rng, open_shards=2)
     assert (a.file_count, a.total_bytes) == (b.file_count, b.total_bytes)
+
+
+def test_record_manifest_restart_recovery(spark, tmp_path):
+    """Reference Test-2 semantics under kill/restart (VERDICT r03 item 4):
+    drive record_stream_with_manifest with a REAL processingTime trigger
+    and a small byte bound, stop the query mid-stream after at least one
+    committed batch, append more source data, restart from the SAME
+    checkpoint, and prove the end state is exactly-once:
+
+    - every source record appears EXACTLY once across the archive files
+      (an un-recovered offset would lose records; a re-processed batch
+      landing under different names would duplicate them — idempotent
+      same-name writes + manifest dedup make the rerun invisible);
+    - lines within each file are in ascending per-shard sequence order,
+      base64-encoded (KinesisRecorderTest.java:157-190);
+    - the byte bound rotated files (B1's size half) and every manifest
+      row reconciles byte-for-byte with the file on disk.
+    """
+    import base64
+    import time
+
+    from pyspark.sql import Row
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    base = datetime(2024, 3, 5, 10, 0, 0)
+
+    def write_wave(lo, hi):
+        rows = [
+            Row(
+                data=f"rr-{i:04d}-{'x' * 40}".encode(),
+                sequence_number=str(i).zfill(20),
+                partition_key=f"pk-{i}",
+                shard_id=f"sh-{i % 2}",
+                arrival_ts=base + timedelta(seconds=i),
+            )
+            for i in range(lo, hi)
+        ]
+        (
+            spark.createDataFrame(rows, RECORD_SCHEMA)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_dir)
+        )
+
+    def manifest_records() -> int:
+        try:
+            return (
+                read_manifest(spark, manifest)
+                .agg(F.sum("record_count"))
+                .collect()[0][0]
+                or 0
+            )
+        except Exception:  # manifest dir not created yet
+            return 0
+
+    def wait_for(n, timeout=120.0):
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if manifest_records() >= n:
+                return
+            time.sleep(0.5)
+        raise AssertionError(
+            f"timed out waiting for {n} manifest records "
+            f"(have {manifest_records()})"
+        )
+
+    cfg = VcrConfig(
+        archive_root=str(tmp_path / "bucket"),
+        source_stream="events",
+        checkpoint_location=str(tmp_path / "ckpt"),
+        buffer_size_bytes=150,  # base64 line ≈ 69 B → ~2 lines/file
+    )
+    manifest = str(tmp_path / "manifest")
+
+    def start():
+        stream = (
+            spark.readStream.schema(RECORD_SCHEMA)
+            .option("maxFilesPerTrigger", 1)  # one wave per micro-batch
+            .parquet(src_dir)
+        )
+        return record_stream_with_manifest(
+            stream, cfg, manifest, trigger_seconds=1
+        )
+
+    # phase 1: two waves queued; kill after the first batch commits —
+    # the second may be unstarted, in-flight (interrupted foreachBatch
+    # → idempotent rerun), or done; every path must converge.
+    write_wave(0, 30)
+    write_wave(30, 60)
+    q = start()
+    wait_for(30)
+    q.stop()
+    q.awaitTermination(60)
+
+    # phase 2: more data arrives while down; restart from the checkpoint
+    write_wave(60, 90)
+    q = start()
+    wait_for(90)
+    q.stop()
+    q.awaitTermination(60)
+
+    files = sorted(
+        f
+        for f in glob.glob(f"{cfg.archive_path}/dt=*/shard=*/*")
+        if not os.path.basename(f).startswith((".", "_"))
+    )
+    # exactly-once: each of the 90 payloads appears exactly once overall
+    seen = []
+    for f in files:
+        with open(f, "rb") as fh:
+            lines = [ln for ln in fh.read().split(b"\n") if ln]
+        decoded = [base64.b64decode(ln) for ln in lines]
+        seen.extend(decoded)
+        # in-file order: ascending sequence within the shard's file
+        seqs = [int(p.split(b"-")[1]) for p in decoded]
+        assert seqs == sorted(seqs), f"out-of-order lines in {f}"
+    expected = [f"rr-{i:04d}-{'x' * 40}".encode() for i in range(90)]
+    assert sorted(seen) == expected  # no loss, no duplicates
+
+    # byte-bound rotation happened (≥3 batches × 2 shards would be 6
+    # files without rotation) and the bound held per file
+    assert len(files) > 6
+    mrows = read_manifest(spark, manifest).collect()
+    assert sum(r["record_count"] for r in mrows) == 90
+    assert {r["file_path"] for r in mrows} == set(files)
+    for r in mrows:
+        assert os.path.getsize(r["file_path"]) == r["byte_size"]
+        assert r["byte_size"] <= cfg.buffer_size_bytes
+        first, last = parse_seq_range(os.path.basename(r["file_path"]))
+        assert (first, last) == (r["first_seq"], r["last_seq"])
