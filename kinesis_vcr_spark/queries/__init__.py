@@ -109,11 +109,20 @@ _WINDOW_PROMOTE = (
     "lm_unigram_score",
     "semantic_dedup_planted",
     "corpus_overlap_kmv",
+    # VERDICT r03 named these two explicitly: the profiler's exact
+    # Expand plan and one TPC-H representative earn driver-grade rows
+    "profile_events",
+    "q1_pricing_summary",
 )
 _WINDOW_DEMOTE = (
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "views_before_purchase",
+    # second shapes whose family representatives stay in-window
+    # (multimodal payload_stats/features; windowed gaps/deciles/
+    # sessions/rolling/funnel)
+    "multimodal_frame_sample",
+    "user_event_paths",
 )
 
 

@@ -72,6 +72,8 @@ def test_driver_window_covers_every_family():
         # round-4 window rotation (ADVICE r03): newer families promoted
         # into the window for driver-grade verification
         "lm_unigram_score", "semantic_dedup_planted", "corpus_overlap_kmv",
+        # VERDICT r03's named promotions: profiler + TPC-H representative
+        "profile_events", "q1_pricing_summary",
     }
     missing = required - window
     assert not missing, f"queries pushed outside the driver window: {missing}"
@@ -98,12 +100,14 @@ def test_driver_window_covers_every_family():
         # rotated INTO the window round 4 (see queries._WINDOW_PROMOTE).
         "text_blocklist_filter", "doc_chunks_overlap",
         "text_unicode_nfc", "corpus_mix_epochs",
-        "profile_events", "corpus_snapshot_diff",
+        "corpus_snapshot_diff",
         # rotated OUT round 4 — same-family second shapes whose
         # representatives (dedup exact/minhash/cosine-planted/components,
-        # windowed gaps/deciles/paths/interval/topk) stay in-window
+        # windowed gaps/deciles/interval/topk, multimodal stats/features)
+        # stay in-window
         "dedup_ngram_jaccard", "dedup_embedding_cosine",
-        "views_before_purchase",
+        "views_before_purchase", "multimodal_frame_sample",
+        "user_event_paths",
         # quantileq module (round 4): new overflow families, rotation
         # candidates for round 5
         "event_value_percentiles", "sample_k_per_source",
