@@ -724,3 +724,100 @@ FROM diff GROUP BY status ORDER BY status
 register(QuerySpec("corpus_snapshot_diff", corpus_snapshot_diff, DIFF_SQL,
                    "generation-gate diff: added/removed/changed/unchanged "
                    "accounting across deterministic snapshot edits"))
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram LM scoring (round 4: one order up from the unigram)
+# ---------------------------------------------------------------------------
+
+
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source interpolated-bigram LM profile: self-trained
+    λ-bigram/(1-λ)-add-1-unigram mixture, exact integer micro-nat
+    totals (operators/lmscore.py:bigram_nll_table); mean from exact
+    sums, min/max over per-doc ratios — order-independent, so the
+    DuckDB rebuild matches digit-for-digit."""
+    from kinesis_vcr_spark.operators.lmscore import score_documents_bigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = score_documents_bigram(docs, "doc_id", "text")
+    per_doc_nll = F.col("nll_micro_total") / (
+        F.col("n_tokens") * F.lit(float(MICRO))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("nll_micro_total")
+                / (F.sum("n_tokens") * F.lit(float(MICRO))),
+                6,
+            ).alias("avg_nll"),
+            F.round(F.min(per_doc_nll), 6).alias("min_doc_nll"),
+            F.round(F.max(per_doc_nll), 6).alias("max_doc_nll"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bigram_sql() -> str:
+    # the float literals MUST be the reprs of the exact Python doubles
+    # the Spark side uses: 1.0 - 0.7 is 0.30000000000000004, NOT the
+    # nearest-double of 0.3 — emitting '0.3' would silently diverge.
+    from kinesis_vcr_spark.operators.lmscore import LAMBDA_BIGRAM
+
+    lam = repr(float(LAMBDA_BIGRAM))
+    one_minus = repr(1.0 - float(LAMBDA_BIGRAM))
+    return f"""
+WITH dt AS (
+  SELECT doc_id, list_filter(string_split(text, ' '),
+                             t -> length(t) > 0) AS toks
+  FROM documents
+), idx AS (
+  SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM dt
+), pairs AS (
+  SELECT doc_id,
+         CASE WHEN i = 0 THEN chr(2) ELSE toks[i] END AS prev,
+         toks[i + 1] AS token
+  FROM idx
+), c_pw AS (
+  SELECT prev, token, CAST(count(*) AS BIGINT) AS c_pw
+  FROM pairs GROUP BY prev, token
+), c_p AS (
+  SELECT prev, CAST(sum(c_pw) AS BIGINT) AS c_p FROM c_pw GROUP BY prev
+), uni AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c_w FROM pairs GROUP BY token
+), tot AS (
+  SELECT CAST(sum(c_w) AS BIGINT) AS n_total, count(*) AS v_size FROM uni
+), nll AS (
+  SELECT prev, token,
+         -CAST(round(ln(CAST({lam} AS DOUBLE) * c_pw / c_p
+                        + CAST({one_minus} AS DOUBLE) * (c_w + 1.0)
+                          / (n_total + 1.0 * v_size)) * {MICRO})
+               AS BIGINT) AS nll_micro
+  FROM c_pw JOIN c_p USING (prev) JOIN uni USING (token), tot
+), doc AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(nll_micro) AS BIGINT) AS nll_total
+  FROM pairs p JOIN nll USING (prev, token) GROUP BY p.doc_id
+)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(d.n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(d.nll_total) AS BIGINT)
+             / (CAST(sum(d.n_tokens) AS BIGINT) * {MICRO}.0), 6) AS avg_nll,
+       round(min(d.nll_total / (d.n_tokens * {MICRO}.0)), 6) AS min_doc_nll,
+       round(max(d.nll_total / (d.n_tokens * {MICRO}.0)), 6) AS max_doc_nll
+FROM doc d JOIN (SELECT doc_id, source FROM documents) s USING (doc_id)
+GROUP BY s.source ORDER BY s.source
+"""
+
+
+register(QuerySpec("lm_bigram_score", lm_bigram_score, _bigram_sql(),
+                   "interpolated bigram-LM scoring: λ·MLE-bigram + "
+                   "(1-λ)·add-1-unigram mixture, exact micro-nat NLL "
+                   "totals, per-source profile"))

@@ -136,3 +136,87 @@ def test_nfc_composes_and_strips_controls(spark):
     assert got[0] == got[1] == "caf\u00e9"   # dedup-equal after NFC
     assert got[2] == "ab\u200b"
     assert got[3] == "tab\tand\nnewline"
+
+
+def test_bigram_pairs_shape(spark):
+    from kinesis_vcr_spark.operators.lmscore import BOS, bigram_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b  b"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.prev, r.token) for r in bigram_pairs(df).collect()
+    )
+    # doc 2's double space yields no empty token (filtered BEFORE
+    # adjacency, so 'b b' stays adjacent); empty/whitespace docs vanish
+    assert got == [
+        (1, BOS, "a"), (1, "a", "b"), (1, "b", "a"),
+        (2, BOS, "b"), (2, "b", "b"),
+    ]
+
+
+def test_bigram_nll_hand_computed(spark):
+    """Tiny corpus, hand-derived counts: the table must equal the
+    closed-form -ln(λ·c_pw/c_p + (1-λ)·(c_w+1)/(N+V)) in micro-nats,
+    with (1-λ) the exact Python double 1.0-0.7 (not nearest-0.3)."""
+    import math
+
+    from kinesis_vcr_spark.operators.lmscore import (
+        BOS, LAMBDA_BIGRAM, MICRO, bigram_nll_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b b")], "doc_id long, text string"
+    )
+    # pairs: (BOS,a) (a,b) (b,a) | (BOS,b) (b,b)
+    c_pw = {(BOS, "a"): 1, ("a", "b"): 1, ("b", "a"): 1,
+            (BOS, "b"): 1, ("b", "b"): 1}
+    c_p = {BOS: 2, "a": 1, "b": 2}
+    c_w = {"a": 2, "b": 3}
+    n_total, v_size = 5, 2
+    lam, one_minus = LAMBDA_BIGRAM, 1.0 - LAMBDA_BIGRAM
+
+    def expected(prev, token):
+        p = (lam * c_pw[(prev, token)] / c_p[prev]
+             + one_minus * (c_w[token] + 1.0)
+             / (n_total + 1.0 * v_size))
+        return -round(math.log(p) * MICRO)
+
+    got = {
+        (r.prev, r.token): r.nll_micro
+        for r in bigram_nll_table(df).collect()
+    }
+    assert set(got) == set(c_pw)
+    for key, nll in got.items():
+        assert nll == expected(*key), key
+        assert nll > 0  # every mixture prob < 1
+
+
+def test_bigram_score_totals(spark):
+    """Self-scoring joins are total: n_tokens equals the token count of
+    each doc, totals are the exact sum of table entries, and the
+    shuffle-join path (broadcast_lm=False) is value-identical."""
+    from kinesis_vcr_spark.operators.lmscore import (
+        bigram_nll_table, bigram_pairs, score_documents_bigram,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b b"), (3, "c")], "doc_id long, text string"
+    )
+    table = {
+        (r.prev, r.token): r.nll_micro
+        for r in bigram_nll_table(df).collect()
+    }
+    pairs = [(r.doc_id, r.prev, r.token) for r in bigram_pairs(df).collect()]
+    want = {}
+    for doc_id, prev, token in pairs:
+        n, t = want.get(doc_id, (0, 0))
+        want[doc_id] = (n + 1, t + table[(prev, token)])
+
+    for bc in (True, False):
+        got = {
+            r.doc_id: (r.n_tokens, r.nll_micro_total)
+            for r in score_documents_bigram(df, broadcast_lm=bc).collect()
+        }
+        assert got == want, f"broadcast_lm={bc}"
