@@ -214,3 +214,48 @@ def stratified_topk_by_hash(
         .where(F.col("__rk") <= k)
         .drop("__rk", "__ticket")
     )
+
+
+def select_within_token_budget(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    budget_tokens: int,
+    order_by: list[Column] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy per-group corpus selection under a token budget: walk each
+    group in priority order and keep rows while the RUNNING TOTAL of
+    ``tokens_col`` stays ≤ ``budget_tokens`` (prefix-inclusive: the
+    first overshooting row and everything after it is rejected).
+
+    This is the "give me the best N-token slice of every source" step
+    of training-mix construction — quality-ranked, deterministic
+    (``order_by`` defaults to ``tokens_col`` desc with an md5 ticket of
+    ``id_col`` as the tiebreak, so re-runs and engines agree even on
+    ties), and exact.
+
+    Adds ``cum_tokens`` (inclusive prefix sum in priority order) and
+    ``selected``. One shuffle on ``group_col`` + an in-group sort — the
+    same shape as any per-group window. A prefix sum is inherently
+    sequential per group, so a pathologically hot group serializes in
+    one task; at that scale switch strategy: estimate the order-col
+    threshold with ``approx_percentile(order, budget/group_tokens)``
+    and filter — approximate, but shuffle-free (the profiler's
+    ``key_skew_profile`` tells you which groups need it).
+    """
+    order = order_by
+    if order is None:
+        order = [
+            F.col(tokens_col).desc(),
+            sample_ticket(id_col, seed="budget"),
+        ]
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    return df.withColumn("cum_tokens", cum).withColumn(
+        "selected", F.col("cum_tokens") <= F.lit(int(budget_tokens))
+    )

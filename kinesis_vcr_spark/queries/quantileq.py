@@ -185,3 +185,76 @@ FROM sizes
 register(QuerySpec("key_skew_profile", key_skew_profile, SKEW_SQL,
                    "group-size distribution + skew factor per key: the "
                    "input to the salting decision"))
+
+
+# ---------------------------------------------------------------------------
+# budget-capped corpus selection (round 4)
+# ---------------------------------------------------------------------------
+
+BUDGET_TOKENS = 900
+
+
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source greedy token-budget selection
+    (operators/sampling.py:select_within_token_budget): rank docs by
+    token count desc with an md5-ticket tiebreak, keep the prefix whose
+    running token total stays ≤ BUDGET_TOKENS, report the per-source
+    selection accounting. Window prefix-sum on both engines over the
+    identical deterministic order → exact parity."""
+    from kinesis_vcr_spark.operators.sampling import (
+        select_within_token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    )
+    base = docs.select("doc_id", "source", toks.alias("n_tokens"))
+    sel = select_within_token_budget(
+        base, "source", "n_tokens", BUDGET_TOKENS
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("selected"), 1).otherwise(0)).alias(
+                "n_selected"
+            ),
+            F.sum(
+                F.when(F.col("selected"), F.col("n_tokens")).otherwise(0)
+            ).alias("tokens_selected"),
+        )
+        .orderBy("source")
+    )
+
+
+BUDGET_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> length(t) > 0)) AS BIGINT) AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT source, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY n_tokens DESC,
+                    substr(md5(concat_ws(chr(31), 'budget',
+                                         CAST(doc_id AS VARCHAR))), 1, 8)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_tokens
+  FROM base
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN cum_tokens <= {BUDGET_TOKENS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_selected,
+       CAST(sum(CASE WHEN cum_tokens <= {BUDGET_TOKENS} THEN n_tokens
+                ELSE 0 END) AS BIGINT) AS tokens_selected
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
+register(QuerySpec("corpus_budget_select", corpus_budget_select, BUDGET_SQL,
+                   "greedy per-source token-budget selection: "
+                   "quality-ranked prefix under a running-total cap"))

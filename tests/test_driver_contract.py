@@ -111,7 +111,9 @@ def test_driver_window_covers_every_family():
         # quantileq module (round 4): new overflow families, rotation
         # candidates for round 5
         "event_value_percentiles", "sample_k_per_source",
-        "key_skew_profile",
+        "key_skew_profile", "corpus_budget_select",
+        # lmscore second shape (unigram representative is in-window)
+        "lm_bigram_score",
     }
     bad = sorted(
         n for n in overflow

@@ -171,3 +171,37 @@ def test_redact_pii_clean_text_untouched(spark):
     assert df.select(redact_pii(F.col("t")).alias("c")).collect()[0].c == (
         "no pii here just words"
     )
+
+
+def test_select_within_token_budget_semantics(spark):
+    """Prefix-inclusive greedy cap: rows selected in priority order
+    while the running total stays within budget; the first overshoot
+    and everything after it rejected; deterministic under reshuffle."""
+    from pyspark.sql import functions as F
+
+    from kinesis_vcr_spark.operators.sampling import (
+        select_within_token_budget,
+    )
+
+    rows = [
+        # group A: tokens 50, 40, 30, 20 -> cum 50, 90, 120, 140
+        ("A", 1, 50), ("A", 2, 40), ("A", 3, 30), ("A", 4, 20),
+        # group B: one row over budget alone
+        ("B", 5, 200),
+        # group C: exactly-at-budget boundary is SELECTED (<=)
+        ("C", 6, 60), ("C", 7, 40),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = select_within_token_budget(
+        df.repartition(5), "source", "n_tokens", 100,
+        order_by=[F.col("n_tokens").desc(), F.col("doc_id")],
+    )
+    got = {r.doc_id: (r.selected, r.cum_tokens) for r in out.collect()}
+    # ordering: desc tokens -> A walks 50(cum 50) 40(90) 30(120) 20(140)
+    assert got[1] == (True, 50)
+    assert got[2] == (True, 90)     # 50+40
+    assert got[3] == (False, 120)   # 50+40+30 > 100
+    assert got[4] == (False, 140)
+    assert got[5] == (False, 200)   # single oversize row rejected
+    assert got[6] == (True, 60)
+    assert got[7] == (True, 100)    # == budget is selected
