@@ -1,0 +1,236 @@
+"""Product quantization (PQ) — the memory-compression half of
+large-scale ANN (Jégou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011).
+
+Scalar quantization (operators/quantize.py) compresses each DIMENSION
+independently; PQ compresses each VECTOR: split the d-dim space into
+``m`` subspaces, k-means each subspace to ``ksub`` centroids, and store
+a vector as its ``m`` nearest-sub-centroid ids — d floats become m
+small ints (64-dim float32 → 8 bytes at m=8, ksub=256: 32× smaller).
+Search never decodes: a query builds an (m × ksub) inner-product table
+against the codebook once, then every encoded vector's approximate
+similarity is ``m`` table lookups (ADC — asymmetric distance
+computation).
+
+Spark shape, all deterministic:
+
+- **train**: seed rows = the ``ksub`` vectors with the smallest
+  ``xxhash64(id)`` (order-free sample, same discipline as
+  operators/ivf.py:train_centroids), sliced per subspace; Lloyd
+  refinement is fully distributed — one vectorized Pandas-UDF pass
+  encodes all ``m`` subspaces per Arrow batch, then ONE
+  posexplode→groupBy((sub, code, dim)) mean updates every sub-centroid
+  of every subspace in a single shuffle. Collected state is the
+  codebook itself (m·ksub·dsub floats — KBs, closure-sized).
+- **encode**: one narrow Pandas-UDF projection; the (id, codes) table
+  is the persistent 100 TB artifact.
+- **search**: queries are broadcast (probe sets are small); the codes
+  table is scanned once per batch with numpy table lookups, then the
+  exact per-query top-k runs on the skew-safe two-phase path.
+
+Unit-normalization first: on unit vectors max-inner-product ≡ max
+cosine ≡ min L2, so ADC scores live on the same scale as the
+brute-force cosine baseline (operators/similarity.py) and recall is
+directly comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from kinesis_vcr_spark.operators.ivf import _normalize_rows
+from kinesis_vcr_spark.operators.topk import topk_per_group
+
+
+def _encode_batch(mat: np.ndarray, codebook: np.ndarray) -> np.ndarray:
+    """(n × d) matrix → (n × m) int32 codes: per-subspace argmin L2
+    against the sub-centroids (≡ argmax IP only after normalization,
+    so use true L2 on the subvectors — subvectors are NOT unit)."""
+    m, ksub, dsub = codebook.shape
+    out = np.empty((mat.shape[0], m), dtype=np.int32)
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        cb = codebook[s]  # ksub × dsub
+        # ||x - c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+        d2 = -2.0 * (sub @ cb.T) + (cb * cb).sum(axis=1)[None, :]
+        out[:, s] = np.argmin(d2, axis=1)
+    return out
+
+
+def encode_pq(vec_col, codebook: np.ndarray):
+    """Column of PQ codes (array<int>, length m) for a vector column."""
+    cb = codebook
+
+    @pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        mat = _normalize_rows(np.vstack(vecs.to_numpy()).astype(np.float64))
+        return pd.Series(list(_encode_batch(mat, cb)))
+
+    return enc(vec_col)
+
+
+def train_pq(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iterations: int = 1,
+) -> np.ndarray:
+    """Deterministic PQ codebook: (m × ksub × d/m) numpy array.
+
+    Seeds are the ``ksub`` hash-smallest vectors sliced per subspace;
+    each Lloyd step re-encodes the corpus (vectorized UDF) and updates
+    ALL m·ksub sub-centroids with one posexplode→groupBy mean — the
+    update shuffle moves (m·ksub·dsub) aggregated rows, never vectors.
+    """
+    seeds = (
+        vectors.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("__h"))
+        .orderBy("__h")
+        .limit(ksub)
+        .collect()
+    )
+    seed_mat = _normalize_rows(
+        np.array([list(r[vec_col]) for r in seeds], dtype=np.float64)
+    )
+    d = seed_mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    codebook = np.stack(
+        [seed_mat[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+    )  # m × ksub × dsub
+
+    def make_encoder(cb_state: np.ndarray):
+        @pandas_udf("struct<codes: array<int>, unit: array<double>>")
+        def enc_with_unit(vecs: pd.Series) -> pd.DataFrame:
+            mat = _normalize_rows(
+                np.vstack(vecs.to_numpy()).astype(np.float64)
+            )
+            return pd.DataFrame(
+                {
+                    "codes": list(_encode_batch(mat, cb_state)),
+                    "unit": list(mat),
+                }
+            )
+
+        return enc_with_unit
+
+    for _ in range(refine_iterations):
+        enc_with_unit = make_encoder(codebook)
+        # the UDF emits (codes, unit-normalized vector) together — the
+        # Arrow batch is materialized BEFORE the explode, so the
+        # normalization never re-evaluates per exploded element (the
+        # interpreted-HOF-under-Generate trap)
+        coded = vectors.select(
+            enc_with_unit(F.col(vec_col)).alias("r")
+        ).select(F.col("r.codes").alias("codes"), F.col("r.unit").alias("u"))
+        means = (
+            coded.select(F.posexplode("u").alias("dim", "val"), "codes")
+            .select(
+                (F.col("dim") / dsub).cast("int").alias("sub"),
+                (F.col("dim") % dsub).alias("dim_in"),
+                F.element_at("codes", (F.col("dim") / dsub).cast("int") + 1)
+                .alias("code"),
+                "val",
+            )
+            .groupBy("sub", "code", "dim_in")
+            .agg(F.avg("val").alias("mval"))
+            .collect()
+        )
+        new = codebook.copy()
+        for r in means:
+            new[r["sub"], r["code"], r["dim_in"]] = r["mval"]
+        codebook = new
+    return codebook
+
+
+def pq_encode_table(
+    vectors: DataFrame,
+    codebook: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) — the compressed corpus, the artifact that persists
+    at scale (m ints per vector instead of d floats)."""
+    return vectors.select(
+        F.col(id_col), encode_pq(F.col(vec_col), codebook).alias("codes")
+    )
+
+
+def pq_decode(codes: np.ndarray, codebook: np.ndarray) -> np.ndarray:
+    """(n × m) codes → (n × d) reconstructed matrix (test/debug path —
+    production search is ADC and never reconstructs)."""
+    m, _, dsub = codebook.shape
+    return np.concatenate(
+        [codebook[s][codes[:, s]] for s in range(m)], axis=1
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebook: np.ndarray,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by ADC: per (query, vector), similarity =
+    Σ_s ip_table[s, code_s] where ip_table is the query's inner-product
+    table against the codebook — m lookups per candidate, no decode.
+
+    Queries are collected and closure-broadcast (probe sets are small —
+    same posture as the brute-force baseline); the codes scan fans out
+    to |queries| rows per vector and the exact top-k rides the
+    skew-safe two-phase path. Returns (query_id, vec_id, adc_sim).
+    """
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = np.array([r[query_id_col] for r in qrows])
+    qmat = _normalize_rows(
+        np.array([list(r[query_vec_col]) for r in qrows], dtype=np.float64)
+    )
+    m, ksub, dsub = codebook.shape
+    # per-query IP tables: (nq × m × ksub)
+    tables = np.stack(
+        [
+            qmat[:, s * dsub : (s + 1) * dsub] @ codebook[s].T
+            for s in range(m)
+        ],
+        axis=1,
+    )
+
+    @pandas_udf("array<struct<query_id: long, adc_sim: double>>")
+    def adc(code_series: pd.Series) -> pd.Series:
+        cmat = np.vstack(code_series.to_numpy()).astype(np.int64)  # n × m
+        # sims[q, i] = Σ_s tables[q, s, cmat[i, s]]
+        sims = np.zeros((len(qids), cmat.shape[0]), dtype=np.float64)
+        for s in range(m):
+            sims += tables[:, s, :][:, cmat[:, s]]
+        out = [
+            [
+                {"query_id": int(qids[q]), "adc_sim": round(float(sims[q, i]), 6)}
+                for q in range(len(qids))
+            ]
+            for i in range(cmat.shape[0])
+        ]
+        return pd.Series(out)
+
+    scored = codes.select(
+        id_col, F.explode(adc(F.col("codes"))).alias("hit")
+    ).select(
+        F.col("hit.query_id").alias("query_id"),
+        id_col,
+        F.col("hit.adc_sim").alias("adc_sim"),
+    )
+    return topk_per_group(
+        scored,
+        key_cols=["query_id"],
+        order_by=[F.col("adc_sim").desc(), F.col(id_col)],
+        k=k,
+        rank_col="rank",
+    )
