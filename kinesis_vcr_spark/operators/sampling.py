@@ -259,3 +259,49 @@ def select_within_token_budget(
     return df.withColumn("cum_tokens", cum).withColumn(
         "selected", F.col("cum_tokens") <= F.lit(int(budget_tokens))
     )
+
+
+def weighted_sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "wsample",
+    salt_factor: int = 16,
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement, k per group —
+    Efraimidis-Spirakis (IPL 2006) A-ES keys made deterministic: each
+    row's uniform draw is its md5 ticket, ``u = (hexint + 0.5) / 16^8``
+    in (0,1), and the k rows with the SMALLEST ``-ln(u)/w`` win —
+    exactly the classic exponential-jitter reservoir, but reproducible
+    across runs, engines, and partition layouts (same discipline as
+    every ticket in this module).
+
+    P(row wins a slot) is proportional to ``weight_col`` in the
+    without-replacement sense. Rows with weight ≤ 0 are filtered out
+    before the draw (never selected — the E-S limit of w→0; under ANSI
+    mode a 0 divisor would throw, and a negative weight's key would
+    nonsensically sort first).
+
+    One pass, no per-group state beyond the top-k heap: rides the
+    salted two-phase ``topk_per_group``, so a hot group's sort is
+    bounded at ~group/salt_factor rows per task. Changing ``seed``
+    draws an independent sample; samples across seeds are the
+    bootstrap-replicate generator.
+    """
+    from kinesis_vcr_spark.operators.topk import topk_per_group
+
+    u = (
+        F.conv(sample_ticket(id_col, seed=seed), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**TICKET_DIGITS))
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    picked = topk_per_group(
+        df.where(F.col(weight_col) > 0).withColumn("__es_key", key),
+        key_cols=[group_col],
+        order_by=[F.col("__es_key").asc(), F.col(id_col)],
+        k=k,
+        salt_factor=salt_factor,
+    )
+    return picked.drop("__es_key")

@@ -258,3 +258,55 @@ FROM ranked GROUP BY source ORDER BY source
 register(QuerySpec("corpus_budget_select", corpus_budget_select, BUDGET_SQL,
                    "greedy per-source token-budget selection: "
                    "quality-ranked prefix under a running-total cap"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling (round 4): Efraimidis-Spirakis tickets
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 5
+WSAMPLE_SEED = "wsample"
+
+
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sample (k=5, weight = n_chars): md5-ticket
+    Efraimidis-Spirakis keys (operators/sampling.py:
+    weighted_sample_k_per_group) — char-heavy docs win proportionally
+    more slots, yet the draw is fully deterministic, so the DuckDB
+    oracle recomputes the identical selection."""
+    from kinesis_vcr_spark.operators.sampling import (
+        weighted_sample_k_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample_k_per_group(
+        docs, "source", "n_chars", WSAMPLE_K, seed=WSAMPLE_SEED
+    ).select("source", "doc_id", "n_chars").orderBy("source", "doc_id")
+
+
+WSAMPLE_SQL = f"""
+WITH t AS (
+  SELECT source, doc_id, n_chars,
+         -ln((CAST('0x' || substr(md5(concat_ws(chr(31), '{WSAMPLE_SEED}',
+                 CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT) + 0.5)
+             / 4294967296.0)
+         / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents
+  WHERE n_chars > 0
+), r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY es_key, doc_id) AS rk
+  FROM t
+)
+SELECT source, doc_id, n_chars FROM r
+WHERE rk <= {WSAMPLE_K} ORDER BY source, doc_id
+"""
+
+
+register(QuerySpec("sample_weighted_docs", sample_weighted_docs, WSAMPLE_SQL,
+                   "Efraimidis-Spirakis weighted sample without "
+                   "replacement: deterministic md5 exponential-jitter "
+                   "keys, k per group"))

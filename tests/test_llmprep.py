@@ -205,3 +205,74 @@ def test_select_within_token_budget_semantics(spark):
     assert got[5] == (False, 200)   # single oversize row rejected
     assert got[6] == (True, 60)
     assert got[7] == (True, 100)    # == budget is selected
+
+
+def test_weighted_sample_matches_es_formula(spark):
+    """The selection equals a numpy recomputation of the A-ES keys from
+    the same md5 tickets — formula-level parity, partition-independent."""
+    import hashlib
+    import math
+
+    from kinesis_vcr_spark.operators.sampling import (
+        weighted_sample_k_per_group,
+    )
+
+    rows = [(f"g{i % 3}", i, 10 + (i * 37) % 90) for i in range(60)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w long")
+
+    def es_key(doc_id, w, seed="wsample"):
+        h = hashlib.md5(f"{seed}\x1f{doc_id}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 0.5) / 16**8
+        return -math.log(u) / w
+
+    want = set()
+    for g in ("g0", "g1", "g2"):
+        members = [(es_key(i, w), i) for (gg, i, w) in rows if gg == g]
+        want |= {i for _, i in sorted(members)[:4]}
+
+    got = {
+        r.doc_id
+        for r in weighted_sample_k_per_group(
+            df.repartition(7), "source", "w", 4
+        ).collect()
+    }
+    assert got == want
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Across independent seeds, heavy rows must win proportionally
+    more slots (the point of weighting): one row with 50x the weight
+    of its 19 peers should be selected in nearly every draw."""
+    from kinesis_vcr_spark.operators.sampling import (
+        weighted_sample_k_per_group,
+    )
+
+    rows = [("g", i, 500 if i == 0 else 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w long")
+    heavy_wins = light_wins = 0
+    for s in range(12):
+        picked = {
+            r.doc_id
+            for r in weighted_sample_k_per_group(
+                df, "source", "w", 3, seed=f"s{s}"
+            ).collect()
+        }
+        assert len(picked) == 3
+        heavy_wins += 0 in picked
+        light_wins += 7 in picked
+    assert heavy_wins >= 10      # ~P=0.93+ per draw
+    assert light_wins <= heavy_wins
+
+
+def test_weighted_sample_zero_weight_never_selected(spark):
+    from kinesis_vcr_spark.operators.sampling import (
+        weighted_sample_k_per_group,
+    )
+
+    rows = [("g", 1, 0), ("g", 2, 5), ("g", 3, 5)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w long")
+    picked = {
+        r.doc_id
+        for r in weighted_sample_k_per_group(df, "source", "w", 2).collect()
+    }
+    assert picked == {2, 3}
