@@ -310,3 +310,146 @@ register(QuerySpec("sample_weighted_docs", sample_weighted_docs, WSAMPLE_SQL,
                    "Efraimidis-Spirakis weighted sample without "
                    "replacement: deterministic md5 exponential-jitter "
                    "keys, k per group"))
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram (round 4): the profiler's distribution view
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 10
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of events.value: one stats pass (min/max),
+    one binning pass (broadcast stats, map-side-combined groupBy(bin)).
+    Bin arithmetic is the identical double expression on both engines
+    — floor((v-lo)/((hi-lo)/k)) clamped to k-1, degenerate hi==lo
+    collapses to bin 0 — so counts match exactly. At 100 TB the stats
+    pass rides the same scan as any profiler column and bins are a
+    k-row result."""
+    events = load_table(spark, sf_dir, "events")
+    stats = events.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS))
+    bin_col = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width),
+            F.lit(HIST_BINS - 1),
+        )
+    )
+    return (
+        events.select("value")
+        .crossJoin(F.broadcast(stats))
+        .select(bin_col.cast("int").alias("bin"), "lo", "hi")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(
+                F.first("lo")
+                + F.col("bin") * ((F.first("hi") - F.first("lo")) / HIST_BINS),
+                6,
+            ).alias("bin_lo"),
+        )
+        .select("bin", "bin_lo", "n_rows")
+        .orderBy("bin")
+    )
+
+
+HIST_SQL = f"""
+WITH s AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM events
+), b AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE LEAST(CAST(floor((value - lo)
+                              / ((hi - lo) / {HIST_BINS}.0)) AS BIGINT),
+                         {HIST_BINS - 1}) END AS bin,
+         lo, hi
+  FROM events, s
+)
+SELECT CAST(bin AS INTEGER) AS bin,
+       round(min(lo) + bin * ((min(hi) - min(lo)) / {HIST_BINS}), 6)
+         AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+register(QuerySpec("value_histogram", value_histogram, HIST_SQL,
+                   "equi-width histogram: one stats pass + one "
+                   "broadcast-binned aggregation"))
+
+
+# ---------------------------------------------------------------------------
+# robust outlier profile (round 4): median/MAD fencing per group
+# ---------------------------------------------------------------------------
+
+MAD_FENCE = 3.0
+
+
+def value_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier accounting: median, MAD (median of
+    absolute deviations), and the count of rows beyond median ± 3·MAD —
+    the standard heavy-tail-safe fence (z-scores melt when the tail
+    drags the mean; the median/MAD pair doesn't). Three keyed
+    aggregations + two broadcast joins (the per-type tables are
+    group-count-sized); exact PERCENTILE_CONT on both engines, so the
+    fence decisions agree row-for-row. Same scale caveat as the
+    percentile profile: exact medians hold a value→count map per group
+    — swap approx_percentile at 100 TB continuous domains."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    )
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("absdev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("absdev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("absdev") > F.lit(MAD_FENCE) * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MAD_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS absdev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN d.absdev > {MAD_FENCE} * m.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(min(d.med), 6) AS med,
+       round(min(m.mad), 6) AS mad
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
+register(QuerySpec("value_outlier_profile", value_outlier_profile, MAD_SQL,
+                   "median/MAD robust outlier fence per group: "
+                   "heavy-tail-safe anomaly accounting"))
