@@ -299,3 +299,61 @@ def test_shingle_explode_has_no_duplicated_generator_filter(spark, sf_dir):
     plan = _formatted_plan(with_sh.select(F.explode("shingles")))
     assert "Filter (size(array_distinct" not in plan
     assert plan.count("array_distinct") == 1, plan
+
+
+def test_bigram_lm_stays_jvm_side(spark, sf_dir):
+    """The bigram pipeline is pure built-ins: no Python eval stages, a
+    broadcast lookup join, and partial aggregation on the doc rollup."""
+    from kinesis_vcr_spark.queries.filterq import lm_bigram_score
+
+    plan = _formatted_plan(lm_bigram_score(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan      # nll-table lookup
+    assert plan.count("HashAggregate") >= 2  # map-side combine
+
+
+def test_budget_select_single_exchange(spark, sf_dir):
+    """One shuffle on the group key feeds both the prefix-sum window
+    and the final per-source aggregate — no second data exchange of the
+    corpus rows (the agg exchange moves source-count-sized partials)."""
+    from kinesis_vcr_spark.queries.quantileq import corpus_budget_select
+
+    plan = _formatted_plan(corpus_budget_select(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "Window" in plan
+    # exchanges: one hashpartitioning(source) for the window; the
+    # aggregate afterwards reuses that partitioning (partial agg rows
+    # at most add a tiny final exchange on the same key)
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_weighted_sample_no_python(spark, sf_dir):
+    from kinesis_vcr_spark.queries.quantileq import sample_weighted_docs
+
+    plan = _formatted_plan(sample_weighted_docs(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_histogram_two_scans_one_broadcast(spark, sf_dir):
+    """Stats pass + binning pass; the 1-row stats side is broadcast and
+    the bin aggregate is map-side combined."""
+    from kinesis_vcr_spark.queries.quantileq import value_histogram
+
+    plan = _formatted_plan(value_histogram(spark, sf_dir))
+    # each physical scan prints twice in formatted mode (tree + detail)
+    assert plan.count("Location: InMemoryFileIndex") == 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_outlier_profile_broadcast_stats(spark, sf_dir):
+    """Both stats tables (median, MAD) join back via broadcast — the
+    event rows never shuffle for the lookup."""
+    from kinesis_vcr_spark.queries.quantileq import value_outlier_profile
+
+    plan = _formatted_plan(value_outlier_profile(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan
