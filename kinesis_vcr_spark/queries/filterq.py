@@ -821,3 +821,113 @@ register(QuerySpec("lm_bigram_score", lm_bigram_score, _bigram_sql(),
                    "interpolated bigram-LM scoring: λ·MLE-bigram + "
                    "(1-λ)·add-1-unigram mixture, exact micro-nat NLL "
                    "totals, per-source profile"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (round 4: the broadcast scale path)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 2**12  # small on purpose: false positives become observable
+BLOOM_N = 5      # word 5-grams, same key family as decontam_ngram_overlap
+BLOOM_H = 4
+BLOOM_BENCH_MOD = 97
+
+
+def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination screen (operators/bloom.py): build the
+    filter over the planted benchmark's distinct tokens (doc_id %
+    97 == 0), probe every doc's distinct word 5-grams, report per-doc probe
+    and flag counts. The filter is deterministic integer arithmetic end
+    to end, so DuckDB rebuilds the BIT-IDENTICAL word table and the
+    flag counts — false positives included — match exactly. This is the
+    100 TB shape of decontam_ngram_overlap: the corpus never shuffles
+    (broadcast word table, map-side probe), at the price of a bounded
+    FP rate; flagged docs re-check exactly, clean docs are clean."""
+    from kinesis_vcr_spark.operators.bloom import bloom_build, bloom_probe
+
+    from kinesis_vcr_spark.operators.dedup import (
+        tokens, word_shingles_from_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # single-space split on BOTH engines (not \\s+), so shingles agree
+    # even if a fixture regeneration introduces double spaces (ADVICE
+    # r03 on corpus_overlap_kmv); token array projected BEFORE the HOF
+    # (see word_shingles_from_tokens on the interpreted-HOF trap)
+    toks = docs.select(
+        "doc_id", tokens("text", " ").alias("__toks")
+    ).select(
+        "doc_id",
+        F.explode(
+            word_shingles_from_tokens(F.col("__toks"), BLOOM_N)
+        ).alias("token"),
+    )
+    bench = (
+        toks.where(F.col("doc_id") % BLOOM_BENCH_MOD == 0)
+        .select("token")
+        .distinct()
+    )
+    bloom = bloom_build(bench, "token", BLOOM_M, BLOOM_H)
+    probed = bloom_probe(toks, "token", bloom, BLOOM_M, BLOOM_H)
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("maybe_member").cast("int")).alias("n_flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bloom_sql() -> str:
+    from kinesis_vcr_spark.operators.bloom import HASH_A, HASH_B, MERSENNE_P
+
+    hashes = ", ".join(
+        f"((x * {HASH_A[j]} + {HASH_B[j]}) % {MERSENNE_P}) % {BLOOM_M}"
+        for j in range(BLOOM_H)
+    )
+    return f"""
+WITH ta AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 4, 1) + 1),
+             i -> array_to_string(list_slice(t, i, i + 4), ' '))))
+           AS token
+  FROM ta
+), dig AS (
+  SELECT doc_id, token,
+         CAST('0x' || substr(md5(token), 1, 7) AS BIGINT) AS x
+  FROM toks
+), bench_pos AS (
+  SELECT unnest([{hashes}]) AS pos
+  FROM (SELECT DISTINCT x FROM dig WHERE doc_id % {BLOOM_BENCH_MOD} = 0)
+), bits AS (
+  SELECT pos // 32 AS widx,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS wbits
+  FROM bench_pos GROUP BY widx
+), probe AS (
+  SELECT doc_id, token, unnest([{hashes}]) AS pos FROM dig
+), perkey AS (
+  SELECT p.doc_id, p.token,
+         count(*) AS np,
+         sum(CASE WHEN b.wbits IS NOT NULL
+                   AND (b.wbits & (1::BIGINT
+                                   << CAST(p.pos % 32 AS INTEGER))) <> 0
+             THEN 1 ELSE 0 END) AS nh
+  FROM probe p LEFT JOIN bits b ON p.pos // 32 = b.widx
+  GROUP BY p.doc_id, p.token
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN nh = np THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM perkey GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+register(QuerySpec("decontam_bloom", decontam_bloom, _bloom_sql(),
+                   "Bloom-screen decontamination: bit-identical "
+                   "cross-engine filter, broadcast probe, zero corpus "
+                   "shuffle"))
