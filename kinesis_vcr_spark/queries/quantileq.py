@@ -453,3 +453,58 @@ GROUP BY d.event_type ORDER BY d.event_type
 register(QuerySpec("value_outlier_profile", value_outlier_profile, MAD_SQL,
                    "median/MAD robust outlier fence per group: "
                    "heavy-tail-safe anomaly accounting"))
+
+
+# ---------------------------------------------------------------------------
+# semi-structured extraction (round 4): JSON payload columns
+# ---------------------------------------------------------------------------
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the JSON ``props`` payload + per-type
+    profile of the extracted field. ``from_json`` with an EXPLICIT
+    schema — never schema inference, which is a second full scan at
+    100 TB and a silent schema-drift hazard; unparseable payloads
+    surface as NULLs (counted, not dropped). One scan, one
+    map-side-combined aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT").alias("p"),
+    ).select("event_type", F.col("p.k").alias("k"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("k").alias("n_parsed"),
+            F.sum("k").alias("k_total"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.round(F.avg("k"), 6).alias("k_mean"),
+            F.count_distinct("k").alias("k_distinct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_SQL = """
+WITH parsed AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(k) AS BIGINT) AS n_parsed,
+       CAST(sum(k) AS BIGINT) AS k_total,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max,
+       round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS k_mean,
+       CAST(count(DISTINCT k) AS BIGINT) AS k_distinct
+FROM parsed GROUP BY event_type ORDER BY event_type
+"""
+
+
+register(QuerySpec("events_json_extract", events_json_extract, JSON_SQL,
+                   "typed JSON payload extraction (explicit schema, no "
+                   "inference) + per-type field profile"))

@@ -205,3 +205,4 @@ register(QuerySpec("conversion_funnel", conversion_funnel, FUNNEL_SQL,
                    "ordered view->click->purchase funnel on exact ns times"))
 register(QuerySpec("events_rolling_7d", events_rolling_7d, ROLLING_SQL,
                    "7-day rolling event volume via RANGE window"))
+

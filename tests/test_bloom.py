@@ -117,3 +117,50 @@ def test_invalid_params_raise(spark):
         bloom_build(df, "k", 1000, 4)
     with pytest.raises(ValueError, match="n_hashes"):
         bloom_build(df, "k", 1024, 99)
+
+
+def test_streaming_incremental_build(spark, tmp_path):
+    """The incremental-ingest pattern: each micro-batch appends its own
+    partial filter (map-side bit_or, append-only parquet); reading the
+    table back through bloom_merge's re-OR yields EXACTLY the filter a
+    single batch build over the full corpus produces — bit_or is
+    associative/commutative/idempotent, so batch boundaries, replays,
+    and arrival order are all invisible."""
+    import os
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    filt_dir = str(tmp_path / "filter")
+    waves = [
+        [f"w{w}-gram-{i}" for i in range(60)] for w in range(3)
+    ]
+
+    def write_wave(keys):
+        _keys_df(spark, keys).coalesce(1).write.mode("append").parquet(src_dir)
+
+    for w in waves:
+        write_wave(w)
+
+    def handle_batch(batch_df, _epoch):
+        bloom_build(batch_df, "k", M_BITS, N_HASHES).write.mode(
+            "append"
+        ).parquet(filt_dir)
+
+    q = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    incremental = bloom_merge(spark.read.parquet(filt_dir))
+    direct = bloom_build(
+        _keys_df(spark, [k for w in waves for k in w]), "k", M_BITS, N_HASHES
+    )
+    assert sorted(map(tuple, incremental.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
