@@ -508,3 +508,86 @@ FROM parsed GROUP BY event_type ORDER BY event_type
 register(QuerySpec("events_json_extract", events_json_extract, JSON_SQL,
                    "typed JSON payload extraction (explicit schema, no "
                    "inference) + per-type field profile"))
+
+
+# ---------------------------------------------------------------------------
+# data-contract expectations (round 4): the pre-training validation gate
+# ---------------------------------------------------------------------------
+
+EXPECT_TYPES = ("click", "view", "purchase", "signup", "error")
+EXPECT_VALUE_HI = 100.0  # deliberately tight: the report must SHOW violations
+
+
+def events_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative contract gate over events
+    (operators/validate.py): six rules — id present/unique, value in
+    [0, 100) (tight on purpose so real rows violate and the counting
+    path is exercised), type in the known set, props JSON-shaped, and a
+    cross-column implication — ALL evaluated in ONE aggregation pass
+    over one scan; the report unpivots to a row per rule."""
+    from kinesis_vcr_spark.operators.validate import (
+        expect_expr,
+        expect_in_range,
+        expect_in_set,
+        expect_matches,
+        expect_not_null,
+        expect_unique,
+        validate,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    report = validate(
+        events,
+        [
+            expect_not_null("event_id"),
+            expect_unique("event_id"),
+            expect_in_range("value", lo=0.0, hi=EXPECT_VALUE_HI),
+            expect_in_set("event_type", EXPECT_TYPES),
+            expect_matches("props", r"^\{"),
+            expect_expr(
+                "purchase_has_value",
+                "event_type <> 'purchase' OR value IS NOT NULL",
+            ),
+        ],
+    )
+    return report.select(
+        "rule", "violations", "n_rows",
+        F.col("passed").cast("int").alias("passed"),
+    ).orderBy("rule")
+
+
+EXPECT_SQL = f"""
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_notnull,
+    CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT) AS v_unique,
+    CAST(sum(CASE WHEN value IS NULL OR value < 0.0
+                    OR value >= {EXPECT_VALUE_HI} THEN 1 ELSE 0 END)
+         AS BIGINT) AS v_range,
+    CAST(sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+                    {EXPECT_TYPES} THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+    CAST(sum(CASE WHEN props IS NULL
+                    OR NOT regexp_matches(props, '^\\{{')
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_match,
+    CAST(sum(CASE WHEN NOT coalesce(
+                    event_type <> 'purchase' OR value IS NOT NULL, FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_expr
+  FROM events
+)
+SELECT rule, violations, n AS n_rows,
+       CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INTEGER) AS passed
+FROM (
+  SELECT 'event_id_not_null' AS rule, v_notnull AS violations, n FROM agg
+  UNION ALL SELECT 'event_id_unique', v_unique, n FROM agg
+  UNION ALL SELECT 'value_in_range', v_range, n FROM agg
+  UNION ALL SELECT 'event_type_in_set', v_set, n FROM agg
+  UNION ALL SELECT 'props_matches', v_match, n FROM agg
+  UNION ALL SELECT 'purchase_has_value', v_expr, n FROM agg
+) ORDER BY rule
+"""
+
+
+register(QuerySpec("events_expectations", events_expectations, EXPECT_SQL,
+                   "declarative data-contract gate: 6 rules, one "
+                   "aggregation pass, unpivoted violations report"))

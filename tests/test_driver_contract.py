@@ -113,7 +113,7 @@ def test_driver_window_covers_every_family():
         "event_value_percentiles", "sample_k_per_source",
         "key_skew_profile", "corpus_budget_select",
         "sample_weighted_docs", "value_histogram", "value_outlier_profile",
-        "decontam_bloom", "events_json_extract",
+        "decontam_bloom", "events_json_extract", "events_expectations",
         # lmscore second shape (unigram representative is in-window)
         "lm_bigram_score",
     }
