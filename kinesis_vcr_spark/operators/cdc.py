@@ -1,0 +1,83 @@
+"""CDC apply — merge a change feed (upserts + deletes) onto a base
+snapshot, latest-wins per key.
+
+The batch half of every lakehouse MERGE: given yesterday's snapshot and
+a day of change events, produce today's snapshot. Spark-first shape:
+
+    union(base tagged seq=-inf, changes tagged by their order column)
+      → one window per key, latest row wins
+      → drop keys whose winner is a delete marker
+
+ONE shuffle on the key; no driver state; ties inside the change feed
+break deterministically (change beats base at equal order, then the
+explicit tiebreak). At warehouse scale the base side is the big one —
+the key-partitioned window shuffles it once, which is the floor for
+any merge; pre-bucketed bases (operators/bucketing.py) skip even that
+exchange.
+
+Deletes are markers IN the feed (``op_col`` == delete value), not
+anti-joins — so one pass handles insert, update, and delete without
+branching the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+OP_UPSERT = "U"
+OP_DELETE = "D"
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    op_col: str = "op",
+    delete_value: str = OP_DELETE,
+) -> DataFrame:
+    """New snapshot: ``base`` columns only (op/order are feed-side).
+
+    ``changes`` must carry ``base``'s columns plus ``op_col`` and
+    ``order_col``; base rows rank below every change row (a change with
+    ANY order value beats the snapshot), and among equal-order changes
+    the delete wins (a delete+reinsert at the same instant must not
+    resurrect nondeterministically — pick the conservative outcome).
+    """
+    for c in (op_col, order_col):
+        if c not in changes.columns:
+            raise ValueError(f"changes is missing required column {c!r}")
+    if op_col in base.columns or order_col in base.columns:
+        raise ValueError(
+            f"base must not carry {op_col!r}/{order_col!r} (feed-side)"
+        )
+    out_cols = base.columns
+
+    tagged_base = base.select(
+        *out_cols,
+        F.lit(None).cast(changes.schema[order_col].dataType).alias("__ord"),
+        F.lit(OP_UPSERT).alias("__op"),
+    )
+    tagged_changes = changes.select(
+        *out_cols,
+        F.col(order_col).alias("__ord"),
+        F.col(op_col).alias("__op"),
+    )
+    unioned = tagged_base.unionByName(tagged_changes)
+
+    # NULL __ord sorts FIRST ascending ⇒ LAST descending in Spark;
+    # force base to the bottom explicitly so the semantics don't hang
+    # on null-ordering defaults, then: latest order first, delete
+    # before upsert at equal order.
+    is_change = F.col("__ord").isNotNull()
+    w = Window.partitionBy(*key_cols).orderBy(
+        is_change.desc(),
+        F.col("__ord").desc_nulls_last(),
+        (F.col("__op") == delete_value).desc(),
+    )
+    ranked = unioned.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.where((F.col("__rn") == 1) & (F.col("__op") != delete_value))
+        .select(*out_cols)
+    )

@@ -591,3 +591,76 @@ FROM (
 register(QuerySpec("events_expectations", events_expectations, EXPECT_SQL,
                    "declarative data-contract gate: 6 rules, one "
                    "aggregation pass, unpivoted violations report"))
+
+
+# ---------------------------------------------------------------------------
+# CDC merge (round 4): change-feed apply as a query
+# ---------------------------------------------------------------------------
+
+CDC_UPD_MOD, CDC_DEL_MOD, CDC_INS_MOD = 7, 13, 11
+CDC_INS_OFFSET = 5_000_000
+
+
+def corpus_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE semantics on a deterministic change feed
+    (operators/cdc.py): every 7th doc updated, every 13th deleted
+    (delete sequenced AFTER the update, so doc_ids divisible by 91
+    exercise the ordering), every 11th cloned as an insert under a new
+    key; per-source accounting of the resulting snapshot. The oracle
+    reconstructs the final state relationally — equal output proves
+    latest-wins, delete-beats-stale-update, and insert paths all
+    landed."""
+    from kinesis_vcr_spark.operators.cdc import apply_cdc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    upd = docs.where(F.col("doc_id") % CDC_UPD_MOD == 0).select(
+        "doc_id", "source",
+        F.concat("text", F.lit(" [edited]")).alias("text"),
+        F.lit("U").alias("op"), F.col("doc_id").alias("seq"),
+    )
+    dele = docs.where(F.col("doc_id") % CDC_DEL_MOD == 0).select(
+        "doc_id", "source", F.lit(None).cast("string").alias("text"),
+        F.lit("D").alias("op"),
+        (F.col("doc_id") + 1_000_000).alias("seq"),
+    )
+    ins = docs.where(F.col("doc_id") % CDC_INS_MOD == 0).select(
+        (F.col("doc_id") + CDC_INS_OFFSET).alias("doc_id"), "source",
+        F.concat(F.lit("NEW "), "text").alias("text"),
+        F.lit("U").alias("op"), F.col("doc_id").alias("seq"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    snap = apply_cdc(docs, changes, ["doc_id"], "seq")
+    return (
+        snap.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+CDC_SQL = f"""
+WITH survivors AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % {CDC_UPD_MOD} = 0 THEN text || ' [edited]'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % {CDC_DEL_MOD} <> 0
+), inserts AS (
+  SELECT doc_id + {CDC_INS_OFFSET} AS doc_id, source, 'NEW ' || text AS text
+  FROM documents WHERE doc_id % {CDC_INS_MOD} = 0
+), final AS (
+  SELECT * FROM survivors UNION ALL SELECT * FROM inserts
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM final GROUP BY source ORDER BY source
+"""
+
+
+register(QuerySpec("corpus_cdc_apply", corpus_cdc_apply, CDC_SQL,
+                   "CDC merge: one-window latest-wins upsert+delete "
+                   "apply, relationally-reconstructed oracle"))
