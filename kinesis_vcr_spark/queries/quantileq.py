@@ -664,3 +664,101 @@ FROM final GROUP BY source ORDER BY source
 register(QuerySpec("corpus_cdc_apply", corpus_cdc_apply, CDC_SQL,
                    "CDC merge: one-window latest-wins upsert+delete "
                    "apply, relationally-reconstructed oracle"))
+
+
+# ---------------------------------------------------------------------------
+# categorical dependence (round 4): chi-square independence screen
+# ---------------------------------------------------------------------------
+
+
+def source_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic between ``source`` and
+    ``lang`` — the dependence screen for training-mix design (a strong
+    source×lang association means per-source sampling silently skews
+    language balance). All counting is exact bigint; the one float op
+    per CONTINGENCY CELL — (o·n − r·c)²/(n·r·c), zero cells included —
+    is fixed to integer micro-units before the cross-cell sum, the same
+    order-independence discipline as the LM scores (a plain double sum
+    over cells would be partition-order-dependent). Works off the
+    cell table (groupBy source, lang — map-side combined), so the
+    corpus is scanned once; at bigint-overflow scale (o·n beyond 2^63)
+    switch the difference to DOUBLE, noted here deliberately."""
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    r = o.groupBy("source").agg(F.sum("o").alias("r"))
+    c = o.groupBy("lang").agg(F.sum("o").alias("c"))
+    n = o.agg(F.sum("o").alias("n"))
+    cells = (
+        r.crossJoin(c)
+        .join(o, ["source", "lang"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source", "lang", F.coalesce("o", F.lit(0)).alias("o"),
+            "r", "c", "n",
+        )
+    )
+    d = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    contrib = (
+        F.round(
+            d.cast("double") * d
+            / (F.col("n").cast("double") * F.col("r") * F.col("c"))
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("cm")
+    )
+    agged = cells.select(
+        contrib, "n",
+        F.col("source").alias("s"), F.col("lang").alias("l"),
+    ).agg(
+        F.sum("cm").alias("chi2_micro"),
+        F.max("n").alias("n_rows"),
+        F.count_distinct("s").alias("n_sources"),
+        F.count_distinct("l").alias("n_langs"),
+    )
+    return agged.select(
+        "n_rows", "n_sources", "n_langs",
+        ((F.col("n_sources") - 1) * (F.col("n_langs") - 1)).alias("dof"),
+        "chi2_micro",
+        F.round(F.col("chi2_micro") / 1000000.0, 6).alias("chi2"),
+    )
+
+
+CHI2_SQL = """
+WITH o AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY source, lang
+), r AS (
+  SELECT source, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY source
+), c AS (
+  SELECT lang, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY lang
+), n AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n FROM o
+), cells AS (
+  SELECT r.source, c.lang, CAST(coalesce(o.o, 0) AS BIGINT) AS o,
+         r.r, c.c, n.n
+  FROM r CROSS JOIN c
+  LEFT JOIN o USING (source, lang)
+  CROSS JOIN n
+), contrib AS (
+  SELECT n, source, lang,
+         CAST(round(CAST(o * n - r * c AS DOUBLE) * (o * n - r * c)
+                    / (CAST(n AS DOUBLE) * r * c) * 1000000.0)
+              AS BIGINT) AS cm
+  FROM cells
+)
+SELECT CAST(max(n) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST((count(DISTINCT source) - 1) * (count(DISTINCT lang) - 1)
+            AS BIGINT) AS dof,
+       CAST(sum(cm) AS BIGINT) AS chi2_micro,
+       round(CAST(sum(cm) AS BIGINT) / 1000000.0, 6) AS chi2
+FROM contrib
+"""
+
+
+register(QuerySpec("source_lang_chi2", source_lang_chi2, CHI2_SQL,
+                   "chi-square independence screen for the training "
+                   "mix: exact-counted cells, micro-fixed per-cell "
+                   "contributions, order-independent sum"))
