@@ -114,6 +114,7 @@ def bloom_probe(
     m_bits: int = 2**20,
     n_hashes: int = 7,
     flag_col: str = "maybe_member",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-row membership verdict: true iff ALL ``n_hashes`` bits are
     set. The probe explodes each key to its positions, broadcast-joins
@@ -123,8 +124,11 @@ def bloom_probe(
 
     No false negatives: a key that was built in always probes true.
     Duplicate input rows collapse to one output row (the group-back is
-    on the full original row); probe a table with a unique id column
-    when multiplicity matters.
+    on ``group_cols``, default all original columns); probe a table
+    with a unique id column when multiplicity matters. At scale pass a
+    NARROW ``group_cols`` (the id + key) — the group-back aggregate
+    hashes on its keys, and dragging a wide text column through it
+    costs shuffle bytes the verdict doesn't need.
     """
     marked = df.withColumn(
         "__pos", F.explode(_positions(F.col(key_col), m_bits, n_hashes))
@@ -149,10 +153,12 @@ def bloom_probe(
             1,
         ).otherwise(0),
     )
-    group_cols = [c for c in df.columns]
+    keys = list(group_cols) if group_cols else [c for c in df.columns]
+    if key_col not in keys:
+        raise ValueError(f"group_cols must include key_col {key_col!r}")
     # member ⟺ every exploded position hit (== handles collapsed
     # duplicate rows too: k·h rows all need a hit, not just h)
     return (
-        joined.groupBy(*group_cols)
+        joined.groupBy(*keys)
         .agg((F.sum("__hit") == F.count("*")).alias(flag_col))
     )
