@@ -84,13 +84,30 @@ def detect_spark_contention() -> int:
     annotated into both the stdout line and BENCH_DETAIL.json so a
     reader can discount (or re-run) a contended measurement.
     """
+    def ppid_of(pid: int) -> int:
+        with open(f"/proc/{pid}/stat") as f:
+            # field 4; comm (field 2) may contain spaces — parse after
+            # the closing paren
+            return int(f.read().rsplit(")", 1)[1].split()[1])
+
+    # our own ancestry (spark-submit launches bench.py UNDER the driver
+    # JVM — that parent must not count as foreign contention)
+    own: set[int] = set()
+    pid = os.getpid()
+    try:
+        while pid > 1 and pid not in own:
+            own.add(pid)
+            pid = ppid_of(pid)
+    except OSError:
+        pass
+
     n = 0
     try:
-        for pid in os.listdir("/proc"):
-            if not pid.isdigit() or int(pid) == os.getpid():
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit() or int(entry) in own:
                 continue
             try:
-                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                with open(f"/proc/{entry}/cmdline", "rb") as f:
                     cmd = f.read()
             except OSError:
                 continue

@@ -58,21 +58,24 @@ def apply_cdc(
         *out_cols,
         F.lit(None).cast(changes.schema[order_col].dataType).alias("__ord"),
         F.lit(OP_UPSERT).alias("__op"),
+        F.lit(0).alias("__src"),
     )
     tagged_changes = changes.select(
         *out_cols,
         F.col(order_col).alias("__ord"),
         F.col(op_col).alias("__op"),
+        F.lit(1).alias("__src"),
     )
     unioned = tagged_base.unionByName(tagged_changes)
 
-    # NULL __ord sorts FIRST ascending ⇒ LAST descending in Spark;
-    # force base to the bottom explicitly so the semantics don't hang
-    # on null-ordering defaults, then: latest order first, delete
-    # before upsert at equal order.
-    is_change = F.col("__ord").isNotNull()
+    # change-beats-base comes from the EXPLICIT __src tag, not from
+    # __ord nullity — a change row whose order value is NULL (feed bug
+    # or late-arriving tombstone) still deterministically beats the
+    # base row, sorts below every ordered change (desc_nulls_last),
+    # and resolves delete-vs-upsert conservatively; it never silently
+    # demotes to "base" with an arbitrary winner.
     w = Window.partitionBy(*key_cols).orderBy(
-        is_change.desc(),
+        F.col("__src").desc(),
         F.col("__ord").desc_nulls_last(),
         (F.col("__op") == delete_value).desc(),
     )

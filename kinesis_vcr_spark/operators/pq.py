@@ -139,12 +139,24 @@ def train_pq(
                 "val",
             )
             .groupBy("sub", "code", "dim_in")
-            .agg(F.avg("val").alias("mval"))
+            # fix values to nano-units BEFORE summing: a double avg's
+            # partial-merge order is partition-dependent, which would
+            # let the "deterministic codebook" drift at ulp level and
+            # flip argmin assignments near cell boundaries (repo-wide
+            # fix-floats-to-ints-before-summing discipline)
+            .agg(
+                F.sum(
+                    F.round(F.col("val") * F.lit(1e9)).cast("long")
+                ).alias("s_nano"),
+                F.count("*").alias("cnt"),
+            )
             .collect()
         )
         new = codebook.copy()
         for r in means:
-            new[r["sub"], r["code"], r["dim_in"]] = r["mval"]
+            new[r["sub"], r["code"], r["dim_in"]] = r["s_nano"] / (
+                r["cnt"] * 1e9
+            )
         codebook = new
     return codebook
 

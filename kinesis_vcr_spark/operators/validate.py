@@ -132,8 +132,15 @@ def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
         )
         .select(
             "rule",
-            F.col("violations").cast("long").alias("violations"),
+            # an EMPTY input makes every conditional sum NULL — an empty
+            # dataset violates nothing, and a NULL `passed` would slip
+            # through both `passed` and `~passed` enforcement filters
+            F.coalesce(F.col("violations").cast("long"), F.lit(0)).alias(
+                "violations"
+            ),
             F.col("__n").alias("n_rows"),
-            (F.col("violations") == 0).alias("passed"),
+            (F.coalesce(F.col("violations"), F.lit(0)) == 0).alias(
+                "passed"
+            ),
         )
     )

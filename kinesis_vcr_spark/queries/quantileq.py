@@ -324,10 +324,14 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     one binning pass (broadcast stats, map-side-combined groupBy(bin)).
     Bin arithmetic is the identical double expression on both engines
     — floor((v-lo)/((hi-lo)/k)) clamped to k-1, degenerate hi==lo
-    collapses to bin 0 — so counts match exactly. At 100 TB the stats
-    pass rides the same scan as any profiler column and bins are a
-    k-row result."""
-    events = load_table(spark, sf_dir, "events")
+    collapses to bin 0 — so counts match exactly. NULL values are
+    excluded up front (min/max already ignore them; without the filter
+    the NULL-skipping LEAST on both engines would silently bucket NULL
+    rows into the top bin). At 100 TB the stats pass rides the same
+    scan as any profiler column and bins are a k-row result."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
     stats = events.agg(
         F.min("value").alias("lo"), F.max("value").alias("hi")
     )
@@ -357,15 +361,17 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HIST_SQL = f"""
-WITH s AS (
-  SELECT min(value) AS lo, max(value) AS hi FROM events
+WITH e AS (
+  SELECT value FROM events WHERE value IS NOT NULL
+), s AS (
+  SELECT min(value) AS lo, max(value) AS hi FROM e
 ), b AS (
   SELECT CASE WHEN hi = lo THEN 0
               ELSE LEAST(CAST(floor((value - lo)
                               / ((hi - lo) / {HIST_BINS}.0)) AS BIGINT),
                          {HIST_BINS - 1}) END AS bin,
          lo, hi
-  FROM events, s
+  FROM e, s
 )
 SELECT CAST(bin AS INTEGER) AS bin,
        round(min(lo) + bin * ((min(hi) - min(lo)) / {HIST_BINS}), 6)

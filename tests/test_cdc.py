@@ -91,3 +91,20 @@ def test_schema_contract_enforced(spark, base):
             ["k"],
             "seq",
         )
+
+
+def test_null_order_change_still_beats_base(spark, base):
+    """A change row with a NULL order value (feed bug / late tombstone)
+    must deterministically beat the base row and lose to every ordered
+    change — never demote to an arbitrary-winner tie with base."""
+    changes = _changes(
+        spark,
+        [(1, "null-ord", "U", None), (2, "v2", "U", 5), (2, "null", "U", None)],
+    )
+    got = dict(apply_cdc(base, changes, ["k"], "seq").collect())
+    assert got[1] == "null-ord"   # beats base deterministically
+    assert got[2] == "v2"         # ordered change beats null-ord change
+    # and a NULL-ord delete removes the key (conservative, deterministic)
+    deletes = _changes(spark, [(3, None, "D", None)])
+    got2 = {r.k for r in apply_cdc(base, deletes, ["k"], "seq").collect()}
+    assert got2 == {1, 2}

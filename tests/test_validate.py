@@ -92,3 +92,17 @@ def test_bad_rule_sets_rejected(messy):
         from kinesis_vcr_spark.operators.validate import Expectation
 
         validate(messy, [Expectation("x", "bogus", "event_id")]).collect()
+
+
+def test_empty_input_passes_everything(spark):
+    """0 rows violate nothing: violations must be 0 (not NULL) so both
+    `passed` and `~passed` enforcement filters behave."""
+    empty = spark.createDataFrame([], "event_id long, props string")
+    rows = validate(
+        empty,
+        [expect_not_null("event_id"), expect_unique("event_id"),
+         expect_matches("props", r"^\{")],
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.violations == 0 and r.passed is True and r.n_rows == 0
