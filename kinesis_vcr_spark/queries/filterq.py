@@ -931,3 +931,101 @@ register(QuerySpec("decontam_bloom", decontam_bloom, _bloom_sql(),
                    "Bloom-screen decontamination: bit-identical "
                    "cross-engine filter, broadcast probe, zero corpus "
                    "shuffle"))
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (round 4): adjacency pointwise mutual information
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by adjacency PMI: ``ln(c_xy·N / (c_x·c_y))``
+    over in-document adjacent token pairs (BOS rows excluded — document
+    starts aren't collocations), margins from the same pairs frame.
+    The single ln per DISTINCT pair takes only integer arguments and is
+    micro-fixed immediately (order-independent, engine-identical);
+    pairs under PMI_MIN_COUNT are dropped before ranking so rare-pair
+    noise (PMI's known failure mode) never reaches the top-k. Reuses
+    operators/lmscore.py:bigram_pairs — one narrow shift-zip pass."""
+    from kinesis_vcr_spark.operators.lmscore import BOS, bigram_pairs
+    from kinesis_vcr_spark.operators.topk import topk_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = bigram_pairs(docs, "doc_id", "text").where(
+        F.col("prev") != F.lit(BOS)
+    )
+    c_xy = pairs.groupBy("prev", "token").agg(F.count("*").alias("c_xy"))
+    c_x = c_xy.groupBy("prev").agg(F.sum("c_xy").alias("c_x"))
+    c_y = c_xy.groupBy("token").agg(F.sum("c_xy").alias("c_y"))
+    n = c_xy.agg(F.sum("c_xy").alias("n_pairs"))
+    scored = (
+        c_xy.where(F.col("c_xy") >= PMI_MIN_COUNT)
+        .join(c_x, "prev")
+        .join(c_y, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "prev", "token", "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy") * F.col("n_pairs")).cast("double")
+                    / (F.col("c_x") * F.col("c_y"))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    top = topk_per_group(
+        scored.withColumn("__g", F.lit(1)),
+        ["__g"],
+        [F.col("pmi_micro").desc(), F.col("prev"), F.col("token")],
+        PMI_TOP_K,
+    ).drop("__g")
+    return top.select(
+        "prev", "token", "c_xy", "pmi_micro",
+        F.round(F.col("pmi_micro") / 1000000.0, 6).alias("pmi"),
+    ).orderBy(F.col("pmi_micro").desc(), "prev", "token")
+
+
+PMI_SQL = f"""
+WITH dt AS (
+  SELECT doc_id, list_filter(string_split(text, ' '),
+                             s -> length(s) > 0) AS t
+  FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(len(t))) AS i FROM dt
+), pairs AS (
+  -- i >= 1 skips the document-start pair (no BOS in collocations)
+  SELECT t[i] AS prev, t[i + 1] AS token FROM idx WHERE i >= 1
+), c_xy AS (
+  SELECT prev, token, CAST(count(*) AS BIGINT) AS c_xy
+  FROM pairs GROUP BY prev, token
+), c_x AS (
+  SELECT prev, CAST(sum(c_xy) AS BIGINT) AS c_x FROM c_xy GROUP BY prev
+), c_y AS (
+  SELECT token, CAST(sum(c_xy) AS BIGINT) AS c_y FROM c_xy GROUP BY token
+), n AS (
+  SELECT CAST(sum(c_xy) AS BIGINT) AS n_pairs FROM c_xy
+), scored AS (
+  SELECT prev, token, c_xy,
+         CAST(round(ln(CAST(c_xy * n_pairs AS DOUBLE) / (c_x * c_y))
+                    * 1000000) AS BIGINT) AS pmi_micro
+  FROM c_xy JOIN c_x USING (prev) JOIN c_y USING (token), n
+  WHERE c_xy >= {PMI_MIN_COUNT}
+)
+SELECT prev, token, c_xy, pmi_micro,
+       round(pmi_micro / 1000000.0, 6) AS pmi
+FROM scored
+ORDER BY pmi_micro DESC, prev, token
+LIMIT {PMI_TOP_K}
+"""
+
+
+register(QuerySpec("token_pmi_collocations", token_pmi_collocations,
+                   PMI_SQL,
+                   "adjacency-PMI collocations: integer-arg ln micro-"
+                   "fixed, min-count floor, global top-k"))

@@ -768,3 +768,84 @@ register(QuerySpec("source_lang_chi2", source_lang_chi2, CHI2_SQL,
                    "chi-square independence screen for the training "
                    "mix: exact-counted cells, micro-fixed per-cell "
                    "contributions, order-independent sum"))
+
+
+# ---------------------------------------------------------------------------
+# cohort retention (round 4): the classic activity matrix
+# ---------------------------------------------------------------------------
+
+
+def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week, counted by how many are active k weeks later. Two keyed
+    aggregations — first-seen per user (map-side combined min), then
+    distinct users per (cohort, offset) — all exact counting, no
+    floats except the final rate (exact ratio of bigints, rounded).
+    Week arithmetic is done in integer days-since-epoch on both
+    engines (floor(days/7)), sidestepping engine week-of-year
+    conventions entirely."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        F.floor(F.datediff(F.col("ts").cast("date"),
+                           F.lit("1970-01-01").cast("date")) / 7).alias(
+            "week"
+        ),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cells = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id", "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        cells.join(sizes, "cohort_week")
+        .select(
+            "cohort_week", "week_offset", "n_active", "cohort_size",
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(floor(date_diff('day', DATE '1970-01-01',
+                              CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+  FROM events
+), first AS (
+  SELECT user_id, CAST(min(week) AS BIGINT) AS cohort_week
+  FROM ev GROUP BY user_id
+), pairs AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         e.week - f.cohort_week AS week_offset
+  FROM ev e JOIN first f USING (user_id)
+), cells AS (
+  SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_active
+  FROM pairs GROUP BY cohort_week, week_offset
+), sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM first GROUP BY cohort_week
+)
+SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+       round(c.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM cells c JOIN sizes s USING (cohort_week)
+ORDER BY c.cohort_week, c.week_offset
+"""
+
+
+register(QuerySpec("user_cohort_retention", user_cohort_retention,
+                   COHORT_SQL,
+                   "weekly cohort retention matrix: integer-week "
+                   "arithmetic, exact counts, two keyed aggregations"))

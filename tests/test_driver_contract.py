@@ -115,6 +115,7 @@ def test_driver_window_covers_every_family():
         "sample_weighted_docs", "value_histogram", "value_outlier_profile",
         "decontam_bloom", "events_json_extract", "events_expectations",
         "corpus_cdc_apply", "source_lang_chi2",
+        "user_cohort_retention", "token_pmi_collocations",
         # lmscore second shape (unigram representative is in-window)
         "lm_bigram_score",
     }
