@@ -357,3 +357,27 @@ def test_outlier_profile_broadcast_stats(spark, sf_dir):
     plan = _formatted_plan(value_outlier_profile(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_cdc_apply_single_key_exchange(spark, sf_dir):
+    """The merge is one keyed window: exactly one hashpartitioning
+    exchange on doc_id moves data; no Python stages."""
+    from kinesis_vcr_spark.queries.quantileq import corpus_cdc_apply
+
+    plan = _formatted_plan(corpus_cdc_apply(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    # formatted mode puts the partitioning in the Arguments line: one
+    # doc_id exchange feeds the merge window (the later source-keyed
+    # agg/sort exchanges move group-sized partials only)
+    assert plan.count("hashpartitioning(doc_id") == 1
+    assert "Window" in plan
+
+
+def test_chi2_no_python_cells_tiny(spark, sf_dir):
+    """Chi-square works off the contingency-cell table: corpus scanned
+    for counting only, everything downstream is cell-sized; no Python."""
+    from kinesis_vcr_spark.queries.quantileq import source_lang_chi2
+
+    plan = _formatted_plan(source_lang_chi2(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
