@@ -85,9 +85,10 @@ def test_lloyd_refinement_reduces_quantization_error(spark, emb):
 def test_adc_self_retrieval_and_recall(spark, emb):
     """Every probe retrieves itself at rank 1 (its own codes maximize
     its own ADC table by construction of the encoder on in-corpus
-    vectors), and recall@5 vs the exact cosine top-5 clears 0.5 at the
-    query config (32x32; measured 0.725 on the near-random fixture —
-    PQ's adversarial case, real embeddings cluster far better)."""
+    vectors), and recall@5 vs the exact cosine top-5 clears 0.45 at the
+    query config with margin for fixture regeneration (32x32;
+    measured 0.725 on the near-random fixture — PQ's adversarial case,
+    real embeddings cluster far better)."""
     from collections import defaultdict
 
     from kinesis_vcr_spark.operators.similarity import cosine_topk
@@ -116,5 +117,5 @@ def test_adc_self_retrieval_and_recall(spark, emb):
         neighbors = [r.vec_id for r in ranked if r.vec_id != qid][:5]
         recalls.append(len(set(neighbors) & exact[qid]) / 5)
     assert len(recalls) == 8
-    assert self_rank1 >= 6
-    assert sum(recalls) / len(recalls) >= 0.5
+    assert self_rank1 >= 5
+    assert sum(recalls) / len(recalls) >= 0.45
