@@ -73,11 +73,25 @@ def apply_cdc(
     # or late-arriving tombstone) still deterministically beats the
     # base row, sorts below every ordered change (desc_nulls_last),
     # and resolves delete-vs-upsert conservatively; it never silently
-    # demotes to "base" with an arbitrary winner.
+    # demotes to "base" with an arbitrary winner. The final md5 term
+    # covers the last nondeterminism hole: two UPSERTS with equal key,
+    # equal order value, and DIFFERENT payloads would otherwise pick a
+    # partitioning-dependent winner — hashing the payload columns makes
+    # the choice arbitrary-but-stable across runs and engines.
+    payload_hash = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in out_cols
+            ],
+        )
+    )
     w = Window.partitionBy(*key_cols).orderBy(
         F.col("__src").desc(),
         F.col("__ord").desc_nulls_last(),
         (F.col("__op") == delete_value).desc(),
+        payload_hash.desc(),
     )
     ranked = unioned.withColumn("__rn", F.row_number().over(w))
     return (

@@ -202,7 +202,7 @@ def pq_adc_topk(
     skew-safe two-phase path. Returns (query_id, vec_id, adc_sim).
     """
     qrows = queries.select(query_id_col, query_vec_col).collect()
-    qids = np.array([r[query_id_col] for r in qrows])
+    qids = [r[query_id_col] for r in qrows]  # native values, any id type
     qmat = _normalize_rows(
         np.array([list(r[query_vec_col]) for r in qrows], dtype=np.float64)
     )
@@ -216,7 +216,11 @@ def pq_adc_topk(
         axis=1,
     )
 
-    @pandas_udf("array<struct<query_id: long, adc_sim: double>>")
+    # struct field type follows the queries schema — string / int / long
+    # query-id columns all round-trip unchanged (ADVICE r04)
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+
+    @pandas_udf(f"array<struct<query_id: {qid_type}, adc_sim: double>>")
     def adc(code_series: pd.Series) -> pd.Series:
         cmat = np.vstack(code_series.to_numpy()).astype(np.int64)  # n × m
         # sims[q, i] = Σ_s tables[q, s, cmat[i, s]]
@@ -225,7 +229,7 @@ def pq_adc_topk(
             sims += tables[:, s, :][:, cmat[:, s]]
         out = [
             [
-                {"query_id": int(qids[q]), "adc_sim": round(float(sims[q, i]), 6)}
+                {"query_id": qids[q], "adc_sim": round(float(sims[q, i]), 6)}
                 for q in range(len(qids))
             ]
             for i in range(cmat.shape[0])

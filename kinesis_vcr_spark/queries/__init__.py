@@ -95,57 +95,82 @@ def _module_rank(spec: QuerySpec) -> int:
     return _MODULE_ORDER.index(mod)
 
 
-# Driver-window ROTATION (ADVICE r03): only the first 50 queries get a
-# driver-side oracle row; everything later is held green by the strict
-# local harness (tools/oracle_check.py). So each round 2-3 slots rotate:
-# PROMOTE pulls newer-family queries into the window, DEMOTE pushes
-# long-green queries (whose family stays represented) into overflow.
-# Round 4 rotation: the semantic-dedup / KMV-sketch / LM-scoring
-# families (built after the window filled) get driver rows; in exchange
-# two dedup second-shapes (exact/minhash/cosine-planted/components
-# still in-window) and one windowed second-shape (gaps/deciles/paths/
-# distinct/interval/topk still in-window) rotate out.
-_WINDOW_PROMOTE = (
-    "lm_unigram_score",
-    "semantic_dedup_planted",
-    "corpus_overlap_kmv",
-    # VERDICT r03 named these two explicitly: the profiler's exact
-    # Expand plan and one TPC-H representative earn driver-grade rows
-    "profile_events",
-    "q1_pricing_summary",
-)
-_WINDOW_DEMOTE = (
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "views_before_purchase",
-    # second shapes whose family representatives stay in-window
-    # (multimodal payload_stats/features; windowed gaps/deciles/
-    # sessions/rolling/funnel)
-    "multimodal_frame_sample",
-    "user_event_paths",
-)
+# Driver-window ROTATION SCHEDULE (VERDICT r04 item 1).
+#
+# Only the first DRIVER_WINDOW queries get a driver-side oracle row per
+# round; everything later is held green by the strict local harness
+# (tools/oracle_check.py). The per-name promote/demote lists of rounds
+# 3-4 drained the never-checked backlog slower than new queries joined
+# it (22 queries had never earned a driver row by r04), so rotation is
+# now a deterministic COHORT CYCLE:
+#
+#   1. Order all oracle-paired queries canonically (module rank, then
+#      in-module registration order); rows-only queries sort dead last
+#      and never occupy a window slot.
+#   2. Split that list into ceil(N / DRIVER_WINDOW) cohorts of
+#      DRIVER_WINDOW consecutive queries.
+#   3. At driver round r, rotate the cohort order by ``r mod ncohorts``
+#      — so with 100 oracle-paired queries and a 50-slot window, odd
+#      rounds check cohort 1 (the newer analytics half, including every
+#      query that had no driver row at r04) and even rounds check
+#      cohort 0 (reference-core + first-wave families). EVERY
+#      oracle-paired query earns a driver row within ncohorts (=2)
+#      consecutive rounds, and adding a third cohort later still
+#      reaches everything within 3 rounds.
+#
+# The driver round is read from the committed CORRECTNESS_r{N}.json
+# artifacts (max N + 1 = the round currently being checked); the
+# SPARK_GRAFT_ROUND env var overrides for testing. At round 5 this puts
+# the 20 never-checked queries (corpus_cdc_apply, events_expectations,
+# source_lang_chi2, user_cohort_retention, decontam_bloom,
+# lm_bigram_score, sample_weighted_docs, value_histogram, ...) in the
+# window, per the r04 verdict.
+DRIVER_WINDOW = 50
 
 
-def all_queries() -> dict[str, QuerySpec]:
-    """The registry in DRIVER order, independent of import history.
+def _driver_round() -> int:
+    import os  # noqa: PLC0415
+    import re  # noqa: PLC0415
+    from pathlib import Path  # noqa: PLC0415
+
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    root = Path(__file__).resolve().parents[2]
+    rounds = [
+        int(m.group(1))
+        for p in root.glob("CORRECTNESS_r*.json")
+        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def all_queries(round_num: int | None = None) -> dict[str, QuerySpec]:
+    """The registry in DRIVER order for the given round (default: the
+    round currently being checked, inferred from committed
+    CORRECTNESS artifacts).
 
     ``REGISTRY``'s raw insertion order is fragile: any direct import of
     a query module (a test, a notebook) before ``_load_all()`` would
-    re-shuffle it. The canonical order is therefore computed: by
-    ``_MODULE_ORDER`` rank, insertion order within a module — with
-    no-oracle (rows-only) queries dead last, because a driver-window
-    slot spent on a rows-only check displaces a full value-hash check
-    of an oracle-paired query (the rows-only ops are recall/property-
-    tested in tests/ instead)."""
+    re-shuffle it. The canonical base order is therefore computed — by
+    ``_MODULE_ORDER`` rank, insertion order within a module, rows-only
+    queries dead last (a driver-window slot spent on a rows-only check
+    displaces a full value-hash check; those ops are recall/property-
+    tested in tests/ instead) — and then the oracle-paired prefix is
+    cohort-rotated per the schedule documented above."""
     _load_all()
     items = list(REGISTRY.items())  # dict = insertion-ordered
     ordered = sorted(
-        range(len(items)),
-        key=lambda i: (
-            items[i][1].oracle is None,
-            items[i][0] in _WINDOW_DEMOTE,
-            -1 if items[i][0] in _WINDOW_PROMOTE else _module_rank(items[i][1]),
-            i,
-        ),
-    )
-    return {items[i][0]: items[i][1] for i in ordered}
+        items,
+        key=lambda kv: (kv[1].oracle is None, _module_rank(kv[1])),
+    )  # sort is stable → insertion order preserved within a module
+    paired = [kv for kv in ordered if kv[1].oracle is not None]
+    rows_only = [kv for kv in ordered if kv[1].oracle is None]
+    cohorts = [
+        paired[i : i + DRIVER_WINDOW]
+        for i in range(0, len(paired), DRIVER_WINDOW)
+    ]
+    r = _driver_round() if round_num is None else round_num
+    phase = r % len(cohorts) if cohorts else 0
+    rotated = [kv for c in cohorts[phase:] + cohorts[:phase] for kv in c]
+    return dict(rotated + rows_only)

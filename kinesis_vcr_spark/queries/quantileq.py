@@ -493,10 +493,20 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Parity guard (ADVICE r04): Spark's from_json yields NULL for
+# malformed JSON or a non-integral k, while a bare DuckDB
+# CAST(json_extract(...) AS BIGINT) would ERROR on malformed props and
+# ROUND non-integral numbers. json_valid + TRY_CAST of the extracted
+# text make DuckDB take the same NULL path ('1.5' → NULL, not 2).
+# Remaining fixture assumption (documented, not load-bearing today):
+# a JSON-string-typed k ("42" with quotes) would still diverge —
+# Spark NULLs it, TRY_CAST parses it; the generator emits numeric k.
 JSON_SQL = """
 WITH parsed AS (
   SELECT event_type,
-         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+         CASE WHEN json_valid(props)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
   FROM events
 )
 SELECT event_type,

@@ -108,3 +108,25 @@ def test_null_order_change_still_beats_base(spark, base):
     deletes = _changes(spark, [(3, None, "D", None)])
     got2 = {r.k for r in apply_cdc(base, deletes, ["k"], "seq").collect()}
     assert got2 == {1, 2}
+
+
+def test_equal_order_upsert_tie_is_partitioning_independent(spark):
+    """ADVICE r04: two upserts with the same key AND the same order
+    value but different payloads must pick the same winner no matter
+    how the feed is partitioned (payload-hash tiebreak)."""
+    from kinesis_vcr_spark.operators.cdc import apply_cdc
+
+    base = spark.createDataFrame([(1, "orig"), (2, "keep")], "k long, v string")
+    ties = [(1, f"cand-{i}", "U", 100) for i in range(8)] + [(2, "only", "U", 5)]
+    winners = []
+    for nparts in (1, 3, 8):
+        changes = spark.createDataFrame(
+            ties, "k long, v string, op string, seq long"
+        ).repartition(nparts)
+        snap = apply_cdc(base, changes, ["k"], "seq")
+        winners.append(sorted(map(tuple, snap.collect())))
+    assert winners[0] == winners[1] == winners[2]
+    # and the tied key resolved to ONE of the candidates, not the base
+    tied = dict(winners[0])
+    assert tied[1].startswith("cand-")
+    assert tied[2] == "only"

@@ -116,10 +116,88 @@ def test_advised_join_one_call(skewed):
     assert out.count() == fact.count()  # every fact key exists in dim
 
 
-def test_salted_right_big_left_outer_rejected(skewed):
+def test_salted_right_big_left_outer_degrades(skewed):
+    """ADVICE r04: salted advice that `how` can't honor (big side on
+    the right, left-outer) must execute as a plain sort-merge with the
+    correct outer semantics instead of raising."""
     fact, dim = skewed
     advice = JoinAdvice(
         "salted", left_bytes=1, right_bytes=10**9, salt_factor=4
     )
-    with pytest.raises(ValueError, match="inner"):
-        apply_join(dim, fact, "k", advice, how="left")
+    got = sorted(
+        map(tuple, apply_join(dim, fact, "k", advice, how="left")
+            .select("k", "name", "payload").collect())
+    )
+    expected = sorted(
+        map(tuple, dim.join(fact, "k", "left")
+            .select("k", "name", "payload").collect())
+    )
+    assert got == expected
+
+
+def test_advise_respects_join_type(skewed):
+    """ADVICE r04: a broadcast hint on the outer-PRESERVED side is
+    silently ignored by Spark, so advise_join must never recommend it."""
+    fact, dim = skewed
+    # threshold between the two plan sizes: only dim is broadcastable
+    th = (plan_size_bytes(dim) + plan_size_bytes(fact)) // 2
+    # inner: small dim on the right broadcasts
+    adv = advise_join(fact, dim, "k", how="inner", broadcast_threshold_bytes=th)
+    assert adv.strategy == "broadcast_right"
+    # left outer with the small side on the LEFT: broadcasting the
+    # preserved left is illegal; right (fact) is over threshold →
+    # sort-merge, and salting can't preserve left-outer with the big
+    # side on the right, so no salted advice either
+    adv = advise_join(dim, fact, "k", how="left", broadcast_threshold_bytes=th)
+    assert adv.strategy == "sort_merge"
+    # right outer mirrors: only the left side may be broadcast
+    adv = advise_join(dim, fact, "k", how="right", broadcast_threshold_bytes=th)
+    assert adv.strategy == "broadcast_left"
+    adv = advise_join(fact, dim, "k", how="right", broadcast_threshold_bytes=th)
+    assert adv.strategy != "broadcast_right"
+    # full outer: neither side is broadcastable
+    adv = advise_join(fact, dim, "k", how="full", broadcast_threshold_bytes=th)
+    assert adv.strategy == "sort_merge"
+    # left outer with the big side on the LEFT may still salt
+    adv = advise_join(
+        fact, dim, "k", how="left", broadcast_threshold_bytes=1
+    )
+    assert adv.strategy == "salted"
+
+
+def test_advised_join_outer_end_to_end(skewed):
+    """advised_join threads `how` into both advice and execution."""
+    fact, dim = skewed
+    th = (plan_size_bytes(dim) + plan_size_bytes(fact)) // 2
+    out, advice = advised_join(
+        dim, fact, "k", how="left", broadcast_threshold_bytes=th
+    )
+    assert advice.strategy == "sort_merge"
+    assert out.count() == dim.join(fact, "k", "left").count()
+
+
+def test_plan_size_private_api_contract(skewed):
+    """VERDICT r04 item 7: plan_size_bytes rides the internal
+    df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    surface. Pin the exact call shape so a Spark upgrade that changes
+    it fails HERE with a named contract, not deep in advise_join; and
+    pin the public EXPLAIN COST fallback as value-equivalent."""
+    from kinesis_vcr_spark.operators.joinplan import (
+        _plan_size_bytes_explain_cost,
+    )
+
+    fact, _ = skewed
+    # (a) each link of the private chain resolves by name
+    qe = fact._jdf.queryExecution()
+    plan = qe.optimizedPlan()
+    stats = plan.stats()
+    assert int(stats.sizeInBytes()) > 0, (
+        "Spark changed the queryExecution/optimizedPlan/stats/sizeInBytes "
+        "contract (valid 3.0-4.x): port plan_size_bytes to the EXPLAIN "
+        "COST fallback"
+    )
+    # (b) the public fallback parses to the same number (KiB rounding
+    # in the rendered text allows ~2.5% slack)
+    private = plan_size_bytes(fact)
+    public = _plan_size_bytes_explain_cost(fact)
+    assert abs(private - public) <= max(64, private * 0.025)
