@@ -71,3 +71,53 @@ def test_sketch_merge_equals_sketch_of_union(spark):
     ).collect()}
     merged = sorted(set(sk[0]) | set(sk[1]))[:512]
     assert merged == list(sk[2])
+
+
+def test_formula_boundary_at_k_parity(spark):
+    """VERDICT r04 item 8: kmv_distinct switches formulas at
+    ``len(hs) < k``. Land fixtures at exactly k-1, k, and k+1 distinct
+    values and pin the estimate AND cross-engine (DuckDB) parity at
+    each side of the boundary — the production fixtures sit far from
+    it."""
+    import duckdb
+
+    k = 16
+    space = float(16**15)
+    for n in (k - 1, k, k + 1):
+        vals = [f"boundary-{n}-{i}" for i in range(n)]
+        df = _vals(spark, "s", vals)
+        sk = kmv_sketch(df, ["side"], "v", k=k)
+        row = sk.select(
+            F.size("hs").alias("sz"),
+            kmv_distinct(F.col("hs"), k).alias("d"),
+        ).collect()[0]
+        # sketch is capped at k entries; below k it IS the set
+        assert row.sz == min(n, k), n
+        if n < k:
+            assert row.d == float(n), f"exact path broke at n={n}"
+        else:
+            # estimator path engaged exactly at len(hs) == k
+            assert row.d != float(n) or n == k  # formula output, not count
+        # DuckDB rebuilds the identical sketch + estimate (same CASE
+        # expression as the corpus_overlap_kmv oracle)
+        con = duckdb.connect()
+        oracle = con.execute(
+            f"""
+            WITH h AS (
+              SELECT DISTINCT substr(md5(v), 1, 15) AS h
+              FROM (SELECT unnest(?) AS v)
+            ), bk AS (
+              SELECT list_slice(list_sort(list(h)), 1, {k}) AS hs FROM h
+            )
+            SELECT CASE WHEN len(hs) < {k}
+                     THEN CAST(len(hs) AS DOUBLE)
+                     ELSE round({k - 1}.0
+                          / (CAST('0x' || hs[len(hs)] AS UBIGINT)
+                             / {space!r}), 4) END AS d
+            FROM bk
+            """,
+            [vals],
+        ).fetchone()[0]
+        assert repr(row.d) == repr(oracle), (
+            f"boundary parity broke at n={n}: spark={row.d!r} duckdb={oracle!r}"
+        )
