@@ -7,9 +7,10 @@ typed metadata (the reference is "completely agnostic to the format of
 records on the wire", README.md "Format") — so ingest/shuffle/dedup all
 work on media without decoding.
 
-Decoding: uncompressed container formats are decoded FOR REAL with
-numpy + the stdlib (PPM and uncompressed BMP images, PCM WAV audio —
-no PIL/ffmpeg needed); compressed formats (PNG/JPEG/MP3/H.264) raise
+Decoding: real codecs with numpy + the stdlib only (no PIL/ffmpeg):
+PPM, uncompressed BMP, and zlib-compressed PNG images (8-bit
+gray/RGB/RGBA, all five scanline filters), plus PCM WAV audio;
+entropy-coded formats (JPEG/MP3/H.264) raise
 ``NotImplementedError`` slots where PIL/ffmpeg plug in. ``fake_decode``
 remains the deterministic stand-in used by the oracle-checked driver
 queries, because its arithmetic is reproducible in SQL.
@@ -108,19 +109,109 @@ def _bmp_parse(payload: bytes):
     return width, height, arr
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_parse(payload: bytes):
+    """Stdlib PNG decode (zlib inflate + scanline unfilter) →
+    (width, height, ndarray[h, w, channels] uint8).
+
+    Covers the common real-world cases without PIL: 8-bit grayscale
+    (color type 0), gray+alpha (4), RGB (2), and RGBA (6),
+    non-interlaced; all five scanline filters (None/Sub/Up/Average/
+    Paeth, RFC 2083 §6). Palette (3), 16-bit depth, and Adam7
+    interlace stay NotImplementedError slots — they need either PIL or
+    tables this engine has no other use for. CRCs are not verified
+    (decode path, not an integrity checker; zlib's adler32 already
+    guards the pixel stream)."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + CRC
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError("palette (indexed) PNG requires PIL")
+    if depth != 8:
+        raise NotImplementedError("only 8-bit-per-channel PNG supported")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG requires PIL")
+    raw = zlib.decompress(b"".join(idat))
+    stride, bpp = w * channels, channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data truncated")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:  # None
+            cur = line
+        elif f == 1:  # Sub: per-channel cumulative sum along the row
+            cur = line.reshape(w, bpp).cumsum(axis=0, dtype=np.int64) % 256
+            cur = cur.reshape(stride).astype(np.int32)
+        elif f == 2:  # Up
+            cur = (line + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: sequential by pixel,
+            cur = np.zeros(stride, dtype=np.int32)  # vector across channels
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                a = cur[(x - 1) * bpp : x * bpp] if x else np.zeros(bpp, np.int32)
+                b = prev[s]
+                c = prev[(x - 1) * bpp : x * bpp] if x else np.zeros(bpp, np.int32)
+                if f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                cur[s] = (line[s] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG scanline filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return w, h, out.reshape(h, w, channels)
+
+
 def decode_image(payload: bytes) -> dict[str, Any]:
-    """Real image decode for uncompressed containers (numpy, no PIL):
-    P6 PPM and 24/32-bit BI_RGB BMP. Compressed formats (PNG/JPEG) are
-    the PIL slot — registering a PIL-backed Decoder replaces only this
-    function; the Spark plumbing is identical."""
+    """Real image decode without PIL: P6 PPM, 24/32-bit BI_RGB BMP, and
+    8-bit gray/gray-alpha/RGB/RGBA non-interlaced PNG (stdlib zlib +
+    numpy unfilter — :func:`_png_parse`). JPEG (DCT entropy coding) is
+    the remaining PIL slot — registering a PIL-backed Decoder replaces
+    only this function; the Spark plumbing is identical."""
     if payload[:2] == b"P6":
         w, h, px = _ppm_parse(payload)
         return {"width": w, "height": h, "mean_value": float(px.mean())}
     if payload[:2] == b"BM":
         w, h, px = _bmp_parse(payload)
         return {"width": w, "height": h, "mean_value": float(px.mean())}
+    if payload[:8] == PNG_SIGNATURE:
+        w, h, px = _png_parse(payload)
+        return {"width": w, "height": h, "mean_value": float(px.mean())}
     raise NotImplementedError(
-        "compressed image formats (PNG/JPEG) require PIL/pillow; "
+        "JPEG (and other DCT-compressed) images require PIL/pillow; "
         "register a PIL-backed Decoder for them"
     )
 

@@ -18,7 +18,7 @@ from kinesis_vcr_spark.tables import load_table
 
 def test_stub_decoders_raise():
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0 jpeg")  # JPEG stays the PIL slot
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF")
 
@@ -215,3 +215,165 @@ def test_real_decoders_through_map_in_pandas(spark):
     assert (got[1]["width"], got[1]["height"], got[1]["mean_value"]) == (2, 2, 20.0)
     assert (got[2]["width"], got[2]["height"], got[2]["mean_value"]) == (3, 2, 100.0)
     assert got[3]["width"] == 4 and got[3]["height"] == 1
+
+
+# ---------------------------------------------------------------------------
+# PNG decode (VERDICT r04 item 4): stdlib zlib + unfilter, no PIL
+# ---------------------------------------------------------------------------
+
+
+def _png_bytes(arr, filters):
+    """INDEPENDENT minimal PNG encoder for the round-trip oracle: apply
+    the requested RFC 2083 filter to each scanline (one filter id per
+    row, cycled), deflate, wrap in chunks. Written from the spec, not
+    from the decoder under test."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    lines = []
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        cur = arr[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        a = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        b = prev
+        c = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - a
+        elif f == 2:
+            filt = cur - b
+        elif f == 3:
+            filt = cur - (a + b) // 2
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            filt = cur - pred
+        lines.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filters", [(0,), (1,), (2,), (3,), (4,),
+                                     (0, 1, 2, 3, 4)])
+def test_png_roundtrip_every_filter(filters):
+    """Each scanline filter (None/Sub/Up/Average/Paeth) and a mixed
+    cycle reconstruct the RGB pixels bit-exactly."""
+    import numpy as np
+
+    from kinesis_vcr_spark.operators.multimodal import _png_parse
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    w, h, got = _png_parse(_png_bytes(arr, filters))
+    assert (w, h) == (13, 11)
+    np.testing.assert_array_equal(got, arr)
+
+
+@pytest.mark.parametrize("ch", [1, 2, 4])
+def test_png_gray_and_alpha_channels(ch):
+    import numpy as np
+
+    from kinesis_vcr_spark.operators.multimodal import _png_parse
+
+    rng = np.random.default_rng(ch)
+    arr = rng.integers(0, 256, size=(6, 9, ch), dtype=np.uint8)
+    w, h, got = _png_parse(_png_bytes(arr, (0, 1, 2, 3, 4)))
+    assert (w, h, got.shape[2]) == (9, 6, ch)
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_png_through_decode_image_and_spark(spark):
+    """decode_image dispatches PNG by signature; the real decoder runs
+    end-to-end through extract_media_features' mapInPandas path."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from kinesis_vcr_spark.operators.multimodal import real_decode
+
+    arr = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    png = _png_bytes(arr, (4,))
+    feats = decode_image(png)
+    assert (feats["width"], feats["height"]) == (5, 4)
+    assert feats["mean_value"] == float(arr.mean())
+
+    media = spark.createDataFrame(
+        [Row(media_id=1, kind="image", payload=bytearray(png), meta={})],
+        MEDIA_SCHEMA,
+    )
+    out = extract_media_features(media, real_decode).collect()[0]
+    assert (out.width, out.height) == (5, 4)
+    assert out.mean_value == float(arr.mean())
+
+
+def test_png_unsupported_variants_raise():
+    """Palette, 16-bit, and interlaced PNGs stay loud NotImplemented
+    slots; truncated pixel data is a ValueError."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from kinesis_vcr_spark.operators.multimodal import _png_parse
+
+    def header(depth, color_type, interlace=0):
+        def chunk(ctype, data):
+            body = ctype + data
+            return struct.pack(">I", len(data)) + body + struct.pack(
+                ">I", zlib.crc32(body) & 0xFFFFFFFF
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color_type, 0, 0, interlace)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(NotImplementedError, match="palette"):
+        _png_parse(header(8, 3))
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        _png_parse(header(16, 2))
+    with pytest.raises(NotImplementedError, match="interlace"):
+        _png_parse(header(8, 2, interlace=1))
+    arr = np.zeros((3, 3, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="truncated"):
+        _png_parse(_truncate_idat(arr))
+
+
+def _truncate_idat(arr):
+    """Rebuild the PNG with an IDAT that inflates to too few bytes."""
+    import struct
+    import zlib
+
+    full = _png_bytes(arr, (0,))
+    # locate IDAT and replace with a shorter valid zlib stream
+    i = full.index(b"IDAT") - 4
+    length = struct.unpack_from(">I", full, i)[0]
+    end = i + 12 + length
+    short = zlib.compress(b"\x00" * 5)
+    body = b"IDAT" + short
+    new_chunk = struct.pack(">I", len(short)) + body + struct.pack(
+        ">I", zlib.crc32(body) & 0xFFFFFFFF
+    )
+    return full[:i] + new_chunk + full[end:]
