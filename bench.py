@@ -8,10 +8,24 @@ prints ONE JSON line:
 Run: ``python bench.py``. Timing = full execution (collect) per query,
 after one warm-up of the session (JVM + codegen caches are shared state
 a real deployment would also have warm).
+
+Scale-validation modes (VERDICT r04 item 2; defaults unchanged for the
+driver's bare ``python bench.py``):
+
+- ``--sf 1.0`` resolves the data dir: driver dirs
+  (``/root/testdata/sf{X}``) when present, else the locally generated
+  ``.localdata/sf{X}`` (``tools/gen_testdata.py``);
+- ``--queries a,b,c`` or ``--top N`` (N slowest per BENCH_DETAIL.json)
+  restricts the run — at sf1.0 the point is the expensive tail, not
+  108 sub-second entries;
+- ``--detail-out PATH`` redirects the detail JSON so scale runs never
+  clobber the driver-read BENCH_DETAIL.json;
+- ``--skip-vcr-core`` omits the record/estimate/replay loop.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
@@ -118,8 +132,37 @@ def detect_spark_contention() -> int:
     return n
 
 
+def _resolve_sf_dir(sf: float) -> str:
+    driver = f"/root/testdata/sf{sf:g}"
+    if os.path.isdir(driver):
+        return driver
+    local = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".localdata", f"sf{sf:g}"
+    )
+    if os.path.isdir(local):
+        return local
+    raise SystemExit(
+        f"no data for sf={sf:g}: generate it first with\n"
+        f"  python tools/gen_testdata.py --sf {sf:g} --out .localdata/sf{sf:g}"
+    )
+
+
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=None)
+    ap.add_argument("--queries", default=None, help="comma-separated names")
+    ap.add_argument(
+        "--top", type=int, default=None,
+        help="run only the N slowest queries per BENCH_DETAIL.json",
+    )
+    ap.add_argument("--detail-out", default=None)
+    ap.add_argument("--skip-vcr-core", action="store_true")
+    args = ap.parse_args()
+
+    if args.sf is not None:
+        sf_dir = _resolve_sf_dir(args.sf)
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     contention = detect_spark_contention()
     if contention:
@@ -145,12 +188,31 @@ def main() -> None:
     warm_queries["q1_pricing_summary"].spark_fn(spark, "/root/testdata/sf0.001").collect()
     warm_queries["text_fingerprint"].spark_fn(spark, "/root/testdata/sf0.001").collect()
 
-    for name, spec in sorted(all_queries().items()):
+    selected = dict(all_queries())
+    if args.queries:
+        names = [n.strip() for n in args.queries.split(",") if n.strip()]
+        missing = [n for n in names if n not in selected]
+        if missing:
+            raise SystemExit(f"unknown queries: {missing}")
+        selected = {n: selected[n] for n in names}
+    elif args.top:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path) as f:
+            prior = json.load(f)["queries"]
+        ranked = sorted(
+            (n for n in prior if n in selected), key=lambda n: -prior[n]
+        )
+        selected = {n: selected[n] for n in ranked[: args.top]}
+
+    for name, spec in sorted(selected.items()):
         t0 = time.time()
         spec.spark_fn(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
 
-    timings.update(bench_vcr_core(spark, sf_dir))
+    if not args.skip_vcr_core:
+        timings.update(bench_vcr_core(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     # The driver captures only the LAST ~2000 bytes of stdout; r03's
@@ -167,7 +229,7 @@ def main() -> None:
         "contended": bool(contention),
         "foreign_spark_jvms": contention,
     }
-    detail_path = os.path.join(
+    detail_path = args.detail_out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:
