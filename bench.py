@@ -133,17 +133,17 @@ def detect_spark_contention() -> int:
 
 
 def _resolve_sf_dir(sf: float) -> str:
-    driver = f"/root/testdata/sf{sf:g}"
-    if os.path.isdir(driver):
-        return driver
-    local = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".localdata", f"sf{sf:g}"
-    )
-    if os.path.isdir(local):
-        return local
+    here = os.path.dirname(os.path.abspath(__file__))
+    # "sf0.1" and "sf1.0" both exist in the wild: try the %g spelling
+    # (driver dirs) and the one-decimal spelling (generator default)
+    for name in dict.fromkeys((f"sf{sf:g}", f"sf{sf:.1f}")):
+        for base in ("/root/testdata", os.path.join(here, ".localdata")):
+            cand = os.path.join(base, name)
+            if os.path.isdir(cand):
+                return cand
     raise SystemExit(
         f"no data for sf={sf:g}: generate it first with\n"
-        f"  python tools/gen_testdata.py --sf {sf:g} --out .localdata/sf{sf:g}"
+        f"  python tools/gen_testdata.py --sf {sf:g} --out .localdata/sf{sf:.1f}"
     )
 
 
@@ -207,6 +207,7 @@ def main() -> None:
         selected = {n: selected[n] for n in ranked[: args.top]}
 
     for name, spec in sorted(selected.items()):
+        print(f"[bench] {name}", file=sys.stderr)  # attribute failures
         t0 = time.time()
         spec.spark_fn(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)

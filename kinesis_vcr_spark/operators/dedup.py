@@ -480,8 +480,8 @@ def near_dup_pairs_embedding(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    planes: int = 48,
-    bands: int = 6,
+    planes: int | None = None,
+    bands: int | None = None,
     band_member_cap: int | None = DEFAULT_BAND_MEMBER_CAP,
 ) -> DataFrame:
     """Near-dup pairs with cosine ≥ threshold, candidates from
@@ -492,18 +492,24 @@ def near_dup_pairs_embedding(
     P(two vectors agree on one sign bit) = 1 - θ/π; at cosine ≥ 0.95
     (θ ≤ 18.2°) an 8-bit band matches with p ≈ 0.43 and ≥1 of 6 bands
     with p ≈ 0.96; verification is exact so precision is 1.0. Band
-    width is the bucket-granularity knob: 8 sign bits = 256 buckets per
-    band keeps random-pair collisions (p_bit = 0.5 → p_band = 1/256)
-    from going quadratic; at much larger corpora raise planes/bands
-    together to keep expected bucket sizes bounded.
+    width is the bucket-granularity knob: by default it is sized to the
+    corpus via :func:`adaptive_hyperplane_lsh` (expected random bucket
+    ≈ 16 members → candidate count Θ(n·bands) instead of the Θ(n²) a
+    fixed width costs; at driver-fixture sizes the formula reproduces
+    the historical 8-bit × 6-band shape exactly). Pass explicit
+    ``planes``/``bands`` to pin a shape.
     """
     from kinesis_vcr_spark.operators.similarity import (
-        cosine,
+        adaptive_hyperplane_lsh,
         hyperplane_band_values,
-        unit_double,
+        pandas_cosine,
     )
 
-    vecs = df.select(F.col(id_col), unit_double(F.col(vec_col)).alias("unit"))
+    if planes is None or bands is None:
+        # one cheap count job (parquet metadata / cached lineage) buys
+        # the linear-candidate guarantee above
+        planes, bands = adaptive_hyperplane_lsh(df.count(), threshold)
+
     # banding via the vectorized Pandas UDF on raw vectors (sign is
     # normalization-invariant); ArrowEvalPython materializes the band
     # column so the explode/self-join never re-evaluate it.
@@ -512,11 +518,16 @@ def near_dup_pairs_embedding(
         hyperplane_band_values(F.col(vec_col), planes, bands).alias("bands"),
     )
     pairs = _candidate_pairs_from_bands(banded, id_col, band_member_cap)
-    va = vecs.select(F.col(id_col).alias("id_a"), F.col("unit").alias("v_a"))
-    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("unit").alias("v_b"))
+    # verify join carries RAW vectors (float32 — half the shuffle bytes
+    # of unit doubles); pandas_cosine normalizes + scores per Arrow
+    # batch, bit-identical to the HOF unit_double/cosine path.
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cosine"))
+        .select(
+            "id_a", "id_b", pandas_cosine(F.col("v_a"), F.col("v_b")).alias("cosine")
+        )
         .where(F.col("cosine") >= threshold)
     )

@@ -64,6 +64,85 @@ def round_cosine(c: Column) -> Column:
     return F.round(c, COSINE_DECIMALS)
 
 
+def pandas_cosine(vec_a: Column, vec_b: Column) -> Column:
+    """Cosine of two RAW vectors, bit-identical to
+    ``cosine(unit_double(a), unit_double(b))`` but vectorized per Arrow
+    batch (~10-50× the interpreted-HOF throughput on wide candidate
+    sets — the near-dup verify join was the top cost in the r05 sf1.0
+    scale run).
+
+    Bit-identity matters because outputs are hash-compared against a
+    DuckDB oracle that sums sequentially: numpy's pairwise ``np.sum``
+    associates differently in the last ulp, so this accumulates with an
+    explicit left-to-right loop over dimensions (each step one
+    vectorized op across the batch) — the exact operation sequence of
+    the HOF ``aggregate`` and of DuckDB's ``list_reduce``. Zero vectors
+    stay zero (same contract as :func:`unit_double`).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        va = np.vstack(a.to_numpy()).astype(np.float64)
+        vb = np.vstack(b.to_numpy()).astype(np.float64)
+
+        def seq_dot(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+            acc = np.zeros(x.shape[0])
+            for i in range(x.shape[1]):  # left-to-right, like aggregate()
+                acc = acc + x[:, i] * y[:, i]
+            return acc
+
+        na = np.sqrt(seq_dot(va, va))
+        nb = np.sqrt(seq_dot(vb, vb))
+        na[na == 0.0] = 1.0  # zero vector / 1 = zero vector → cosine 0
+        nb[nb == 0.0] = 1.0
+        return pd.Series(seq_dot(va / na[:, None], vb / nb[:, None]))
+
+    return cos(vec_a, vec_b)
+
+
+def adaptive_hyperplane_lsh(
+    n: int,
+    threshold: float = 0.95,
+    target_recall: float = 0.96,
+    min_rows: int = 8,
+    max_rows: int = 24,
+) -> tuple[int, int]:
+    """Size hyperplane-LSH ``(planes, bands)`` to corpus size ``n``.
+
+    Fixed-width bands go quadratic: with ``r`` sign bits per band, the
+    random-collision candidate count is Θ(b·n²/2^r), so any constant
+    ``r`` costs Θ(n²) eventually (measured: the 8-bit default was 25×
+    at 10× data in the r05 sf1.0 scale run). Choosing
+    ``r = ceil(log2(n/16))`` pins the expected random bucket to ~16
+    members, making candidates Θ(n·b) — linear with a log-factor from
+    ``b``. Band count then comes from the standard S-curve: a pair at
+    ``cosine == threshold`` agrees per bit with p = 1 − θ/π and is
+    missed by all bands with (1 − p^r)^b ≤ 1 − target_recall.
+
+    At the driver fixtures (n ≤ ~4k) this reduces exactly to the
+    historical ``(48, 6)`` = 8-bit × 6 default, so small-scale results
+    (and the DuckDB oracle rows) are unchanged. ``max_rows`` caps the
+    width at 2^24 buckets/band (~16M); past n ≈ 2^28 vectors raise it
+    explicitly — banding is one numpy matmul either way.
+
+    Identical vectors share every band at ANY width, so planted-twin
+    recall proofs are width-independent.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    rows = min(max_rows, max(min_rows, math.ceil(math.log2(max(n, 2) / 16))))
+    p = 1.0 - math.acos(min(threshold, 1.0)) / math.pi
+    p_band = p**rows
+    bands = max(
+        1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+    )
+    return rows * bands, bands
+
+
 # ---------------------------------------------------------------------------
 # random hyperplanes (deterministic, seeded)
 # ---------------------------------------------------------------------------

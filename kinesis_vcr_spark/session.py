@@ -66,10 +66,22 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
     )
-    # NOTE: spark.driver.memory must be set BEFORE the JVM starts (e.g.
-    # via spark-submit / SPARK_DRIVER_MEMORY in spark-env); setting it on
-    # an already-running session's builder is a silent no-op, so this
-    # factory deliberately does not pretend to control it.
+    # spark.driver.memory only takes effect BEFORE the JVM starts;
+    # setting it on an already-running session's builder is a silent
+    # no-op. When THIS process is the one launching the JVM (no active
+    # SparkContext yet), size the local-mode heap for the data actually
+    # being processed: PySpark's 1 GiB default OOMs local[32] at sf1.0
+    # (32 concurrent tasks x Arrow batches >> 1 GiB; measured in the
+    # r05 scale run). 16g keeps ~0.5 GiB/task headroom and is still an
+    # eighth of the rig. On a real cluster this path never fires — the
+    # launcher (spark-submit) owns memory sizing.
+    from pyspark import SparkContext  # noqa: PLC0415
+
+    if SparkContext._active_spark_context is None:
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -44,3 +44,34 @@ def test_ann_recall_against_bruteforce(spark, sf_dir):
         key = (r["query_id"], r["vec_id"])
         if key in exact_cos:
             assert r["cosine"] == exact_cos[key]
+
+
+def test_adaptive_hyperplane_lsh_sizing():
+    """Driver-fixture sizes reproduce the historical 8-bit x 6-band
+    shape exactly (oracle rows unchanged); larger corpora widen bands
+    so random buckets stay ~16 members (candidates Θ(n·bands))."""
+    import math
+
+    import pytest
+
+    from kinesis_vcr_spark.operators.similarity import adaptive_hyperplane_lsh
+
+    for n in (2, 220, 2_200, 4_096):  # sf0.001 .. sf0.1 fixture sizes
+        assert adaptive_hyperplane_lsh(n) == (48, 6)
+
+    planes, bands = adaptive_hyperplane_lsh(22_000)
+    rows = planes // bands
+    assert rows == 11 and bands >= 6  # 2^11 buckets -> ~10.7/bucket
+
+    # recall bound holds at the configured threshold for every width
+    for n in (220, 22_000, 10**7, 10**9):
+        planes, bands = adaptive_hyperplane_lsh(n, threshold=0.95)
+        rows = planes // bands
+        p = 1.0 - math.acos(0.95) / math.pi
+        assert (1.0 - p**rows) ** bands <= 0.04 + 1e-12
+        assert rows <= 24  # width cap: 2^24 buckets/band
+
+    with pytest.raises(ValueError):
+        adaptive_hyperplane_lsh(100, threshold=0.0)
+    with pytest.raises(ValueError):
+        adaptive_hyperplane_lsh(100, target_recall=1.0)
