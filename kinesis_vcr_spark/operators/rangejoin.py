@@ -87,6 +87,7 @@ def interval_join(
     on: list[str] | None = None,
     max_buckets_per_interval: int = 4096,
     broadcast_intervals: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Inner-join each point row to every interval row whose
     ``[start_col, end_col)`` half-open range contains ``point_col``
@@ -98,6 +99,17 @@ def interval_join(
     — the right call when intervals are small (campaign windows,
     maintenance windows) and the point side is the 100 TB one: the
     point scan then never shuffles at all.
+
+    ``num_partitions`` pins the join's parallelism. Set it when the
+    join OUTPUT is much larger than its inputs (dense domains: many
+    points per bucket × many intervals per bucket): AQE sizes the
+    post-shuffle stage from input bytes only, so a few-MB input can
+    coalesce to a handful of tasks that then each produce tens of
+    millions of joined rows (measured in the r05 sf1.0 scale run:
+    5 tasks, 110 M output rows, 81 s → 32 tasks, 23 s). An explicit
+    user repartition on the join keys survives AQE coalescing and
+    both sides share the partitioning, so the join adds no extra
+    exchange.
     """
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
@@ -108,6 +120,15 @@ def interval_join(
     if broadcast_intervals:
         exploded = F.broadcast(exploded)
     tagged = points.withColumn(_BUCKET, _bucket_of(point_col, bucket_width))
+    if num_partitions is not None:
+        if broadcast_intervals:
+            raise ValueError(
+                "num_partitions only applies to the shuffle join path; "
+                "drop it or broadcast_intervals"
+            )
+        keys = [*on, _BUCKET]
+        exploded = exploded.repartition(num_partitions, *keys)
+        tagged = tagged.repartition(num_partitions, *keys)
     p, s, e = F.col(point_col), F.col(start_col), F.col(end_col)
     joined = tagged.join(exploded, on=[*on, _BUCKET], how="inner")
     return joined.where((p >= s) & (p < e)).drop(_BUCKET)

@@ -287,14 +287,33 @@ def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     points = ev.where(F.col("event_type") == "view").select(
         F.col("ts_ns").alias("v_ts"), F.col("user_id").alias("viewer")
     )
+    # dense domain: every bucket holds many views AND many purchase
+    # windows, so join output >> join input — pin the join parallelism
+    # (AQE would coalesce the few-MB input shuffle to a handful of
+    # tasks that then produce ~500 output rows per input row)
     joined = interval_join(
-        points, intervals, "v_ts", "start_ns", "end_ns", bucket_width=_HOUR_NS
+        points,
+        intervals,
+        "v_ts",
+        "start_ns",
+        "end_ns",
+        bucket_width=_HOUR_NS,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    # Two-level aggregate instead of count + countDistinct in one agg:
+    # the mixed form makes Catalyst Expand-duplicate every joined row
+    # (2× the shuffle at the join-output scale — the r05 sf1.0 run
+    # measured join output growing ~100× with event density). Level 1
+    # shuffles (purchase, viewer) once with map-side combine; level 2
+    # is purchase-sized. Same results, about half the shuffled bytes.
+    pair_counts = joined.groupBy("purchase_id", "viewer").agg(
+        F.count(F.lit(1)).alias("c")
     )
     return (
-        joined.groupBy("purchase_id")
+        pair_counts.groupBy("purchase_id")
         .agg(
-            F.count("*").alias("n_views"),
-            F.countDistinct("viewer").alias("n_viewers"),
+            F.sum("c").alias("n_views"),
+            F.count(F.lit(1)).alias("n_viewers"),
         )
         .orderBy("purchase_id")
     )
