@@ -213,10 +213,13 @@ def semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.unionByName(twins).select("vec_id", "embedding")
     verdict = semantic_dedup(
         corpus, "vec_id", "embedding",
-        threshold=SEM_THRESHOLD, k_clusters=8, refine_iterations=1,
+        threshold=SEM_THRESHOLD, k_clusters=None, refine_iterations=1,
+        # adaptive k (max(8, n/256)) keeps intra-cluster work linear in
+        # n; the verdict is k-independent because only identical twins
+        # reach 0.95 and identical vectors always co-cluster.
         # no member cap: the oracle brute-forces ALL pairs, so any
         # capped-away cluster would silently diverge at larger sf
-        # (driver fixtures stay far under quadratic danger here)
+        # (adaptive k keeps clusters ~256 members, far under danger)
         max_cluster_members=None,
     )
     return (
