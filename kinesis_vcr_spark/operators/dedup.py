@@ -172,6 +172,16 @@ def minhash_signature_agg(
     the exchange itself is the materialization barrier that keeps the
     downstream banding/self-join from re-evaluating the hashing work.
     Returns ``(id_col, h0..h{k-1})``.
+
+    Negative result (r05 sf1.0 scale run), recorded so it isn't
+    retried: an Arrow slab variant (numpy multiply-add-mod +
+    ``minimum.reduceat`` per batch) measured ~15% faster in isolation
+    but 1.6-2.5× SLOWER end-to-end in the pair pipeline — the
+    signature is consumed immediately by banding, this agg's exchange
+    is already a free materialization barrier, and the Python stage
+    added two Arrow transfers of the full shingle-hash arrays. The
+    vectorize-the-verify win that worked for embedding cosine does not
+    transfer here.
     """
     import random
 
