@@ -72,15 +72,20 @@ def get_spark(
     # SparkContext yet), size the local-mode heap for the data actually
     # being processed: PySpark's 1 GiB default OOMs local[32] at sf1.0
     # (32 concurrent tasks x Arrow batches >> 1 GiB; measured in the
-    # r05 scale run). 16g keeps ~0.5 GiB/task headroom and is still an
-    # eighth of the rig. On a real cluster this path never fires — the
-    # launcher (spark-submit) owns memory sizing.
+    # r05 scale run). 4g is the measured sweet spot: sf1.0 runs clean
+    # (zero OOMs, within noise of 16g), while an oversized heap is a
+    # real cost on long many-query sessions — at 16g the JVM's RSS
+    # grows unchecked between lazy GCs and evicts the parquet page
+    # cache (full 108-query sf0.1 bench: 162 s at 16g vs 129 s at 2g).
+    # SPARK_GRAFT_DRIVER_MEM overrides for bigger-than-sf1.0 local
+    # runs. On a real cluster this path never fires — the launcher
+    # (spark-submit) owns memory sizing.
     from pyspark import SparkContext  # noqa: PLC0415
 
     if SparkContext._active_spark_context is None:
         builder = builder.config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
         )
     if extra_conf:
         for k, v in extra_conf.items():
