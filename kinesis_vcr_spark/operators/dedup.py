@@ -228,6 +228,7 @@ def _candidate_pairs_from_bands(
     banded: DataFrame,
     id_col: str,
     band_member_cap: int | None = DEFAULT_BAND_MEMBER_CAP,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(id, band_array) → distinct candidate (id_a, id_b) pairs that
     collide in ≥1 band. The join key is (band position, band hash):
@@ -243,11 +244,25 @@ def _candidate_pairs_from_bands(
     boilerplate-identical docs collide in ALL bands, which is exactly
     when exact-dedup (cheap, runs first in a pipeline) should own them
     instead. ``None`` disables the cap.
+
+    ``num_partitions`` pins the self-join's parallelism
+    (REPARTITION_BY_NUM survives AQE coalescing). Set it when the
+    join's OUTPUT or downstream per-pair work dwarfs its input — a
+    few-MB band table otherwise coalesces to a handful of tasks that
+    then own all the pair generation (the r05 fuzzy-join finding:
+    whole verify stage on 1 task). ``None`` keeps AQE's byte-based
+    sizing, which is right when pair output is small.
     """
     exploded = banded.select(
         F.col(id_col),
         F.posexplode("bands").alias("band_pos", "band_hash"),
-    ).repartition("band_pos", "band_hash")
+    )
+    if num_partitions is None:
+        exploded = exploded.repartition("band_pos", "band_hash")
+    else:
+        exploded = exploded.repartition(
+            num_partitions, "band_pos", "band_hash"
+        )
     # ^ this is the exchange the self-join needs anyway (no extra
     # shuffle; ReuseExchange shares it across both sides) AND a
     # materialization barrier so band-hash expressions are computed once,

@@ -101,41 +101,55 @@ def _module_rank(spec: QuerySpec) -> int:
 # round; everything later is held green by the strict local harness
 # (tools/oracle_check.py). The per-name promote/demote lists of rounds
 # 3-4 drained the never-checked backlog slower than new queries joined
-# it (22 queries had never earned a driver row by r04), so rotation is
-# now a deterministic COHORT CYCLE:
+# it, and the round-4 cohort CYCLE turned out to be fragile in a
+# different way: the phase is ``round mod ceil(N / 50)``, so merely
+# REGISTERING one more oracle-paired query (N 100 → 101) changed the
+# cohort count and silently rotated the promised window away. Rotation
+# is therefore now LEAST-RECENTLY-CHECKED-FIRST, computed from the
+# committed CORRECTNESS_r{N}.json artifacts themselves:
 #
 #   1. Order all oracle-paired queries canonically (module rank, then
 #      in-module registration order); rows-only queries sort dead last
 #      and never occupy a window slot.
-#   2. Split that list into ceil(N / DRIVER_WINDOW) cohorts of
-#      DRIVER_WINDOW consecutive queries.
-#   3. At driver round r, rotate the cohort order by ``r mod ncohorts``
-#      — so with 100 oracle-paired queries and a 50-slot window, odd
-#      rounds check cohort 1 (the newer analytics half, including every
-#      query that had no driver row at r04) and even rounds check
-#      cohort 0 (reference-core + first-wave families). EVERY
-#      oracle-paired query earns a driver row within ncohorts (=2)
-#      consecutive rounds, and adding a third cohort later still
-#      reaches everything within 3 rounds.
+#   2. Stable-sort the oracle-paired list by the LAST driver round in
+#      which the query had a correctness row (never-checked → -1, so
+#      the whole backlog sorts first), ties broken by canonical order.
 #
-# The driver round is read from the committed CORRECTNESS_r{N}.json
-# artifacts (max N + 1 = the round currently being checked); the
-# SPARK_GRAFT_ROUND env var overrides for testing. At round 5 this puts
-# the 20 never-checked queries (corpus_cdc_apply, events_expectations,
-# source_lang_chi2, user_cohort_retention, decontam_bloom,
-# lm_bigram_score, sample_weighted_docs, value_histogram, ...) in the
-# window, per the r04 verdict.
+# The window is always the 50 stalest checks, so every oracle-paired
+# query earns a driver row within ceil(N / 50) consecutive rounds
+# (currently 3), new queries join at the FRONT of the queue instead of
+# shifting everyone else's slot, and the schedule is deterministic
+# from committed files — no round arithmetic to drift.
 DRIVER_WINDOW = 50
 
 
-def _driver_round() -> int:
-    import os  # noqa: PLC0415
+def _last_checked() -> dict[str, int]:
+    """query name → latest driver round with a committed correctness
+    row (from CORRECTNESS_r{N}.json); absent = never checked."""
+    import json  # noqa: PLC0415
     import re  # noqa: PLC0415
     from pathlib import Path  # noqa: PLC0415
 
-    env = os.environ.get("SPARK_GRAFT_ROUND")
-    if env:
-        return int(env)
+    root = Path(__file__).resolve().parents[2]
+    last: dict[str, int] = {}
+    for p in root.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if not m:
+            continue
+        r = int(m.group(1))
+        try:
+            names = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for n in names:
+            last[n] = max(last.get(n, -1), r)
+    return last
+
+
+def _current_round() -> int:
+    import re  # noqa: PLC0415
+    from pathlib import Path  # noqa: PLC0415
+
     root = Path(__file__).resolve().parents[2]
     rounds = [
         int(m.group(1))
@@ -146,18 +160,19 @@ def _driver_round() -> int:
 
 
 def all_queries(round_num: int | None = None) -> dict[str, QuerySpec]:
-    """The registry in DRIVER order for the given round (default: the
-    round currently being checked, inferred from committed
-    CORRECTNESS artifacts).
+    """The registry in DRIVER order — least-recently-driver-checked
+    oracle-paired queries first (see the rotation comment above),
+    rows-only queries dead last.
 
     ``REGISTRY``'s raw insertion order is fragile: any direct import of
     a query module (a test, a notebook) before ``_load_all()`` would
-    re-shuffle it. The canonical base order is therefore computed — by
-    ``_MODULE_ORDER`` rank, insertion order within a module, rows-only
-    queries dead last (a driver-window slot spent on a rows-only check
-    displaces a full value-hash check; those ops are recall/property-
-    tested in tests/ instead) — and then the oracle-paired prefix is
-    cohort-rotated per the schedule documented above."""
+    re-shuffle it. The canonical tie-break order is therefore computed
+    — ``_MODULE_ORDER`` rank, then insertion order within a module.
+
+    ``round_num`` (tests only) SIMULATES a future round: the schedule
+    is rolled forward assuming each intervening round checked its
+    50-query window — proving the union of ceil(N/50) consecutive
+    windows covers every oracle-paired query."""
     _load_all()
     items = list(REGISTRY.items())  # dict = insertion-ordered
     ordered = sorted(
@@ -166,11 +181,22 @@ def all_queries(round_num: int | None = None) -> dict[str, QuerySpec]:
     )  # sort is stable → insertion order preserved within a module
     paired = [kv for kv in ordered if kv[1].oracle is not None]
     rows_only = [kv for kv in ordered if kv[1].oracle is None]
-    cohorts = [
-        paired[i : i + DRIVER_WINDOW]
-        for i in range(0, len(paired), DRIVER_WINDOW)
-    ]
-    r = _driver_round() if round_num is None else round_num
-    phase = r % len(cohorts) if cohorts else 0
-    rotated = [kv for c in cohorts[phase:] + cohorts[:phase] for kv in c]
-    return dict(rotated + rows_only)
+
+    last = _last_checked()
+    canon = {name: i for i, (name, _) in enumerate(paired)}
+
+    def lru(kvs: list, state: dict[str, int]) -> list:
+        return sorted(
+            kvs, key=lambda kv: (state.get(kv[0], -1), canon[kv[0]])
+        )
+
+    cur = _current_round()
+    if round_num is not None and round_num > cur:
+        # roll the simulation forward: each intervening round checks
+        # (and thereby re-timestamps) its first-50 window
+        state = dict(last)
+        for r in range(cur, round_num):
+            for name, _ in lru(paired, state)[:DRIVER_WINDOW]:
+                state[name] = r
+        last = state
+    return dict(lru(paired, last) + rows_only)

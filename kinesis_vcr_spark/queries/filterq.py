@@ -1032,3 +1032,77 @@ register(QuerySpec("token_pmi_collocations", token_pmi_collocations,
                    PMI_SQL,
                    "adjacency-PMI collocations: integer-arg ln micro-"
                    "fixed, min-count floor, global top-k"))
+
+
+# ---------------------------------------------------------------------------
+# blocked fuzzy join: edit-distance record linkage (operators/fuzzyjoin.py)
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 2
+FUZZY_AFFIX = 8
+FUZZY_MUT_OFFSET = 1_000_000
+
+
+def doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage on the planted-mutant corpus: every document gets
+    a copy at ``doc_id + 1e6`` with character 5 replaced by '#' (one
+    substitution → edit distance 1, breaking the prefix block but never
+    the suffix block), and the blocked join must link each original to
+    its mutant plus whatever natural (near-)duplicates fall within
+    distance 2. The affix-blocking rule is the operator's CONTRACT
+    (module docstring, operators/fuzzyjoin.py) and the oracle encodes
+    the identical rule, so the check is exact — candidates, distances
+    and all."""
+    from kinesis_vcr_spark.operators.fuzzyjoin import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutants = docs.select(
+        (F.col("doc_id") + FUZZY_MUT_OFFSET).alias("doc_id"),
+        F.concat(
+            F.expr("substring(text, 1, 4)"),
+            F.lit("#"),
+            F.expr("substring(text, 6)"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(mutants)
+    pairs = edit_distance_pairs(
+        corpus, "doc_id", "text",
+        max_dist=FUZZY_MAX_DIST, affix_len=FUZZY_AFFIX,
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+FUZZY_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {FUZZY_MUT_OFFSET} AS doc_id,
+         substr(text, 1, 4) || '#' || substr(text, 6) AS text
+  FROM documents
+), blocks AS (
+  SELECT doc_id, 0 AS bpos, substr(text, 1, {FUZZY_AFFIX}) AS bkey FROM d
+  UNION ALL
+  SELECT doc_id, 1,
+         substr(text, greatest(length(text) - {FUZZY_AFFIX - 1}, 1),
+                {FUZZY_AFFIX})
+  FROM d
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blocks a
+  JOIN blocks b
+    ON a.bpos = b.bpos AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist
+FROM cand c
+JOIN d x ON x.doc_id = c.id_a
+JOIN d y ON y.doc_id = c.id_b
+WHERE abs(length(x.text) - length(y.text)) <= {FUZZY_MAX_DIST}
+  AND levenshtein(x.text, y.text) <= {FUZZY_MAX_DIST}
+ORDER BY id_a, id_b
+"""
+
+
+register(QuerySpec("doc_fuzzy_pairs", doc_fuzzy_pairs, FUZZY_SQL,
+                   "blocked fuzzy join: affix-blocked edit-distance "
+                   "record linkage, planted single-substitution mutants"))

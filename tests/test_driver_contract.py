@@ -37,47 +37,65 @@ def test_entry_runs(spark):
 def test_driver_window_rotation_schedule():
     """The driver correctness-checks exactly the FIRST 50 queries per
     round (VERDICT r02: the 12 registered last got no row). Rotation is
-    a deterministic cohort cycle (VERDICT r04 item 1): every
-    oracle-paired query must earn a driver row within ncohorts (≤3)
-    consecutive rounds, rows-only queries never occupy a window slot,
-    and the round-5 window must contain the 8 promotions the r04
-    verdict named."""
-    from kinesis_vcr_spark.queries import DRIVER_WINDOW, all_queries
+    least-recently-checked-first from committed CORRECTNESS artifacts
+    (the r04 cohort cycle silently rotated the promised window away
+    when registering one more query changed the cohort count): every
+    oracle-paired query must earn a driver row within ceil(N/50) ≤ 3
+    consecutive rounds, never-checked queries always come first,
+    rows-only queries never occupy a window slot, and the current
+    window must contain the 8 promotions the r04 verdict named."""
+    import json
+    import math
+    from pathlib import Path
+
+    from kinesis_vcr_spark.queries import (
+        DRIVER_WINDOW,
+        _current_round,
+        all_queries,
+    )
 
     oracles = entrymod.oracle_sql()
     paired = set(oracles)
+    cur = _current_round()
 
-    # (a) union of windows over ncohorts consecutive rounds covers ALL
-    # oracle-paired queries — the whole point of the rotation
-    import math
+    # (a) union of windows over ceil(N/50) consecutive rounds (the
+    # current one + simulated successors) covers ALL oracle-paired
+    # queries — the whole point of the rotation
     ncoh = math.ceil(len(paired) / DRIVER_WINDOW)
-    assert ncoh <= 3, "cohort cycle must reach every query within 3 rounds"
-    for start in (5, 6):  # schedule holds from any phase
-        union = set()
-        for r in range(start, start + ncoh):
-            union |= set(list(all_queries(r))[:DRIVER_WINDOW])
-        missing = paired - union
-        assert not missing, f"never reach driver window (from r{start}): {missing}"
+    assert ncoh <= 3, "rotation must reach every query within 3 rounds"
+    union = set()
+    for r in range(cur, cur + ncoh):
+        union |= set(list(all_queries(r))[:DRIVER_WINDOW])
+    missing = paired - union
+    assert not missing, f"never reach driver window: {missing}"
 
     # (b) no round wastes a window slot on a rows-only query
-    for r in (5, 6, 7):
+    for r in range(cur, cur + 3):
         window = list(all_queries(r))[:DRIVER_WINDOW]
         unpaired = [n for n in window if n not in paired]
         assert not unpaired, f"rows-only queries inside r{r} window: {unpaired}"
 
-    # (c) the r04 verdict's named promotions are in the round-5 window
-    w5 = set(list(all_queries(5))[:DRIVER_WINDOW])
+    # (c) never-driver-checked queries sort FIRST: anything absent from
+    # every committed CORRECTNESS file must be in the current window
+    # (this is what drains the backlog; includes the 8 promotions the
+    # r04 verdict named, all unchecked as of r04)
+    checked: set[str] = set()
+    root = Path(__file__).resolve().parents[1]
+    for p in root.glob("CORRECTNESS_r*.json"):
+        checked |= set(json.loads(p.read_text()))
+    never = paired - checked
+    w_now = set(list(all_queries())[:DRIVER_WINDOW])
+    assert len(never) <= DRIVER_WINDOW, "backlog outgrew the window"
+    assert never <= w_now, f"never-checked outside current window: {never - w_now}"
     named = {
         "corpus_cdc_apply", "events_expectations", "source_lang_chi2",
         "user_cohort_retention", "decontam_bloom", "lm_bigram_score",
         "sample_weighted_docs", "value_histogram",
     }
-    assert named <= w5, f"r04-named promotions outside round-5 window: {named - w5}"
+    assert named <= (w_now | checked), f"r04 promotions dropped: {named - w_now - checked}"
 
-    # (d) the default (round inferred from CORRECTNESS artifacts) is a
-    # valid phase of the same cycle — the __spark_entry__ surface the
-    # driver actually calls agrees with all_queries() for some round
-    names = list(entrymod.queries())
-    assert any(
-        names == list(all_queries(r)) for r in range(ncoh)
-    ) or names == list(all_queries()), "entry queries() diverged from schedule"
+    # (d) the __spark_entry__ surface the driver actually calls agrees
+    # with the schedule
+    assert list(entrymod.queries()) == list(all_queries()), (
+        "entry queries() diverged from schedule"
+    )
