@@ -859,3 +859,105 @@ register(QuerySpec("user_cohort_retention", user_cohort_retention,
                    COHORT_SQL,
                    "weekly cohort retention matrix: integer-week "
                    "arithmetic, exact counts, two keyed aggregations"))
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the event-succession graph (operators/pagerank.py)
+# ---------------------------------------------------------------------------
+
+PR_ITERATIONS = 10
+PR_DAMPING_PCT = 85
+PR_UNIT = 1_000_000
+PR_TOP_K = 20
+
+
+def user_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank over the event-succession graph: a
+    directed (multi-)edge from the user of each event to the user of
+    the NEXT event of the same type (LAG by event_id within type) —
+    "whose activity do you follow". Ranks are int64 micro-units so 10
+    damped iterations are bit-identical across engines (the oracle
+    unrolls the same 10 steps as chained CTEs; recursive CTEs can't
+    aggregate). Top-20 by rank, total order.
+
+    Graph derivation note: the per-type LAG serializes each event_type
+    through one window partition — fine for a 5-type fixture, and the
+    derivation is fixture glue; the scale-relevant piece is the
+    operator (edges never shuffle per iteration, see
+    operators/pagerank.py)."""
+    from kinesis_vcr_spark.operators.pagerank import pagerank_micro
+
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    lagw = Window.partitionBy("event_type").orderBy("event_id")
+    edges = (
+        ev.select(
+            "event_id", "event_type",
+            F.col("user_id").alias("dst_user"),
+            F.lag("user_id").over(lagw).alias("src_user"),
+        )
+        .where(F.col("src_user").isNotNull())
+        .select("src_user", "dst_user")
+    )
+    ranks = pagerank_micro(
+        edges, "src_user", "dst_user",
+        iterations=PR_ITERATIONS, damping_pct=PR_DAMPING_PCT, unit=PR_UNIT,
+    )
+    return (
+        ranks.select(
+            F.col("node").alias("user_id"),
+            "rank_micro",
+            F.round(F.col("rank_micro") / F.lit(float(PR_UNIT)), 6).alias(
+                "rank"
+            ),
+        )
+        .orderBy(F.col("rank_micro").desc(), "user_id")
+        .limit(PR_TOP_K)
+    )
+
+
+def _pagerank_sql() -> str:
+    iters = "".join(
+        f""", r{i + 1} AS (
+  SELECT n.node,
+         CAST(({PR_DAMPING_PCT} * COALESCE(s.c, 0)) // 100
+           + {((100 - PR_DAMPING_PCT) * PR_UNIT) // 100} AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which pandas would float
+    SELECT e.dst AS node, CAST(SUM((r.r // o.od) * e.w) AS BIGINT) AS c
+    FROM e JOIN r{i} r ON r.node = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+        for i in range(PR_ITERATIONS)
+    )
+    return f"""
+WITH lagd AS (
+  SELECT lag(user_id) OVER (PARTITION BY event_type ORDER BY event_id)
+           AS src,
+         user_id AS dst
+  FROM events
+), e AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM lagd WHERE src IS NOT NULL GROUP BY src, dst
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), outdeg AS (
+  SELECT src, CAST(sum(w) AS BIGINT) AS od FROM e GROUP BY src
+), r0 AS (
+  SELECT node, CAST({PR_UNIT} AS BIGINT) AS r FROM nodes
+){iters}
+SELECT node AS user_id, r AS rank_micro,
+       round(r / {PR_UNIT}.0, 6) AS rank
+FROM r{PR_ITERATIONS}
+ORDER BY rank_micro DESC, user_id
+LIMIT {PR_TOP_K}
+"""
+
+
+register(QuerySpec("user_pagerank", user_pagerank, _pagerank_sql(),
+                   "exact-integer PageRank: 10 damped iterations over "
+                   "the event-succession graph, bit-identical micro-"
+                   "unit ranks, top-20"))
