@@ -961,3 +961,77 @@ register(QuerySpec("user_pagerank", user_pagerank, _pagerank_sql(),
                    "exact-integer PageRank: 10 damped iterations over "
                    "the event-succession graph, bit-identical micro-"
                    "unit ranks, top-20"))
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS over the event-succession graph (operators/bfs.py)
+# ---------------------------------------------------------------------------
+
+BFS_SEED_MOD = 100
+BFS_MAX_DEPTH = 4
+
+
+def user_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop reach audit: min directed hop distance from the seed
+    cohort (user_id % 100 == 0) to every user within 4 hops of it on
+    the event-succession graph (same edge derivation as
+    ``user_pagerank``). Exact integer distances → the recursive-CTE
+    oracle reproduces them bit-for-bit; per-seed-cohort reach counts
+    are the "blast radius" shape used for contamination audits."""
+    from kinesis_vcr_spark.operators.bfs import bfs_distances
+
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    lagw = Window.partitionBy("event_type").orderBy("event_id")
+    edges = (
+        ev.select(
+            "event_type",
+            F.col("user_id").alias("dst_user"),
+            F.lag("user_id").over(lagw).alias("src_user"),
+        )
+        .where(F.col("src_user").isNotNull())
+        .select("src_user", "dst_user")
+    )
+    seeds = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id"))
+        .where(F.col("user_id") % BFS_SEED_MOD == 0)
+        .distinct()
+    )
+    dist = bfs_distances(
+        edges, "src_user", "dst_user", seeds, "user_id",
+        max_depth=BFS_MAX_DEPTH,
+    )
+    return (
+        dist.select(F.col("node").alias("user_id"), "distance")
+        .orderBy("user_id")
+    )
+
+
+BFS_SQL = f"""
+WITH RECURSIVE lagd AS (
+  SELECT lag(user_id) OVER (PARTITION BY event_type ORDER BY event_id)
+           AS src,
+         user_id AS dst
+  FROM events
+), e AS (
+  SELECT DISTINCT src, dst FROM lagd WHERE src IS NOT NULL
+), seeds AS (
+  SELECT DISTINCT user_id AS node FROM events
+  WHERE user_id % {BFS_SEED_MOD} = 0
+), reach(node, depth) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN e ON e.src = r.node
+  WHERE r.depth < {BFS_MAX_DEPTH}
+)
+SELECT node AS user_id, CAST(min(depth) AS BIGINT) AS distance
+FROM reach GROUP BY node ORDER BY user_id
+"""
+
+
+register(QuerySpec("user_reach_bfs", user_reach_bfs, BFS_SQL,
+                   "multi-source BFS: exact min hop distances within 4 "
+                   "hops of the seed cohort on the succession graph"))
