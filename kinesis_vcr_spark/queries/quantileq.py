@@ -1035,3 +1035,77 @@ FROM reach GROUP BY node ORDER BY user_id
 register(QuerySpec("user_reach_bfs", user_reach_bfs, BFS_SQL,
                    "multi-source BFS: exact min hop distances within 4 "
                    "hops of the seed cohort on the succession graph"))
+
+
+# ---------------------------------------------------------------------------
+# triangle counting over the event-succession graph (operators/triangles.py)
+# ---------------------------------------------------------------------------
+
+TRI_TOP_K = 20
+
+
+def user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-clustering audit: triangles each user participates in on
+    the undirected event-succession graph (same edge derivation as
+    ``user_pagerank``, direction dropped). Exact integer counts →
+    bit-identical oracle. Top-20 by (triangles, user_id), total order.
+
+    The Spark side runs the degree-oriented compact-forward plan
+    (operators/triangles.py — O(m^1.5) wedge bound, hub out-degree
+    ~0); the oracle closes the same triangle set with plain id-ordered
+    three-way self-joins, pinning that the orientation is execution
+    strategy, not semantics."""
+    from kinesis_vcr_spark.operators.triangles import triangle_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    lagw = Window.partitionBy("event_type").orderBy("event_id")
+    edges = (
+        ev.select(
+            "event_type",
+            F.col("user_id").alias("dst_user"),
+            F.lag("user_id").over(lagw).alias("src_user"),
+        )
+        .where(F.col("src_user").isNotNull())
+        .select("src_user", "dst_user")
+    )
+    counts = triangle_counts(edges, "src_user", "dst_user")
+    return (
+        counts.select(F.col("node").alias("user_id"), "triangles")
+        .orderBy(F.col("triangles").desc(), "user_id")
+        .limit(TRI_TOP_K)
+    )
+
+
+TRIANGLES_SQL = f"""
+WITH lagd AS (
+  SELECT lag(user_id) OVER (PARTITION BY event_type ORDER BY event_id)
+           AS src,
+         user_id AS dst
+  FROM events
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM lagd WHERE src IS NOT NULL AND src <> dst
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+), pern AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT node AS user_id, triangles FROM pern
+ORDER BY triangles DESC, user_id
+LIMIT {TRI_TOP_K}
+"""
+
+
+register(QuerySpec("user_triangles", user_triangles, TRIANGLES_SQL,
+                   "exact per-node triangle counts on the undirected "
+                   "succession graph, degree-oriented compact-forward "
+                   "plan, top-20"))
