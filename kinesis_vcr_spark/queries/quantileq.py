@@ -1109,3 +1109,52 @@ register(QuerySpec("user_triangles", user_triangles, TRIANGLES_SQL,
                    "exact per-node triangle counts on the undirected "
                    "succession graph, degree-oriented compact-forward "
                    "plan, top-20"))
+
+
+# ---------------------------------------------------------------------------
+# per-type metric trend via grouped OLS (operators/regression.py)
+# ---------------------------------------------------------------------------
+
+TREND_EPOCH = "2024-01-01"
+
+
+def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-drift monitor: per event type, the OLS linear trend of
+    event value over the day index (days since 2024-01-01) — the
+    "is this metric creeping" primitive for pipeline health dashboards.
+    One map-side-combining aggregation computes the five sufficient
+    statistics (exact int64 x-sums, exact DECIMAL(18,4) y-sums); the
+    closed form then runs in bit-deterministic doubles, so slope,
+    intercept and R² hash identically on both engines."""
+    from kinesis_vcr_spark.operators.regression import grouped_ols
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.to_date(F.lit(TREND_EPOCH))
+        ).alias("day_idx"),
+        "value",
+    )
+    return (
+        grouped_ols(base, ["event_type"], "day_idx", "value")
+        .orderBy("event_type")
+    )
+
+
+def _trend_sql() -> str:
+    from kinesis_vcr_spark.operators.regression import ols_oracle_sql
+
+    inner = ols_oracle_sql(
+        "events",
+        ["event_type"],
+        f"CAST(ts AS DATE) - DATE '{TREND_EPOCH}'",
+        "value",
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY event_type"
+
+
+register(QuerySpec("event_value_trend", event_value_trend, _trend_sql(),
+                   "grouped OLS metric trend: exact sufficient-"
+                   "statistics aggregation, closed-form slope/"
+                   "intercept/R² in deterministic doubles"))
