@@ -1,0 +1,126 @@
+"""Exact set-similarity self-join — prefix filtering (AllPairs/PPJoin).
+
+The exact-recall counterpart to the MinHash-LSH near-dup path
+(operators/dedup.py): banded LSH can MISS true pairs (recall is
+probabilistic); prefix filtering guarantees that EVERY pair with
+Jaccard ≥ t is produced, with no all-pairs comparison. This is the
+AllPairs / PPJoin family (Bayardo et al., WWW'07; Xiao et al.,
+WWW'08 — public literature), the standard exact algorithm for
+similarity joins at scale.
+
+Why it is exact: order every document's token set by a single GLOBAL
+token order (ascending document frequency, ties by token). If
+J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so A cannot skip its first
+|A| − ⌈t·|A|⌉ + 1 tokens without losing the intersection bound —
+any qualifying pair must collide on at least one token inside BOTH
+prefixes. Candidates = equi-join on prefix tokens; verification
+computes the exact intersection.
+
+All threshold arithmetic is INTEGER (threshold as a percent):
+prefix length ``sz − ceil(sz·pct/100) + 1`` via integer division, and
+the final test ``100·|A∩B| ≥ pct·|A∪B|`` — no float boundary
+disagreement between engines, ever.
+
+Scale posture: rarest-first global ordering puts only each document's
+LOWEST-frequency tokens in its prefix, so stopword-sized posting
+lists never generate candidates — the candidate join is naturally
+skew-resistant (the classic reason AllPairs beats naive token
+inverted-index joins by orders of magnitude). The frequency table is
+vocabulary-sized. Verification joins candidate ids back to their
+token ARRAYS (two id-keyed shuffles) and intersects JVM-side with
+``array_intersect`` — no per-pair explode, no Python. Length filter
+``pct·max(szA,szB) ≤ 100·min(szA,szB)`` prunes candidates before
+verification.
+
+Reference anchor: no counterpart in the reference (record/replay
+tool); SURVEY.md §2.5a E-series (dedup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def jaccard_join_exact(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold_pct: int,
+) -> DataFrame:
+    """All pairs ``(id_a < id_b)`` with token-set Jaccard ≥
+    ``threshold_pct``/100 — exact, guaranteed-complete.
+
+    ``tokens_col`` is an array column (duplicates tolerated — sets are
+    taken). Returns ``(id_a, id_b, inter, uni, jaccard)`` with exact
+    bigint intersection/union sizes and ``jaccard`` rounded to 6 dp.
+    Empty token sets never pair (Jaccard undefined).
+    """
+    if not 0 < threshold_pct <= 100:
+        raise ValueError(f"threshold_pct in (0, 100], got {threshold_pct}")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.col(tokens_col)).alias("__toks"),
+    ).where(F.size("__toks") > 0)
+    toks = base.select(
+        "__id", F.explode("__toks").alias("__tok"), F.size("__toks").alias("__sz")
+    )
+    dfreq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    # prefix = the (sz - ceil(sz*pct/100) + 1) globally-rarest tokens
+    w = Window.partitionBy("__id").orderBy("__df", "__tok")
+    # ceil(sz*pct/100) via pure integer division (no float boundary)
+    plen = (
+        F.col("__sz")
+        - F.expr(f"(__sz * {threshold_pct} + 99) div 100")
+        + 1
+    )
+    pref = (
+        toks.join(dfreq, "__tok")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= plen)
+        .select("__id", "__tok", "__sz")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.__tok") == F.col("b.__tok"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        # length filter: J >= pct/100 forces pct*max(sz) <= 100*min(sz)
+        .where(
+            (F.greatest("a.__sz", "b.__sz") * threshold_pct)
+            <= (F.least("a.__sz", "b.__sz") * 100)
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = base.select(
+        F.col("__id").alias("id_a"), F.col("__toks").alias("__ta")
+    )
+    tb = base.select(
+        F.col("__id").alias("id_b"), F.col("__toks").alias("__tb")
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb")).cast("long")
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "uni",
+            (F.size("__ta") + F.size("__tb")).cast("long") - F.col("inter"),
+        )
+        .where(F.col("inter") * 100 >= F.col("uni") * threshold_pct)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "uni",
+            F.round(
+                F.col("inter").cast("double") / F.col("uni").cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1106,3 +1106,69 @@ ORDER BY id_a, id_b
 register(QuerySpec("doc_fuzzy_pairs", doc_fuzzy_pairs, FUZZY_SQL,
                    "blocked fuzzy join: affix-blocked edit-distance "
                    "record linkage, planted single-substitution mutants"))
+
+
+# ---------------------------------------------------------------------------
+# exact all-pairs similarity join via prefix filtering (operators/setjoin.py)
+# ---------------------------------------------------------------------------
+
+ALLPAIRS_PCT = 50  # word-3-shingle Jaccard >= 0.50
+
+
+def dedup_allpairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-recall near-dup audit: EVERY document pair with
+    word-3-shingle Jaccard ≥ 0.50, via prefix filtering
+    (AllPairs/PPJoin) — the guaranteed-complete counterpart to the
+    probabilistic-recall MinHash-LSH path (``dedup_near_minhash``).
+    Same shingle construction as ``corpus_overlap_kmv`` (\\s+ split,
+    empties kept, parity-pinned against the oracle's list_slice
+    shingles). All threshold arithmetic is integer (pct=50), so the
+    qualifying set is bit-identical on both engines; the naive
+    token-co-occurrence oracle pins that prefix filtering loses no
+    pair."""
+    from kinesis_vcr_spark.operators.dedup import (
+        tokens,
+        word_shingles_from_tokens,
+    )
+    from kinesis_vcr_spark.operators.setjoin import jaccard_join_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", tokens("text").alias("__w")).select(
+        "doc_id", word_shingles_from_tokens(F.col("__w"), 3).alias("sh")
+    )
+    return (
+        jaccard_join_exact(sh, "doc_id", "sh", ALLPAIRS_PCT)
+        .orderBy("id_a", "id_b")
+    )
+
+
+ALLPAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(text, '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT id, array_to_string(list_slice(t, i, i + 2), ' ') AS s
+  FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) u(i)
+), d AS (
+  SELECT DISTINCT id, s FROM sh
+), sz AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS sz FROM d GROUP BY id
+), p AS (
+  SELECT a.id AS ida, b.id AS idb, CAST(count(*) AS BIGINT) AS inter
+  FROM d a JOIN d b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT ida AS id_a, idb AS id_b, inter,
+       sa.sz + sb.sz - inter AS uni,
+       round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+FROM p JOIN sz sa ON sa.id = ida JOIN sz sb ON sb.id = idb
+WHERE 100 * inter >= {ALLPAIRS_PCT} * (sa.sz + sb.sz - inter)
+ORDER BY id_a, id_b
+"""
+
+
+register(QuerySpec("dedup_allpairs_exact", dedup_allpairs_exact,
+                   ALLPAIRS_SQL,
+                   "exact-recall similarity self-join: prefix-filtered "
+                   "AllPairs over word-3-shingles, integer-threshold "
+                   "Jaccard, naive co-occurrence oracle"))
