@@ -75,11 +75,14 @@ def triangles(edges: DataFrame, src: str, dst: str) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # persist: `oriented` feeds three join branches (both wedge sides
+    # and the closing edge list); the upstream dedup + two degree
+    # joins otherwise run once per branch
     oriented = ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("hi_deg"),
-    )
+    ).persist()
     x = oriented.alias("x")
     y = oriented.alias("y")
     # ordered wedge at the pivot: (hi1, hi2) with rank(hi1) < rank(hi2)
