@@ -123,26 +123,43 @@ def _module_rank(spec: QuerySpec) -> int:
 DRIVER_WINDOW = 50
 
 
-def _last_checked() -> dict[str, int]:
-    """query name → latest driver round with a committed correctness
-    row (from CORRECTNESS_r{N}.json); absent = never checked."""
+def _row_ok(row: object) -> bool:
+    """Did a driver correctness row PASS? ``err == 'no_oracle'`` is the
+    rows-only designation, not a failure; any other err, or an explicit
+    False on rows/schema/hash, is a fail."""
+    if not isinstance(row, dict):
+        return True
+    if row.get("err") not in (None, "no_oracle"):
+        return False
+    return not any(
+        row.get(k) is False
+        for k in ("rows_match", "schema_match", "hash_match")
+    )
+
+
+def _last_checked() -> dict[str, tuple[int, bool]]:
+    """query name → (latest driver round with a committed correctness
+    row, whether THAT row passed) from CORRECTNESS_r{N}.json; absent =
+    never checked. The pass flag is from the latest round only — a
+    failure superseded by a later green row does not resurface."""
     import json  # noqa: PLC0415
     import re  # noqa: PLC0415
     from pathlib import Path  # noqa: PLC0415
 
     root = Path(__file__).resolve().parents[2]
-    last: dict[str, int] = {}
+    last: dict[str, tuple[int, bool]] = {}
     for p in root.glob("CORRECTNESS_r*.json"):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
         if not m:
             continue
         r = int(m.group(1))
         try:
-            names = json.loads(p.read_text())
+            rows = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
-        for n in names:
-            last[n] = max(last.get(n, -1), r)
+        for n, row in rows.items():
+            if r > last.get(n, (-1, True))[0]:
+                last[n] = (r, _row_ok(row))
     return last
 
 
@@ -185,18 +202,25 @@ def all_queries(round_num: int | None = None) -> dict[str, QuerySpec]:
     last = _last_checked()
     canon = {name: i for i, (name, _) in enumerate(paired)}
 
-    def lru(kvs: list, state: dict[str, int]) -> list:
-        return sorted(
-            kvs, key=lambda kv: (state.get(kv[0], -1), canon[kv[0]])
-        )
+    def lru(kvs: list, state: dict[str, tuple[int, bool]]) -> list:
+        # FAIL-AWARE (VERDICT r05 item 1): a query whose LATEST driver
+        # row failed sorts as round -2 — ahead of never-checked (-1)
+        # and of every same-round pass — so a red row is always
+        # re-checked the very next round instead of waiting out its
+        # LRU peers.
+        def key(kv: tuple) -> tuple:
+            rnd, ok = state.get(kv[0], (-1, True))
+            return (rnd if ok else -2, canon[kv[0]])
+
+        return sorted(kvs, key=key)
 
     cur = _current_round()
     if round_num is not None and round_num > cur:
         # roll the simulation forward: each intervening round checks
-        # (and thereby re-timestamps) its first-50 window
+        # (and thereby re-timestamps, as a PASS) its first-50 window
         state = dict(last)
         for r in range(cur, round_num):
             for name, _ in lru(paired, state)[:DRIVER_WINDOW]:
-                state[name] = r
+                state[name] = (r, True)
         last = state
     return dict(lru(paired, last) + rows_only)

@@ -99,3 +99,47 @@ def test_driver_window_rotation_schedule():
     assert list(entrymod.queries()) == list(all_queries()), (
         "entry queries() diverged from schedule"
     )
+
+
+def test_driver_window_fail_aware():
+    """A query whose LATEST committed driver row FAILED must jump the
+    LRU queue (VERDICT r05 item 1: q22_dormant_rich's r02 hash FAIL sat
+    behind its round peers). Checked both against the real committed
+    artifacts and synthetically."""
+    from unittest import mock
+
+    from kinesis_vcr_spark import queries as qmod
+    from kinesis_vcr_spark.queries import DRIVER_WINDOW, _last_checked, _row_ok
+
+    # _row_ok semantics: rows-only designation is not a failure
+    assert _row_ok({"rows_match": True, "schema_match": True,
+                    "hash_match": True, "err": None})
+    assert not _row_ok({"rows_match": True, "schema_match": True,
+                        "hash_match": False, "err": None})
+    assert _row_ok({"rows_match": None, "schema_match": None,
+                    "hash_match": None, "err": "no_oracle"})
+    assert not _row_ok({"rows_match": None, "schema_match": None,
+                        "hash_match": None, "err": "boom"})
+
+    # real artifacts: every paired query whose latest row failed leads
+    # the current window (set may be empty in a fully-green repo)
+    last = _last_checked()
+    paired = set(entrymod.oracle_sql())
+    failed_last = {n for n in paired if not last.get(n, (-1, True))[1]}
+    window = list(qmod.all_queries())
+    head = set(window[: len(failed_last)]) if failed_last else set()
+    assert failed_last <= head, (
+        f"failed-last-check queries not at window front: {failed_last - head}"
+    )
+
+    # synthetic: mark a mid-pack, recently-PASSED query as failed-last
+    # and it must move to position 0
+    recent = [n for n in window[DRIVER_WINDOW:] if n in paired]
+    assert recent, "need a paired query outside the current window"
+    victim = recent[-1]
+    state = dict(last)
+    for n in failed_last:  # neutralize real fails so victim is alone
+        state[n] = (state[n][0], True)
+    state[victim] = (state.get(victim, (3, True))[0], False)
+    with mock.patch.object(qmod, "_last_checked", return_value=state):
+        assert list(qmod.all_queries())[0] == victim
