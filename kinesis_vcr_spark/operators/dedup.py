@@ -530,7 +530,15 @@ def near_dup_pairs_embedding(
         pandas_cosine,
     )
 
-    if planes is None or bands is None:
+    if (planes is None) != (bands is None):
+        # silently recomputing BOTH adaptively would discard the one
+        # the caller pinned (ADVICE r05)
+        raise ValueError(
+            "pass both planes and bands to pin the LSH shape, or "
+            f"neither for adaptive sizing (got planes={planes}, "
+            f"bands={bands})"
+        )
+    if planes is None:
         # one cheap count job (parquet metadata / cached lineage) buys
         # the linear-candidate guarantee above
         planes, bands = adaptive_hyperplane_lsh(df.count(), threshold)

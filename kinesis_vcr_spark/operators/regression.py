@@ -55,6 +55,14 @@ def grouped_ols(
     ``x_col`` must be integer-valued (cast upstream — a day index, an
     epoch second); ``y_col`` is any numeric and accumulates exactly as
     DECIMAL(18,4).
+
+    Magnitude contract (ADVICE r05): ``sum(y*y)`` accumulates as
+    DECIMAL(38,8) — capacity 10^30 — so the caller must keep
+    ``n · max(y)² < 10^30`` per group (e.g. |y| ≤ 10^9 allows
+    n ≤ 10^12). Beyond that, non-ANSI Spark turns the overflow into
+    silent NULLs while DuckDB's hugeint-backed decimals keep going — a
+    quiet oracle divergence. Run with ``spark.sql.ansi.enabled=true``
+    to make the overflow fail loudly instead, or pre-scale y.
     """
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast(_DEC)

@@ -89,6 +89,10 @@ def jaccard_join_exact(
     # the upstream tokenization (often a shingle transform over the
     # full corpus) must run exactly once. Deliberately NOT the fat
     # array form — 3 skinny columns cache/scan far cheaper.
+    # Lifecycle (ADVICE r05): no unpersist hook exists after a lazily
+    # returned DataFrame's final action; multi-query sessions clear
+    # between queries (bench.py calls spark.catalog.clearCache()),
+    # otherwise storage-LRU eviction bounds the accumulation.
     toks = (
         df.select(
             F.col(id_col).alias("__id"),

@@ -77,7 +77,11 @@ def triangles(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
     # persist: `oriented` feeds three join branches (both wedge sides
     # and the closing edge list); the upstream dedup + two degree
-    # joins otherwise run once per branch
+    # joins otherwise run once per branch. Lifecycle: no unpersist hook
+    # exists after a lazily returned DataFrame's final action — callers
+    # running many queries per session clear between queries
+    # (bench.py's spark.catalog.clearCache()); otherwise storage-LRU
+    # eviction bounds the cost (MEMORY_AND_DISK default)
     oriented = ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),

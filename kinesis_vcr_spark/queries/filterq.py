@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kinesis_vcr_spark.operators.blockfilter import flag_blocked
+from kinesis_vcr_spark.operators.blockfilter import flag_blocked_single_pass
 from kinesis_vcr_spark.operators.lmscore import MICRO, score_documents_lm
 from kinesis_vcr_spark.queries import QuerySpec, register
 from kinesis_vcr_spark.tables import load_table, widen_small_scan
@@ -51,16 +51,18 @@ def _injected_docs(docs: DataFrame) -> DataFrame:
 def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source blocklist verdict counts over the injected corpus:
     whole-token bad-word hits + denylisted URL-domain hits (C4 §2.2 /
-    RefinedWeb URL filtering shapes)."""
+    RefinedWeb URL filtering shapes). Uses the single-pass HOF variant
+    with ``carry_cols`` (VERDICT r05 item 2: the flag_blocked +
+    verdict-join shape scanned documents twice) — ONE corpus scan, zero
+    shuffles before the tiny per-source agg."""
     docs = _injected_docs(load_table(spark, sf_dir, "documents"))
-    verdict = flag_blocked(
-        docs, spark, "doc_id", "txt",
+    verdict = flag_blocked_single_pass(
+        docs, "doc_id", "txt",
         bad_terms=BAD_TERMS, bad_domains=BAD_DOMAINS,
+        carry_cols=("source",),
     )
     return (
-        docs.select("doc_id", "source")
-        .join(verdict, "doc_id")
-        .groupBy("source")
+        verdict.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.col("blocked").cast("long")).alias("n_blocked"),
@@ -1068,6 +1070,13 @@ def doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = edit_distance_pairs(
         corpus, "doc_id", "text",
         max_dist=FUZZY_MAX_DIST, affix_len=FUZZY_AFFIX,
+        # NO member cap (ADVICE r05): the oracle encodes no cap, and at
+        # sf1.0 the 31-word fixture vocabulary makes affix blocks hold
+        # >1000 members — the default cap would silently drop whole
+        # blocks (planted pairs included) that the oracle keeps. Same
+        # discipline as semantic_dedup_planted's
+        # max_cluster_members=None.
+        block_member_cap=None,
     )
     return pairs.orderBy("id_a", "id_b")
 

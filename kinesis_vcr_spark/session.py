@@ -82,7 +82,14 @@ def get_spark(
     # (spark-submit) owns memory sizing.
     from pyspark import SparkContext  # noqa: PLC0415
 
-    if SparkContext._active_spark_context is None:
+    # public API first (getActiveSession); the private
+    # _active_spark_context only as a getattr-guarded refinement for
+    # the context-without-session window (ADVICE r05: don't depend on
+    # a private attribute across PySpark versions)
+    jvm_started = SparkSession.getActiveSession() is not None or (
+        getattr(SparkContext, "_active_spark_context", None) is not None
+    )
+    if not jvm_started:
         builder = builder.config(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),

@@ -72,6 +72,46 @@ def test_empty_denylists_block_nothing(spark):
     assert len(v) == 2
 
 
+def test_single_pass_matches_broadcast_variant(spark):
+    """flag_blocked_single_pass is the zero-shuffle twin of
+    flag_blocked: identical verdicts on every row, carry_cols pass
+    through, and empty denylists block nothing."""
+    from kinesis_vcr_spark.operators.blockfilter import (
+        flag_blocked_single_pass,
+    )
+
+    rows = [
+        (0, "clean text here"),
+        (1, "contains spamword today"),
+        (2, "spamwordish is not a hit"),
+        (3, "spamword spamword twice"),
+        (4, "go to https://Bad.Example.COM/x now"),
+        (5, "go to https://good.example.com/x now"),
+        (6, "spamword plus http://bad.example.com both"),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, src=f"s{i % 2}") for i, t in rows]
+    )
+    kw = dict(bad_terms=["spamword"], bad_domains=["BAD.example.com"])
+    ref = {r.doc_id: r for r in flag_blocked(df, spark, **kw).collect()}
+    got = {
+        r.doc_id: r
+        for r in flag_blocked_single_pass(
+            df, carry_cols=("src",), **kw
+        ).collect()
+    }
+    assert set(got) == set(ref)
+    for i in got:
+        assert (got[i].term_hits, got[i].domain_hits, got[i].blocked) == (
+            ref[i].term_hits, ref[i].domain_hits, ref[i].blocked
+        ), i
+        assert got[i].src == f"s{i % 2}"
+    # empty denylists
+    v = flag_blocked_single_pass(df).collect()
+    assert all(not r.blocked for r in v) and len(v) == len(rows)
+
+
 # ---------------------------------------------------------------------------
 # unigram LM
 # ---------------------------------------------------------------------------

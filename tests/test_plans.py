@@ -257,10 +257,15 @@ def test_round5_filter_dedup_plan_shapes(spark, sf_dir):
     # fingerprint self-join is an equi-join (SortMerge or Hash)
     assert "Join" in plan
 
+    # single-pass HOF verdict (VERDICT r05 item 2): ONE documents scan,
+    # zero joins, zero Python stages — the only exchange is the tiny
+    # per-source agg
     plan = _formatted_plan(text_blocklist_filter(spark, sf_dir))
     assert "EvalPython" not in plan
-    assert "BroadcastHashJoin" in plan  # denylist lookups
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
 
     plan = _formatted_plan(lm_unigram_score(spark, sf_dir))
     assert "EvalPython" not in plan
