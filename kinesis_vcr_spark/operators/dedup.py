@@ -289,6 +289,55 @@ def _candidate_pairs_from_bands(
     )
 
 
+def shingle_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int,
+    char_ngrams: bool = False,
+) -> DataFrame:
+    """``(id_col, shingles)`` — the canonical shingle projection shared
+    by the pair pipeline and the persisted index (identical expression
+    → identical sets → identical signatures on both paths)."""
+    if char_ngrams:
+        # text is already a bound attribute — substring-per-element is
+        # the inherent cost, no re-evaluation hazard
+        return df.select(
+            F.col(id_col),
+            char_shingles(text_col, shingle_size).alias("shingles"),
+        )
+    # two-step projection: tokenize once per row, THEN shingle —
+    # see word_shingles_from_tokens for the 3.5× interpreted-HOF trap
+    return df.select(F.col(id_col), tokens(text_col).alias("__toks")).select(
+        F.col(id_col),
+        word_shingles_from_tokens(F.col("__toks"), shingle_size).alias(
+            "shingles"
+        ),
+    )
+
+
+def band_frame(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """``(id_col, bands array<long>)`` from a
+    :func:`minhash_signature_agg` output — one xxhash64 per contiguous
+    ``rows``-slice of the signature columns. Shared by the pair
+    pipeline and the persisted index so band hashes are comparable
+    across both."""
+    rows = num_hashes // bands
+    return sigs.select(
+        id_col,
+        F.array(
+            *[
+                F.xxhash64(
+                    F.array(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+                )
+                for b in range(bands)
+            ]
+        ).alias("bands"),
+    )
+
+
 def near_dup_pairs_minhash(
     df: DataFrame,
     id_col: str,
@@ -315,36 +364,9 @@ def near_dup_pairs_minhash(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    rows = num_hashes // bands
-    if char_ngrams:
-        # text is already a bound attribute — substring-per-element is
-        # the inherent cost, no re-evaluation hazard
-        with_sh = df.select(
-            F.col(id_col), char_shingles(text_col, shingle_size).alias("shingles")
-        )
-    else:
-        # two-step projection: tokenize once per row, THEN shingle —
-        # see word_shingles_from_tokens for the 3.5× interpreted-HOF trap
-        with_sh = df.select(
-            F.col(id_col), tokens(text_col).alias("__toks")
-        ).select(
-            F.col(id_col),
-            word_shingles_from_tokens(
-                F.col("__toks"), shingle_size
-            ).alias("shingles"),
-        )
+    with_sh = shingle_frame(df, id_col, text_col, shingle_size, char_ngrams)
     sigs = minhash_signature_agg(with_sh, id_col, num_hashes)
-    banded = sigs.select(
-        id_col,
-        F.array(
-            *[
-                F.xxhash64(
-                    F.array(*[F.col(f"h{b * rows + r}") for r in range(rows)])
-                )
-                for b in range(bands)
-            ]
-        ).alias("bands"),
-    )
+    banded = band_frame(sigs, id_col, num_hashes, bands)
     pairs = _candidate_pairs_from_bands(banded, id_col, band_member_cap)
     sh_a = with_sh.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")

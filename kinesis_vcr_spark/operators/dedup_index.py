@@ -1,0 +1,238 @@
+"""Persisted incremental near-dup index — dedup a NEW batch against an
+EXISTING corpus without re-LSHing the corpus.
+
+This is the operation a real 100 TB ingest runs daily (VERDICT r05
+item 4): re-running :func:`~kinesis_vcr_spark.operators.dedup.
+near_dup_pairs_minhash` over corpus ∪ batch re-shingles and re-hashes
+the entire corpus every day — O(corpus) work for an O(batch) question.
+Instead, the corpus's MinHash band table ``(id, band_pos, band_hash)``
+and its shingle sets are built ONCE and persisted as partitioned
+parquet (the same build-once/probe-many artifact discipline as
+``operators/ivf.py:build_ivf_index``); each new batch is LSH'd alone
+(linear in the batch), equi-joined against the stored bands, verified
+with exact Jaccard against the stored shingle sets, and — once
+accepted — APPENDED so the index stays current. Build cost is paid
+once per document ever, not once per day.
+
+Parity contract (tested in tests/test_dedup_index.py): probing a new
+batch returns exactly ``near_dup_pairs_minhash(old ∪ new)`` restricted
+to pairs touching the new batch (new×old ∪ new×new), given identical
+parameters. This holds because every ingredient is deterministic and
+shared with the pair pipeline (:func:`~kinesis_vcr_spark.operators.
+dedup.shingle_frame`, seeded universal-hash MinHash coefficients,
+:func:`~kinesis_vcr_spark.operators.dedup.band_frame` xxhash64 band
+hashes), and the hot-band cap is applied to the UNION band table —
+exactly the population the full-corpus self-join would cap.
+
+Scale posture:
+
+- the probe shuffles the stored band table (≈ n_docs × bands rows of
+  three scalars — at 10⁹ docs × 16 bands ≈ 300 GB, vs re-LSHing
+  100 TB of text) plus the batch's bands; candidate generation stays
+  a hash-partitioned equi-join, never all-pairs;
+- verification joins only candidate ids against the stored shingle
+  sets (parquet scan pruned by the join, never a full read);
+- ``/bands`` is partitioned by ``band_pos`` so a band-position probe
+  prunes to 1/bands of the files; at the very largest scales write the
+  band table as a ``bucketBy(band_hash)`` metastore table instead so
+  the probe shuffles ONLY the new batch (documented beyond-parquet
+  path — same escape-hatch style as setjoin's dense_token_ids=False);
+- ids must be unique across index + batch (the caller's ingest key);
+  probing a batch whose ids are already indexed would self-pair, so
+  equal ids are excluded defensively.
+
+New ids must be comparable with indexed ids (same type) — output pairs
+are ordered ``id_a < id_b`` regardless of which side is old.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_vcr_spark.operators.dedup import (
+    DEFAULT_BAND_MEMBER_CAP,
+    band_frame,
+    cap_group_size,
+    jaccard,
+    minhash_signature_agg,
+    shingle_frame,
+)
+
+_META_SCHEMA = (
+    "shingle_size int, num_hashes int, bands int, char_ngrams boolean"
+)
+
+
+@dataclass(frozen=True)
+class NearDupIndex:
+    """Handle on a persisted index: the two artifact frames plus the
+    LSH parameters they were built with (probes must reuse them — a
+    probe with different parameters would produce incomparable band
+    hashes, so the parameters travel with the artifact, not the
+    caller)."""
+
+    bands: DataFrame  # (id, band_pos, band_hash)
+    shingles: DataFrame  # (id, shingles array<string>)
+    shingle_size: int
+    num_hashes: int
+    num_bands: int
+    char_ngrams: bool
+
+
+def _index_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int,
+    num_hashes: int,
+    bands: int,
+    char_ngrams: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(band rows ``(id, band_pos, band_hash)``, shingles ``(id,
+    shingles)``) for a document frame — the shared build/probe path."""
+    with_sh = shingle_frame(
+        df, id_col, text_col, shingle_size, char_ngrams
+    ).withColumnRenamed(id_col, "id")
+    sigs = minhash_signature_agg(with_sh, "id", num_hashes)
+    band_rows = band_frame(sigs, "id", num_hashes, bands).select(
+        "id", F.posexplode("bands").alias("band_pos", "band_hash")
+    )
+    return band_rows, with_sh
+
+
+def build_near_dup_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    char_ngrams: bool = False,
+    append: bool = False,
+) -> None:
+    """Build (or, with ``append=True``, extend) the persisted index at
+    ``index_path``: ``/bands`` (id, band_pos, band_hash; partitioned by
+    band_pos), ``/shingles`` (id, shingles), ``/meta`` (the LSH
+    parameters). Append verifies the parameters match the existing
+    artifact — silently mixing band families would corrupt every later
+    probe."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    spark = df.sparkSession
+    params = (shingle_size, num_hashes, bands, char_ngrams)
+    if append:
+        idx = load_near_dup_index(spark, index_path)
+        have = (
+            idx.shingle_size, idx.num_hashes, idx.num_bands, idx.char_ngrams,
+        )
+        if have != params:
+            raise ValueError(
+                f"index at {index_path} was built with "
+                f"(shingle_size, num_hashes, bands, char_ngrams)={have}; "
+                f"append requested {params}"
+            )
+    band_rows, with_sh = _index_rows(
+        df, id_col, text_col, shingle_size, num_hashes, bands, char_ngrams
+    )
+    mode = "append" if append else "overwrite"
+    (
+        band_rows.repartition("band_pos")
+        .write.mode(mode)
+        .partitionBy("band_pos")
+        .parquet(f"{index_path}/bands")
+    )
+    with_sh.write.mode(mode).parquet(f"{index_path}/shingles")
+    if not append:
+        spark.createDataFrame([params], _META_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/meta")
+
+
+def load_near_dup_index(spark: SparkSession, index_path: str) -> NearDupIndex:
+    """Re-open a persisted index. The frames are lazy parquet scans —
+    nothing is read until a probe runs."""
+    m = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    return NearDupIndex(
+        bands=spark.read.parquet(f"{index_path}/bands"),
+        shingles=spark.read.parquet(f"{index_path}/shingles"),
+        shingle_size=m["shingle_size"],
+        num_hashes=m["num_hashes"],
+        num_bands=m["bands"],
+        char_ngrams=m["char_ngrams"],
+    )
+
+
+def near_dup_against_index(
+    new_df: DataFrame,
+    index: NearDupIndex,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    band_member_cap: int | None = DEFAULT_BAND_MEMBER_CAP,
+) -> DataFrame:
+    """Near-dup pairs ``(id_a, id_b, jaccard)`` touching the new batch
+    — new×old plus new×new, ``id_a < id_b``, exact Jaccard ≥
+    ``threshold`` — WITHOUT re-LSHing the indexed corpus.
+
+    The left join side is only the batch's band rows; the right side
+    is the union (stored ∪ batch), so old×old pairs are never even
+    candidates. The hot-band cap is computed over that same union,
+    which is exactly the band population ``near_dup_pairs_minhash``
+    would cap on the full corpus — the parity test's load-bearing
+    detail."""
+    new_bands, new_sh = _index_rows(
+        new_df, id_col, text_col,
+        index.shingle_size, index.num_hashes, index.num_bands,
+        index.char_ngrams,
+    )
+    union = index.bands.select(
+        "id", "band_pos", "band_hash", F.lit(True).alias("__old")
+    ).unionByName(
+        new_bands.select(
+            "id", "band_pos", "band_hash", F.lit(False).alias("__old")
+        )
+    )
+    # the exchange the equi-join needs anyway; doubles as the exchange
+    # the cap's window count rides (see _candidate_pairs_from_bands)
+    union = union.repartition("band_pos", "band_hash")
+    union = cap_group_size(union, ["band_pos", "band_hash"], band_member_cap)
+    left = union.where(~F.col("__old")).alias("l")
+    right = union.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_pos") == F.col("r.band_pos"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            # new×new once (l.id < r.id); new×old always from the l
+            # side; equal ids defensively excluded (re-probing an
+            # already-appended batch must not self-pair)
+            & (F.col("r.__old") | (F.col("l.id") < F.col("r.id")))
+            & (F.col("l.id") != F.col("r.id")),
+        )
+        .select(
+            F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
+            F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    all_sh = index.shingles.unionByName(new_sh)
+    sh_a = all_sh.select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = all_sh.select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a", "id_b",
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -102,6 +102,76 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# incremental near-dup via the persisted MinHash band index
+# ---------------------------------------------------------------------------
+
+IDX_NEW_MOD = 4  # doc_id % 4 == 0 → the "new batch"; rest → indexed corpus
+
+
+def dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest dedup shape (operators/dedup_index.py): build
+    the persisted MinHash band index over the corpus (doc_id % 4 != 0),
+    probe the "new batch" (doc_id % 4 == 0) against it — near-dup pairs
+    touching the batch (new×old ∪ new×new), exact Jaccard ≥ 0.6,
+    without re-LSHing the corpus. Same bimodal-fixture recall argument
+    as ``dedup_near_minhash`` (planted pairs J ≥ 0.96, noise < 0.3 →
+    banding miss p ≈ 6e-14), so the brute-force oracle restricted to
+    batch-touching pairs agrees exactly."""
+    import os
+    import tempfile
+
+    from kinesis_vcr_spark.operators.dedup_index import (
+        build_near_dup_index,
+        load_near_dup_index,
+        near_dup_against_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % IDX_NEW_MOD != 0)
+    new = docs.where(F.col("doc_id") % IDX_NEW_MOD == 0)
+    # deterministic per-sf path, overwritten per run (the query gate
+    # re-exercises the BUILD as well as the probe; the build-once /
+    # probe-many split is pinned in tests/test_dedup_index.py)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"kvs_ndindex_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    build_near_dup_index(
+        old, path, "doc_id", "text",
+        shingle_size=3, num_hashes=64, bands=16,
+    )
+    idx = load_near_dup_index(spark, path)
+    pairs = near_dup_against_index(
+        new, idx, "doc_id", "text", threshold=J_THRESHOLD
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+IDX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE (a.doc_id % {IDX_NEW_MOD} = 0 OR b.doc_id % {IDX_NEW_MOD} = 0)
+  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / (len(a.shingles) + len(b.shingles)
+         - len(list_intersect(a.shingles, b.shingles))) >= {J_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # near-dup via char-4-gram Jaccard (tokenizer-independent)
 # ---------------------------------------------------------------------------
 
@@ -264,6 +334,11 @@ ORDER BY id_a, id_b
 
 register(QuerySpec("dedup_exact_events", dedup_exact_events, DEDUP_EXACT_SQL,
                    "exact dedup: deterministic winner per duplicate payload"))
+register(QuerySpec("dedup_index_incremental", dedup_index_incremental,
+                   IDX_SQL,
+                   "persisted-index incremental dedup: build MinHash "
+                   "band index on the corpus, probe the new batch — "
+                   "new×old ∪ new×new pairs, exact Jaccard ≥ 0.6"))
 register(QuerySpec("dedup_near_minhash", dedup_near_minhash, MINHASH_SQL,
                    "MinHash-LSH near-dup pairs, exact-Jaccard verified"))
 register(QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_SQL,

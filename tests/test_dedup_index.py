@@ -1,0 +1,119 @@
+"""Persisted incremental near-dup index (operators/dedup_index.py):
+the probe must equal the full-corpus pair pipeline restricted to pairs
+touching the new batch, across build → probe → append → probe-again."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_vcr_spark.operators.dedup import near_dup_pairs_minhash
+from kinesis_vcr_spark.operators.dedup_index import (
+    build_near_dup_index,
+    load_near_dup_index,
+    near_dup_against_index,
+)
+from kinesis_vcr_spark.tables import load_table
+
+KW = dict(shingle_size=3, num_hashes=64, bands=16)
+THRESHOLD = 0.6
+
+
+@pytest.fixture(scope="module")
+def idx_dir():
+    d = tempfile.mkdtemp(prefix="ndidx_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _expected_pairs(spark, corpus, new_ids):
+    """Full-corpus pipeline restricted to pairs touching the batch."""
+    full = near_dup_pairs_minhash(
+        corpus, "doc_id", "text", threshold=THRESHOLD, **KW
+    )
+    return {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in full.collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+
+
+def _probed(new_docs, idx):
+    return {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in near_dup_against_index(
+            new_docs, idx, "doc_id", "text", threshold=THRESHOLD
+        ).collect()
+    }
+
+
+def test_index_probe_matches_full_corpus(spark, sf_dir, idx_dir):
+    """build(old) → probe(new) == full(old ∪ new) restricted to
+    new×old ∪ new×new — the module's parity contract, on the real
+    documents fixture (planted near-dups fall on both sides of the
+    doc_id % 4 split, so both pair classes are non-vacuously hit)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+
+    build_near_dup_index(old, idx_dir, "doc_id", "text", **KW)
+    idx = load_near_dup_index(spark, idx_dir)
+    assert (idx.shingle_size, idx.num_hashes, idx.num_bands) == (3, 64, 16)
+    assert not idx.char_ngrams
+
+    got = _probed(new, idx)
+    expected = _expected_pairs(spark, docs, new_ids)
+    assert got == expected
+    assert expected, "vacuous fixture: no pair touches the new batch"
+    # both classes present: new×new and new×old
+    assert any(a in new_ids and b in new_ids for a, b in expected)
+    assert any((a in new_ids) != (b in new_ids) for a, b in expected)
+    # probe never returns old×old
+    assert all(a in new_ids or b in new_ids for a, b in got)
+
+
+def test_append_then_probe_matches(spark, sf_dir, idx_dir):
+    """Daily-ingest loop: append yesterday's accepted batch, probe
+    today's — still exact parity with the full pipeline (depends on
+    test_index_probe_matches_full_corpus having built the index)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch1 = docs.where(F.col("doc_id") % 4 == 0)
+    # old ∪ batch1 are now indexed; batch2 = a synthetic edit of some
+    # indexed docs → guaranteed fresh near-dups against the index
+    batch2 = (
+        docs.where(F.col("doc_id") % 8 == 1)
+        .select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" appended tail")).alias("text"),
+        )
+    )
+    build_near_dup_index(batch1, idx_dir, "doc_id", "text", append=True, **KW)
+    idx = load_near_dup_index(spark, idx_dir)
+
+    corpus = docs.unionByName(batch2)
+    new_ids = {r.doc_id for r in batch2.select("doc_id").collect()}
+    got = _probed(batch2, idx)
+    expected = _expected_pairs(spark, corpus, new_ids)
+    assert got == expected
+    assert expected, "edited batch produced no near-dups"
+
+
+def test_append_parameter_mismatch_raises(spark, sf_dir, idx_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with pytest.raises(ValueError, match="append requested"):
+        build_near_dup_index(
+            docs, idx_dir, "doc_id", "text",
+            shingle_size=4, num_hashes=64, bands=16, append=True,
+        )
+
+
+def test_build_rejects_indivisible_bands(spark, sf_dir, idx_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with pytest.raises(ValueError, match="divisible"):
+        build_near_dup_index(
+            docs, f"{idx_dir}_bad", num_hashes=64, bands=7,
+        )
