@@ -1,0 +1,170 @@
+"""Streaming graph maintenance — incremental triangle counting over an
+edge stream.
+
+Closes the batch/stream parity gap for the graph family (VERDICT r05
+item 8): components / PageRank / BFS / triangles were batch-only while
+the sketch operators already had pinned streaming twins. Triangle
+counting is the one with a genuinely incremental formulation, so it
+gets the real streaming operator; for the ITERATIVE graph ops
+(components, PageRank, BFS) the honest Structured Streaming answer is
+re-run-per-window — their fixpoints are not incrementally maintainable
+with bounded per-key state (a single far-away edge can relabel an
+entire component), so wrap the batch operator in ``foreachBatch`` over
+the accumulated edge table exactly as this module does for triangles,
+paying one batch run per trigger. That guidance is part of the module
+contract, mirroring E31's batch/stream parity note.
+
+Why ``foreachBatch`` and not ``applyInPandasWithState``: a triangle's
+three nodes land in three different state groups, and closing an edge
+``(u, v)`` needs both endpoints' adjacency — cross-group reads that
+per-key state cannot express without replicating the whole graph into
+every group. The Spark-idiomatic shape is micro-batch incremental view
+maintenance: keep the accumulated simple edge set as a parquet state
+table, and per micro-batch compute the DELTA of triangles closed by
+the new edges with three hash equi-joins (never a re-count of the old
+graph's triangles, never all-pairs).
+
+Exactness: each new triangle must be counted ONCE even when 2 or 3 of
+its edges arrive in the same micro-batch. Every new edge gets a unique
+rank (row_number over the canonical edge order; accumulated old edges
+rank −1), and a triangle is credited only to its HIGHEST-ranked new
+edge: for new edge ``(u, v)`` with rank r, count nodes ``w`` where
+both ``(u, w)`` and ``(v, w)`` exist with rank < r. Deterministic,
+integer-only, and restart-safe: the state table records the last
+applied micro-batch id, so a replayed batch (foreachBatch is
+at-least-once on restart) is skipped — the same idempotence discipline
+as the record sink (streaming/record.py).
+
+Scale posture: per trigger the work is |batch| joined twice against
+the accumulated edge table on node keys — proportional to the batch's
+wedge count, not to the graph's triangle count; the state table is the
+canonical edge list (the minimum any exact maintenance must retain),
+appended per batch, partition-pruned by nothing but compactable
+offline. Degree-skew note: unlike the batch operator's degree
+orientation, delta joins key on the new edge's endpoints; a hub
+endpoint concentrates its delta work, which AQE skew-join splitting
+handles (the per-batch join is sized by the batch, not the graph).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kinesis_vcr_spark.operators.triangles import _simple_undirected
+
+
+def _state_paths(state_dir: str) -> tuple[str, str]:
+    return f"{state_dir}/edges", f"{state_dir}/progress.json"
+
+
+def _read_progress(progress_path: str) -> dict:
+    try:
+        with open(progress_path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {"last_batch_id": -1, "triangles": 0}
+
+
+def triangle_delta(batch: DataFrame, old: DataFrame) -> DataFrame:
+    """One-row frame ``(new_edges, delta)``: how many triangles the
+    (already canonical, already old-deduped) ``batch`` edges close
+    against ``old ∪ batch``. Pure DataFrame ops — usable standalone
+    for batch-incremental pipelines as well as from the stream."""
+    # global window = one ranking task, sized by the MICRO-BATCH (not
+    # the graph) — the bounded-trigger analogue of the batch operator's
+    # driver-side degree collect
+    ranked = batch.withColumn(
+        "r", F.row_number().over(Window.orderBy("a", "b"))
+    )
+    all_edges = old.select("a", "b", F.lit(-1).alias("r")).unionByName(
+        ranked
+    )
+    # adjacency view: every edge as (node, nbr, rank), both directions
+    adj = all_edges.select(
+        F.col("a").alias("n"), F.col("b").alias("w"), "r"
+    ).unionByName(
+        all_edges.select(
+            F.col("b").alias("n"), F.col("a").alias("w"), "r"
+        )
+    )
+    au = adj.select(
+        F.col("n").alias("a"), F.col("w"), F.col("r").alias("r_u")
+    )
+    av = adj.select(
+        F.col("n").alias("b"), F.col("w"), F.col("r").alias("r_v")
+    )
+    tri = (
+        ranked.join(au, "a")
+        .where(F.col("r_u") < F.col("r"))
+        .join(av, ["b", "w"])
+        .where(F.col("r_v") < F.col("r"))
+    )
+    return ranked.agg(F.count(F.lit(1)).alias("new_edges")).crossJoin(
+        tri.agg(F.count(F.lit(1)).alias("delta"))
+    )
+
+
+def streaming_triangle_count(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain the exact global triangle count over an edge stream.
+
+    Returns the started StreamingQuery. After it drains,
+    :func:`read_triangle_count` returns the running total, equal to
+    ``operators.triangles.triangle_counts`` global count over every
+    edge ever streamed (batch/stream parity, pinned in
+    tests/test_streaming_graph.py).
+    """
+    edges_path, progress_path = _state_paths(state_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        progress = _read_progress(progress_path)
+        if batch_id <= progress["last_batch_id"]:
+            return  # replayed batch after restart — already applied
+        canon = _simple_undirected(batch_df, src_col, dst_col)
+        if os.path.isdir(edges_path):
+            old = spark.read.parquet(edges_path)
+            fresh = canon.join(old, ["a", "b"], "left_anti")
+        else:
+            old = spark.createDataFrame([], canon.schema)
+            fresh = canon
+        # one pass computes the delta AND materializes the new edges
+        fresh = fresh.persist()
+        try:
+            row = triangle_delta(fresh, old).collect()[0]
+            fresh.write.mode("append").parquet(edges_path)
+        finally:
+            fresh.unpersist()
+        progress = {
+            "last_batch_id": batch_id,
+            "triangles": progress["triangles"] + row["delta"],
+        }
+        tmp = f"{progress_path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(progress, f)
+        os.replace(tmp, progress_path)  # atomic: crash keeps old state
+
+    writer = (
+        edges.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_triangle_count(state_dir: str) -> int:
+    """The maintained global triangle count (0 before any batch)."""
+    _, progress_path = _state_paths(state_dir)
+    return _read_progress(progress_path)["triangles"]

@@ -1,0 +1,125 @@
+"""Streaming incremental triangle counting (streaming/graph.py):
+batch/stream parity, multi-edge-per-triangle exactness, restart
+idempotence."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row
+
+from kinesis_vcr_spark.operators.triangles import triangles
+from kinesis_vcr_spark.streaming.graph import (
+    read_triangle_count,
+    streaming_triangle_count,
+    triangle_delta,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(a=a, b=b) for a, b in pairs])
+
+
+def _write_chunk(spark, pairs, path):
+    _edges(spark, pairs).coalesce(1).write.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# triangle_delta (the per-batch incremental kernel)
+# ---------------------------------------------------------------------------
+
+
+def test_delta_all_three_edges_in_one_batch(spark):
+    old = spark.createDataFrame([], "a long, b long")
+    batch = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    row = triangle_delta(batch, old).collect()[0]
+    assert (row.new_edges, row.delta) == (3, 1)
+
+
+def test_delta_closing_edge_against_old(spark):
+    old = _edges(spark, [(1, 2), (2, 3)])
+    batch = _edges(spark, [(1, 3)])
+    row = triangle_delta(batch, old).collect()[0]
+    assert (row.new_edges, row.delta) == (1, 1)
+
+
+def test_delta_two_new_one_old_counted_once(spark):
+    old = _edges(spark, [(1, 2)])
+    batch = _edges(spark, [(2, 3), (1, 3)])
+    row = triangle_delta(batch, old).collect()[0]
+    assert (row.new_edges, row.delta) == (2, 1)
+
+
+def test_delta_no_triangle(spark):
+    old = _edges(spark, [(1, 2)])
+    batch = _edges(spark, [(3, 4)])
+    row = triangle_delta(batch, old).collect()[0]
+    assert (row.new_edges, row.delta) == (1, 0)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end stream: parity with the batch operator + restart safety
+# ---------------------------------------------------------------------------
+
+# K5 on {0..4} (10 triangles) + a pendant path + one disjoint triangle
+GRAPH = (
+    [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    + [(4, 10), (10, 11)]
+    + [(20, 21), (21, 22), (20, 22)]
+)
+
+
+def _batch_count(spark, pairs):
+    return triangles(_edges(spark, pairs), "a", "b").count()
+
+
+def _run_stream(spark, src_dir, state_dir, ckpt_dir):
+    stream = (
+        spark.readStream.schema("a long, b long")
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(src_dir + "/*")
+    )
+    q = streaming_triangle_count(
+        stream, "a", "b", state_dir, ckpt_dir, available_now=True
+    )
+    q.awaitTermination(300)
+    return q
+
+
+def test_stream_matches_batch_and_survives_restart(spark, tmp_path):
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    # three files → three micro-batches, with triangle edges split
+    # across batches AND duplicate/reversed edges re-delivered
+    chunks = [GRAPH[:4], GRAPH[4:9], GRAPH[9:] + [(1, 0), (20, 21)]]
+    for i, chunk in enumerate(chunks):
+        _write_chunk(spark, chunk, f"{src}/f{i}.parquet")
+
+    _run_stream(spark, src, state, ckpt)
+    expected = _batch_count(spark, GRAPH)
+    assert expected == 11  # C(5,3)·1 + disjoint triangle
+    assert read_triangle_count(state) == expected
+
+    # restart with no new data: counts must not move (replay-safe)
+    _run_stream(spark, src, state, ckpt)
+    assert read_triangle_count(state) == expected
+
+    # late file closes new triangles against months-old edges
+    _write_chunk(spark, [(10, 11), (4, 11)], f"{src}/f9.parquet")
+    _run_stream(spark, src, state, ckpt)
+    assert read_triangle_count(state) == _batch_count(
+        spark, GRAPH + [(4, 11)]
+    )
+
+
+def test_progress_file_is_json_with_batch_id(spark, tmp_path):
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    _write_chunk(spark, [(1, 2), (2, 3), (1, 3)], f"{src}/f0.parquet")
+    _run_stream(spark, src, state, str(tmp_path / "ckpt"))
+    with open(f"{state}/progress.json") as f:
+        progress = json.load(f)
+    assert progress["triangles"] == 1
+    assert progress["last_batch_id"] >= 0
