@@ -196,11 +196,14 @@ def _png_parse(payload: bytes):
 
 
 def decode_image(payload: bytes) -> dict[str, Any]:
-    """Real image decode without PIL: P6 PPM, 24/32-bit BI_RGB BMP, and
+    """Real image decode without PIL: P6 PPM, 24/32-bit BI_RGB BMP,
     8-bit gray/gray-alpha/RGB/RGBA non-interlaced PNG (stdlib zlib +
-    numpy unfilter — :func:`_png_parse`). JPEG (DCT entropy coding) is
-    the remaining PIL slot — registering a PIL-backed Decoder replaces
-    only this function; the Spark plumbing is identical."""
+    numpy unfilter — :func:`_png_parse`), and baseline sequential
+    Huffman JPEG (:mod:`kinesis_vcr_spark.operators.jpeg` — gray or
+    YCbCr, any subsampling, restart markers). Progressive JPEG and the
+    other non-baseline modes remain the PIL slot — registering a
+    PIL-backed Decoder replaces only this function; the Spark plumbing
+    is identical."""
     if payload[:2] == b"P6":
         w, h, px = _ppm_parse(payload)
         return {"width": w, "height": h, "mean_value": float(px.mean())}
@@ -210,9 +213,14 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     if payload[:8] == PNG_SIGNATURE:
         w, h, px = _png_parse(payload)
         return {"width": w, "height": h, "mean_value": float(px.mean())}
+    if payload[:2] == b"\xff\xd8":
+        from kinesis_vcr_spark.operators.jpeg import jpeg_decode  # noqa: PLC0415
+
+        w, h, px = jpeg_decode(payload)
+        return {"width": w, "height": h, "mean_value": float(px.mean())}
     raise NotImplementedError(
-        "JPEG (and other DCT-compressed) images require PIL/pillow; "
-        "register a PIL-backed Decoder for them"
+        "unrecognized image container (PPM/BMP/PNG/JPEG supported); "
+        "register a PIL-backed Decoder for other formats"
     )
 
 

@@ -17,8 +17,12 @@ from kinesis_vcr_spark.tables import load_table
 
 
 def test_stub_decoders_raise():
+    # baseline JPEG is real now (tests/test_jpeg.py); a truncated
+    # stream must fail loudly, and unknown containers stay PIL slots
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg")  # no SOS scan
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg")  # JPEG stays the PIL slot
+        decode_image(b"GIF89a not supported")
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF")
 
