@@ -95,6 +95,37 @@ def test_replay_batch_plan_obeys_limits(spark):
     assert all(r["byte_count"] <= 1_000_000 for r in rows)
 
 
+def test_replay_batch_plan_matches_iter_batches(spark):
+    """The vectorized searchsorted plan must reproduce iter_batches'
+    greedy fold exactly — byte-cap flushes, count-cap flushes, oversize
+    drops interleaved, and the final partial batch (r06: the plan path
+    ships only octet_length to Python, so its equivalence to the
+    payload-driven generator is load-bearing)."""
+    import random
+
+    from kinesis_vcr_spark.operators.batching import iter_batches
+
+    rng = random.Random(99)
+    sizes = [rng.choice([1, 7, 40, 99, 100, 101, 250]) for _ in range(907)]
+    sizes[13] = 600   # oversize → dropped
+    sizes[500] = 600  # oversize mid-stream
+    payloads = [b"x" * s for s in sizes]
+    expected = [
+        (len(b), sum(len(p) for p in b))
+        for b in iter_batches(iter(payloads), max_count=7, max_bytes=500)
+    ]
+    df = spark.createDataFrame(
+        [(p,) for p in payloads], "data binary"
+    ).coalesce(1)
+    rows = (
+        replay_batch_plan(df, max_count=7, max_bytes=500)
+        .orderBy("batch_index")
+        .collect()
+    )
+    got = [(r["record_count"], r["byte_count"]) for r in rows]
+    assert got == expected
+
+
 def test_replay_foreachpartition_writer(spark, tmp_path):
     """replay() drives a per-partition writer over the pruned scan."""
     from kinesis_vcr_spark.sources.archive import write_archive
