@@ -361,6 +361,17 @@ def near_dup_pairs_minhash(
     self-equi-join on (band_pos, band_hash) → distinct pairs → two
     hash-joins back to the shingle sets → exact-Jaccard filter. Four
     shuffles total, all on keys; no cross join anywhere.
+
+    Noise-band caveat (measured, r06 sf10 rung — BASELINE.md finding
+    7): when the corpus's pairwise noise Jaccard sits just under
+    ``threshold``, band collisions become noise-driven and candidate
+    volume grows super-linearly even though true output stays flat
+    (char-4-grams over a narrow vocabulary measured 69× candidates at
+    10× docs, output ~flat). Knobs in cost order: tighter
+    ``band_member_cap``; higher threshold; wider band rows with more
+    hashes — selectivity needs ``J_noise^rows ≲ 16/n``, i.e. rows ≈
+    ln(n/16)/ln(1/J_noise), with bands grown to hold the recall floor
+    (hash count then scales O(log n) per unit data).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")

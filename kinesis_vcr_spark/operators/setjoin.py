@@ -42,6 +42,17 @@ near-miss pairs — at web scale, raise the threshold or use the LSH
 path when approximate recall is acceptable; this operator is the
 exactness anchor.
 
+Measured candidate curve (r06 sf10 rung, BASELINE.md finding 6):
+when the threshold sits at or below the corpus's noise Jaccard band,
+prefix collisions are PURE n² — 430 k → 44.5 M → 4.73 G candidate
+pairs at 5 k → 50 k → 500 k docs of the 31-word synthetic fixture at
+pct=50 (≈190 GB of candidate shuffle at the top rung: disk
+exhaustion, not a plan defect — no plan fixes a quadratic candidate
+set). The same corpus at pct=80 (above the noise band) completes the
+500 k-doc rung in ~4 minutes with 3 064 pairs. Pick the threshold
+relative to the corpus's pairwise-similarity noise floor, not in the
+abstract.
+
 Reference anchor: no counterpart in the reference (record/replay
 tool); SURVEY.md §2.5a E-series (dedup family).
 """
