@@ -66,6 +66,16 @@ _META_SCHEMA = (
 )
 
 
+def _rm_recursive(spark: SparkSession, path: str) -> None:
+    """Delete a storage path through the Hadoop FileSystem API (works
+    for any scheme the session can write, same pattern as
+    config.py's preflight existence check)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
 @dataclass(frozen=True)
 class NearDupIndex:
     """Handle on a persisted index: the two artifact frames plus the
@@ -114,13 +124,23 @@ def build_near_dup_index(
     bands: int = 16,
     char_ngrams: bool = False,
     append: bool = False,
+    ingest_label: str | None = None,
 ) -> None:
     """Build (or, with ``append=True``, extend) the persisted index at
     ``index_path``: ``/bands`` (id, band_pos, band_hash; partitioned by
     band_pos), ``/shingles`` (id, shingles), ``/meta`` (the LSH
     parameters). Append verifies the parameters match the existing
     artifact — silently mixing band families would corrupt every later
-    probe."""
+    probe.
+
+    ``ingest_label`` scopes the write to
+    ``.../ingest=<label>`` and switches it to OVERWRITE of that scope:
+    re-running the same labeled ingest (an at-least-once orchestrator
+    replaying a batch — streaming/neardup.py) replaces its own rows
+    instead of double-appending them. Unlabeled appends land under
+    ``ingest=_appends`` cumulatively (idempotence is then the caller's
+    problem). The label becomes a partition column on read and doubles
+    as provenance."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     spark = df.sparkSession
@@ -139,14 +159,25 @@ def build_near_dup_index(
     band_rows, with_sh = _index_rows(
         df, id_col, text_col, shingle_size, num_hashes, bands, char_ngrams
     )
-    mode = "append" if append else "overwrite"
+    if ingest_label is not None:
+        scope = f"ingest={ingest_label}"
+        mode = "overwrite"  # replace THIS ingest's rows only
+    else:
+        scope = "ingest=_appends" if append else "ingest=_base"
+        mode = "append" if append else "overwrite"
+    if not append:
+        # a FRESH build replaces the whole artifact, not just its own
+        # ingest scope — stale scopes from a previous build (possibly a
+        # previous layout) must not leak into partition discovery
+        _rm_recursive(spark, f"{index_path}/bands")
+        _rm_recursive(spark, f"{index_path}/shingles")
     (
         band_rows.repartition("band_pos")
         .write.mode(mode)
         .partitionBy("band_pos")
-        .parquet(f"{index_path}/bands")
+        .parquet(f"{index_path}/bands/{scope}")
     )
-    with_sh.write.mode(mode).parquet(f"{index_path}/shingles")
+    with_sh.write.mode(mode).parquet(f"{index_path}/shingles/{scope}")
     if not append:
         spark.createDataFrame([params], _META_SCHEMA).write.mode(
             "overwrite"
@@ -155,11 +186,16 @@ def build_near_dup_index(
 
 def load_near_dup_index(spark: SparkSession, index_path: str) -> NearDupIndex:
     """Re-open a persisted index. The frames are lazy parquet scans —
-    nothing is read until a probe runs."""
+    nothing is read until a probe runs; the ``ingest`` provenance
+    partition column is dropped from the probe-facing frames."""
     m = spark.read.parquet(f"{index_path}/meta").collect()[0]
     return NearDupIndex(
-        bands=spark.read.parquet(f"{index_path}/bands"),
-        shingles=spark.read.parquet(f"{index_path}/shingles"),
+        bands=spark.read.parquet(f"{index_path}/bands").select(
+            "id", "band_pos", "band_hash"
+        ),
+        shingles=spark.read.parquet(f"{index_path}/shingles").select(
+            "id", "shingles"
+        ),
         shingle_size=m["shingle_size"],
         num_hashes=m["num_hashes"],
         num_bands=m["bands"],

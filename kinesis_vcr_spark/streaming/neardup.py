@@ -1,0 +1,149 @@
+"""Streaming near-duplicate detection against the persisted MinHash
+index — corpus dedup as a continuously-ingesting stream.
+
+Composes the two round-6 pieces into the daily-ingest loop run as a
+Structured Streaming query instead of a scheduled batch job: each
+micro-batch of documents is PROBED against the persisted index
+(:mod:`kinesis_vcr_spark.operators.dedup_index` — new×indexed plus
+within-batch pairs, exact-Jaccard verified, O(batch) LSH work) and
+then APPENDED to the index, so the next batch sees it. Emitted pairs
+land in an append-only parquet sink.
+
+Exactness contract (pinned in tests/test_streaming_neardup.py): with
+``band_member_cap=None``, after the stream drains the UNION of emitted
+pairs over all micro-batches equals ``near_dup_pairs_minhash`` over
+the full corpus — every pair (a, b) is emitted exactly once, by the
+micro-batch that completes it (the later document's batch, or their
+shared batch). With a finite cap the streaming run can only see each
+band's PREFIX population at probe time, so cap decisions are
+arrival-order-dependent — leave the cap off for parity-critical runs,
+or accept the documented LSH-style bounded divergence.
+
+Restart safety: foreachBatch is at-least-once on restart; the progress
+file records the last applied batch id (same idempotence discipline as
+streaming/graph.py and the record sink), so a replayed batch neither
+re-emits its pairs nor double-appends its documents to the index.
+
+Scale posture: per trigger the work is the batch's LSH (linear) + an
+equi-join against the stored band table + verification joins against
+the stored shingle sets pruned to candidate ids — the index grows by
+exactly the batch, and nothing ever re-hashes the accumulated corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+from kinesis_vcr_spark.operators.dedup import (
+    DEFAULT_BAND_MEMBER_CAP,
+    near_dup_pairs_minhash,
+)
+from kinesis_vcr_spark.operators.dedup_index import (
+    build_near_dup_index,
+    load_near_dup_index,
+    near_dup_against_index,
+)
+
+
+def _progress_path(state_dir: str) -> str:
+    return f"{state_dir}/progress.json"
+
+
+def _read_progress(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {"last_batch_id": -1, "pairs_emitted": 0, "docs_indexed": 0}
+
+
+def read_neardup_progress(state_dir: str) -> dict:
+    """Cumulative counters: last applied batch id, pairs emitted, docs
+    indexed."""
+    return _read_progress(_progress_path(state_dir))
+
+
+def streaming_near_dup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    pairs_path: str,
+    *,
+    threshold: float = 0.6,
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    char_ngrams: bool = False,
+    band_member_cap: int | None = DEFAULT_BAND_MEMBER_CAP,
+    available_now: bool = True,
+):
+    """Start the probe-then-append loop over a streaming document
+    frame. The index lives under ``{state_dir}/index``; emitted pairs
+    ``(id_a, id_b, jaccard)`` append to ``pairs_path`` (parquet).
+    Document ids must be unique across the whole stream (the ingest
+    key) — a re-delivered batch is skipped whole via the batch-id
+    watermark, but duplicate ids ACROSS batches are the caller's
+    contract, exactly as for the batch index."""
+    index_path = f"{state_dir}/index"
+    progress_path = _progress_path(state_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        progress = _read_progress(progress_path)
+        if batch_id <= progress["last_batch_id"]:
+            return  # replayed after restart — pairs + append already done
+        label = f"b{batch_id}"
+        params = dict(
+            shingle_size=shingle_size, num_hashes=num_hashes,
+            bands=bands, char_ngrams=char_ngrams,
+        )
+        if not os.path.isdir(f"{index_path}/meta"):
+            # first batch: within-batch pairs via the batch pipeline
+            # (identical expressions → identical pairs), then the
+            # initial index build
+            pairs = near_dup_pairs_minhash(
+                batch_df, id_col, text_col, threshold=threshold,
+                band_member_cap=band_member_cap, **params,
+            ).select("id_a", "id_b", "jaccard")
+            append = False
+        else:
+            idx = load_near_dup_index(spark, index_path)
+            pairs = near_dup_against_index(
+                batch_df, idx, id_col, text_col,
+                threshold=threshold, band_member_cap=band_member_cap,
+            )
+            append = True
+        # every write below is scoped to THIS batch's ingest label and
+        # OVERWRITES it — a replayed batch (crash between any of the
+        # three writes and the progress bump) replaces its own rows
+        # instead of duplicating them
+        pairs.write.mode("overwrite").parquet(f"{pairs_path}/ingest={label}")
+        build_near_dup_index(
+            batch_df, index_path, id_col, text_col,
+            append=append, ingest_label=label, **params,
+        )
+        n_docs = batch_df.count()
+        n_pairs = spark.read.parquet(pairs_path).count()
+        progress = {
+            "last_batch_id": batch_id,
+            "pairs_emitted": int(n_pairs),
+            "docs_indexed": progress["docs_indexed"] + int(n_docs),
+        }
+        tmp = f"{progress_path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(progress, f)
+        os.replace(tmp, progress_path)
+
+    writer = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
