@@ -178,6 +178,35 @@ def _rank_candidates(
     )
 
 
+def _rm_recursive(spark, path: str) -> None:
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
+def _write_lists(
+    vectors: DataFrame,
+    index_path: str,
+    centroids: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    ingest_label: str,
+) -> None:
+    (
+        vectors.select(
+            F.col(id_col),
+            unit_double(F.col(vec_col)).alias("__v_unit"),
+            assign_centroid(F.col(vec_col), centroids).alias("cid"),
+        )
+        # cluster the lists on disk so a probe reads contiguous data
+        .repartition("cid")
+        .write.mode("overwrite")  # scoped to THIS ingest's subtree
+        .partitionBy("cid")
+        .parquet(f"{index_path}/lists/ingest={ingest_label}")
+    )
+
+
 def build_ivf_index(
     vectors: DataFrame,
     index_path: str,
@@ -190,7 +219,13 @@ def build_ivf_index(
     ``index_path``. Build once, query many — at corpus scale the
     k-means pass and the per-vector assignment are the costs to pay
     once, not per query batch; a later search is one parquet scan
-    pruned to the probed lists plus the re-rank."""
+    pruned to the probed lists plus the re-rank.
+
+    Lists live under ``lists/ingest=<label>`` scopes (same layout as
+    the near-dup index, operators/dedup_index.py):
+    :func:`append_ivf_index` adds a new vector batch as its own scope
+    without touching the existing lists, and a labeled re-run
+    overwrites only itself (orchestrator replay safety)."""
     spark = vectors.sparkSession
     centroids = train_centroids(
         vectors, k_centroids, id_col=id_col, vec_col=vec_col
@@ -199,28 +234,48 @@ def build_ivf_index(
         [(i, [float(x) for x in row]) for i, row in enumerate(centroids)],
         "cid int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{index_path}/centroids")
-    (
-        vectors.select(
-            F.col(id_col),
-            unit_double(F.col(vec_col)).alias("__v_unit"),
-            assign_centroid(F.col(vec_col), centroids).alias("cid"),
-        )
-        # cluster the lists on disk so a probe reads contiguous data
-        .repartition("cid")
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(f"{index_path}/lists")
+    # fresh build replaces the whole artifact — stale ingest scopes
+    # from a previous build must not leak into partition discovery
+    _rm_recursive(spark, f"{index_path}/lists")
+    _write_lists(vectors, index_path, centroids, id_col, vec_col, "_base")
+
+
+def append_ivf_index(
+    vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ingest_label: str = "_appends",
+) -> None:
+    """Extend a persisted IVF index with a new vector batch WITHOUT
+    retraining: assign against the FROZEN stored centroids, write the
+    assignments as their own ``ingest`` scope. O(batch) work — the
+    incremental-ingest counterpart of the near-dup index's append.
+
+    Contract: frozen centroids mean a probe over the appended index is
+    IDENTICAL to a probe over an index of old ∪ new assigned with the
+    same centroids (parity-tested); what drifts over many appends is
+    list balance (new data far from any centroid piles into its
+    nearest list) — monitor list sizes and re-train/rebuild when the
+    largest list outgrows the probe budget, exactly like production
+    IVF systems."""
+    spark = vectors.sparkSession
+    centroids, _ = load_ivf_index(spark, index_path)
+    _write_lists(
+        vectors, index_path, centroids, id_col, vec_col, ingest_label
     )
 
 
 def load_ivf_index(spark, index_path: str) -> tuple[np.ndarray, DataFrame]:
     """(centroids matrix, inverted-lists DataFrame) from
-    :func:`build_ivf_index` output."""
+    :func:`build_ivf_index` output; the ``ingest`` provenance
+    partition column is dropped from the probe-facing frame."""
     rows = (
         spark.read.parquet(f"{index_path}/centroids").orderBy("cid").collect()
     )
     centroids = np.array([r["centroid"] for r in rows], dtype=np.float64)
     lists = spark.read.parquet(f"{index_path}/lists")
+    lists = lists.drop("ingest")
     return centroids, lists
 
 

@@ -83,3 +83,42 @@ def test_persisted_index_matches_live_search(spark, tmp_path):
     persisted = ivf_topk_indexed(index, probes, k=5, nprobe=3)
     assert sorted(map(tuple, live.collect()), key=lambda t: (t[0], t[3])) == \
         sorted(map(tuple, persisted.collect()), key=lambda t: (t[0], t[3]))
+
+
+def test_append_ivf_index_matches_rebuild(spark, tmp_path):
+    """append_ivf_index (frozen centroids, O(batch)) must be
+    indistinguishable from rebuilding the lists over old ∪ new with the
+    same centroids — across two appends, idempotent labeled re-runs,
+    and search results."""
+    from kinesis_vcr_spark.operators.ivf import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        load_ivf_index,
+    )
+    from kinesis_vcr_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    old = emb.where(F.col("vec_id") % 3 != 0)
+    b1 = emb.where(F.col("vec_id") % 6 == 0)
+    b2 = emb.where((F.col("vec_id") % 3 == 0) & (F.col("vec_id") % 6 != 0))
+
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(old, path, k_centroids=8)
+    append_ivf_index(b1, path, ingest_label="day1")
+    append_ivf_index(b2, path, ingest_label="day2")
+    # replayed orchestrator: same label re-run must not duplicate rows
+    append_ivf_index(b2, path, ingest_label="day2")
+
+    index = load_ivf_index(spark, path)
+    assert index[1].count() == emb.count()
+
+    probes = emb.limit(4).select(emb.vec_id.alias("query_id"), "embedding")
+    live = ivf_topk(
+        emb, probes, k=5, k_centroids=8, nprobe=3, centroids=index[0]
+    )
+    persisted = ivf_topk_indexed(index, probes, k=5, nprobe=3)
+    assert sorted(map(tuple, live.collect()), key=lambda t: (t[0], t[3])) == \
+        sorted(map(tuple, persisted.collect()), key=lambda t: (t[0], t[3]))
