@@ -110,19 +110,25 @@ def put_records(
             (data, pkey)
         )
     for shard_dir, recs in by_shard.items():
-        first = _next_seq(shard_dir)
-        last = first + len(recs) - 1
-        path = os.path.join(shard_dir, f"{first:020d}-{last:020d}.jsonl")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            for i, (data, pkey) in enumerate(recs):
-                f.write(json.dumps({
-                    "seq": first + i,
-                    "data_b64": base64.b64encode(data).decode(),
-                    "partition_key": pkey,
-                    "arrival_ts": ts,
-                }) + "\n")
-        os.replace(tmp, path)  # atomic publish: readers never see partials
+        # per-shard flock: concurrent writers (replay runs one sink
+        # writer per partition) must see gap-free monotonic sequences
+        import fcntl  # noqa: PLC0415
+
+        with open(os.path.join(shard_dir, ".lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            first = _next_seq(shard_dir)
+            last = first + len(recs) - 1
+            path = os.path.join(shard_dir, f"{first:020d}-{last:020d}.jsonl")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                for i, (data, pkey) in enumerate(recs):
+                    f.write(json.dumps({
+                        "seq": first + i,
+                        "data_b64": base64.b64encode(data).decode(),
+                        "partition_key": pkey,
+                        "arrival_ts": ts,
+                    }) + "\n")
+            os.replace(tmp, path)  # atomic: readers never see partials
     return len(records)
 
 
@@ -242,6 +248,32 @@ class KinesisEmulatedDataSource(DataSource):
         return _EmulatedKinesisStreamReader(
             {k.lower(): v for k, v in self.options.items()}
         )
+
+
+def boto3_style_put_records_factory(endpoint_dir: str):
+    """A ``put_records_factory`` for
+    :func:`kinesis_vcr_spark.sinks.kinesis.kinesis_partition_writer`
+    backed by the emulator — the boto3 call shape (StreamName /
+    Records / Data / PartitionKey in, FailedRecordCount out), so the
+    K2/K3 replay sink runs unchanged against the shard logs. The
+    emulator never fails a put; partial-failure retry is exercised by
+    the dedicated fake in the sink tests."""
+
+    def factory():
+        def put(StreamName: str, Records: list) -> dict:  # noqa: N803
+            put_records(
+                endpoint_dir,
+                StreamName,
+                [(r["Data"], r["PartitionKey"]) for r in Records],
+            )
+            return {
+                "FailedRecordCount": 0,
+                "Records": [{} for _ in Records],
+            }
+
+        return put
+
+    return factory
 
 
 def read_kinesis_emulated(

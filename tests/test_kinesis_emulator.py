@@ -89,6 +89,55 @@ def test_same_partition_key_routes_to_same_shard(tmp_path):
     assert shards[b"a"] == shards[b"c"]
 
 
+def test_replay_into_emulated_kinesis(spark, tmp_path):
+    """The other half of the loop: a recorded archive REPLAYED through
+    the production K2 sink writer (500/1MB batching, retry shell) into
+    the emulated stream — every archived payload lands exactly once,
+    readable back through the emulated source."""
+    from datetime import datetime as dt
+
+    from kinesis_vcr_spark.play import replay
+    from kinesis_vcr_spark.sinks.kinesis import kinesis_partition_writer
+    from kinesis_vcr_spark.streaming.kinesis_emulator import (
+        boto3_style_put_records_factory,
+    )
+    from kinesis_vcr_spark.sources.archive import write_archive
+    from tests.test_archive import make_records
+
+    endpoint = str(tmp_path / "aws")
+    create_stream(endpoint, "replay-target", shards=3)
+
+    arc = str(tmp_path / "arc")
+    write_archive(make_records(spark, n=57, day="2024-03-05"), arc)
+
+    writer = kinesis_partition_writer(
+        "replay-target", boto3_style_put_records_factory(endpoint)
+    )
+    result = replay(
+        spark, arc, dt(2024, 3, 5), dt(2024, 3, 6), writer,
+        parallelism=4, mtime_filter=False,
+    )
+    assert (result.records_attempted, result.records_failed) == (57, 0)
+
+    r = _EmulatedKinesisStreamReader({
+        "kinesis.streamname": "replay-target",
+        "kinesis.endpointdir": endpoint,
+        "kinesis.startingposition": "TRIM_HORIZON",
+    })
+    rows = [
+        row
+        for p in r.partitions(r.initialOffset(), r.latestOffset())
+        for row in r.read(p)
+    ]
+    assert len(rows) == 57
+    landed = sorted(row[0] for row in rows)
+    expected = sorted(
+        row["data"]
+        for row in make_records(spark, n=57, day="2024-03-05").collect()
+    )
+    assert landed == expected
+
+
 def test_s1_e2e_record_stream_and_resume(spark, tmp_path):
     """The S1 loop the sandbox can run: PutRecords → emulated Kinesis
     source (same option contract as the production connector) →
