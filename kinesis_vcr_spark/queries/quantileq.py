@@ -1158,3 +1158,92 @@ register(QuerySpec("event_value_trend", event_value_trend, _trend_sql(),
                    "grouped OLS metric trend: exact sufficient-"
                    "statistics aggregation, closed-form slope/"
                    "intercept/R² in deterministic doubles"))
+
+
+# ---------------------------------------------------------------------------
+# k-core of the customer-supplier graph (operators/kcore.py)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 30
+KCORE_MAX_ITER = 6
+
+
+def customer_supplier_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-trading-core audit: the 30-core of the bipartite
+    customer↔supplier graph (an edge per distinct trading pair from
+    orders ⋈ lineitem; node ids namespaced even/odd). Suppliers serve
+    hundreds of customers so the peeling removes thin-degree customers
+    only — a non-trivial strict subset at every fixture scale. The
+    Spark side peels to the TRUE fixpoint with a loud
+    ``max_iterations`` guard set to the oracle's unroll depth
+    (operators/kcore.py docstring); the oracle unrolls exactly that
+    many peel steps, and steps past convergence are no-ops, so the
+    results agree whenever the guard doesn't fire."""
+    from kinesis_vcr_spark.operators.kcore import kcore_nodes
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    core = kcore_nodes(
+        edges, "src", "dst", KCORE_K, max_iterations=KCORE_MAX_ITER
+    )
+    return (
+        core.select(
+            F.when(F.pmod("node", F.lit(2)) == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("entity"),
+            (F.col("node") / 2).cast("long").alias("entity_id"),
+            "core_deg",
+        )
+        .orderBy("entity", "entity_id")
+    )
+
+
+def _kcore_sql() -> str:
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # peel step references its predecessor three times -> 3^steps
+    # rescans of orders ⋈ lineitem without it (measured: fd exhaustion)
+    sql = """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)"""
+    for i in range(KCORE_MAX_ITER):
+        sql += f""",
+d{i} AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i}
+  ) GROUP BY node
+), bad{i} AS MATERIALIZED (
+  SELECT node FROM d{i} WHERE deg < {KCORE_K}
+), e{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM e{i}
+  WHERE a NOT IN (SELECT node FROM bad{i})
+    AND b NOT IN (SELECT node FROM bad{i})
+)"""
+    sql += f""",
+dfin AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
+    SELECT a AS node FROM e{KCORE_MAX_ITER}
+    UNION ALL SELECT b FROM e{KCORE_MAX_ITER}
+  ) GROUP BY node
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+       CAST(node // 2 AS BIGINT) AS entity_id,
+       core_deg
+FROM dfin ORDER BY entity, entity_id"""
+    return sql
+
+
+register(QuerySpec("customer_supplier_kcore", customer_supplier_kcore,
+                   _kcore_sql(),
+                   "k-core of the bipartite customer-supplier trading "
+                   "graph: iterative peeling to the fixpoint, unrolled-"
+                   "peel oracle"))

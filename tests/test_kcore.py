@@ -1,0 +1,50 @@
+"""k-core peeling (operators/kcore.py): known cores, sequential-peel
+convergence, loud non-convergence guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from kinesis_vcr_spark.operators.kcore import kcore_edges, kcore_nodes
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+
+# K4 on {1..4} with a pendant path 4-10-11 hanging off it
+K4_PLUS_TAIL = (
+    [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    + [(4, 10), (10, 11)]
+)
+
+
+def test_two_core_peels_tail_sequentially(spark):
+    """The tail 11→10 must peel over TWO rounds (11 first, which only
+    then drops 10 below degree 2) — pins the iteration, not just the
+    final filter."""
+    df = _edges(spark, K4_PLUS_TAIL)
+    nodes = {
+        r.node: r.core_deg for r in kcore_nodes(df, "src", "dst", 2).collect()
+    }
+    assert nodes == {1: 3, 2: 3, 3: 3, 4: 3}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_edges(df, "src", "dst", 2, max_iterations=1)
+
+
+def test_three_core_of_k4_is_k4_and_four_core_empty(spark):
+    df = _edges(spark, K4_PLUS_TAIL)
+    assert kcore_edges(df, "src", "dst", 3).count() == 6
+    assert kcore_edges(df, "src", "dst", 4).count() == 0
+
+
+def test_duplicate_and_reversed_edges_collapse(spark):
+    df = _edges(spark, K4_PLUS_TAIL + [(2, 1), (1, 2), (3, 3)])
+    nodes = {r.node for r in kcore_nodes(df, "src", "dst", 2).collect()}
+    assert nodes == {1, 2, 3, 4}
+
+
+def test_k_must_be_positive(spark):
+    with pytest.raises(ValueError, match=">= 1"):
+        kcore_edges(_edges(spark, [(1, 2)]), "src", "dst", 0)
