@@ -425,3 +425,94 @@ def streaming_frequency(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sample_k(
+    records: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "",
+) -> DataFrame:
+    """Streaming deterministic fixed-K per-group sample — the streaming
+    twin of the E59 md5-ticket rank sample (``sample_k_per_source``).
+
+    The ticket is computed JVM-side BEFORE the stateful operator (the
+    same :func:`~kinesis_vcr_spark.operators.sampling.sample_ticket`
+    expression as the batch path — parity by construction, no Python
+    re-implementation to drift). State per key is the k smallest
+    ``(ticket, id)`` pairs — BOUNDED regardless of throughput, and the
+    min-k merge is order- and batching-insensitive, so after a stream
+    drains the latest emission per key equals the batch
+    ``topk_per_group`` sample over the same data (test-pinned). The
+    ticket-rank sample also NESTS across k, and identical redelivered
+    rows collapse in the (ticket, id) set — at-least-once inputs can
+    only converge to the same sample.
+
+    Emits the RUNNING sample after each trigger as ``(key, id,
+    ticket, version)`` rows, ``version`` increasing per key —
+    consumers keep each key's max-version emission (the analogue of
+    streaming_frequency's latest-estimate convention).
+    """
+    from kinesis_vcr_spark.operators.sampling import sample_ticket
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    out_schema = StructType(
+        [
+            StructField(key_col, records.schema[key_col].dataType, True),
+            StructField(id_col, LongType(), True),
+            StructField("ticket", StringType(), False),
+            StructField("version", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("version", LongType(), True),
+            StructField("tickets", ArrayType(StringType()), True),
+            StructField("ids", ArrayType(LongType()), True),
+        ]
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            version, tickets, ids = state.get
+            cur = set(zip(tickets, ids))
+        else:
+            version, cur = 0, set()
+        for pdf in batches:
+            cur.update(
+                zip(pdf["__t"].tolist(), (int(x) for x in pdf["__id"]))
+            )
+        # fixed-width lowercase hex: lexicographic == numeric; id
+        # tie-break matches the batch ordering [ticket, id]
+        top = sorted(cur)[:k]
+        version += 1
+        state.update(
+            (version, [t for t, _ in top], [i for _, i in top])
+        )
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                id_col: [i for _, i in top],
+                "ticket": [t for t, _ in top],
+                "version": version,
+            }
+        )
+
+    prepared = records.select(
+        key_col,
+        F.col(id_col).cast("long").alias("__id"),
+        sample_ticket(id_col, seed=seed).alias("__t"),
+    )
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -297,3 +297,67 @@ def test_streaming_frequency_matches_batch_cms(spark, tmp_path):
     # CMS never undercounts: the planted heavy hitter's estimate covers
     # its true count
     assert got[("type-0", 7)] >= 500
+
+
+def test_streaming_sample_k_matches_batch(spark, tmp_path):
+    """The streaming min-k ticket state must converge to the batch
+    topk_per_group sample over the same data — across multiple
+    micro-batches, with duplicate redeliveries, and nesting in k."""
+    from pyspark.sql import functions as F
+
+    from kinesis_vcr_spark.operators.sampling import sample_ticket
+    from kinesis_vcr_spark.operators.topk import topk_per_group
+    from kinesis_vcr_spark.streaming.windows import streaming_sample_k
+
+    rows = [("src-%d" % (i % 3), i) for i in range(900)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    src = str(tmp_path / "sample_src")
+    # three files -> three micro-batches, plus a redelivered slice
+    for j in range(3):
+        df.where(F.pmod("doc_id", F.lit(3)) == j).coalesce(1).write.parquet(
+            f"{src}/f{j}.parquet"
+        )
+    df.where(F.col("doc_id") < 60).coalesce(1).write.parquet(
+        f"{src}/dup.parquet"
+    )
+
+    batch = {
+        (r["source"], r["doc_id"])
+        for r in topk_per_group(
+            df.select(
+                "source", "doc_id",
+                sample_ticket("doc_id", seed="s6").alias("__t"),
+            ),
+            ["source"],
+            [F.col("__t"), F.col("doc_id")],
+            12,
+        ).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("source string, doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        streaming_sample_k(stream, "source", "doc_id", 12, seed="s6")
+        .writeStream.format("memory")
+        .queryName("sample_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["source"], r["doc_id"])
+        for r in spark.sql("""
+            SELECT source, doc_id FROM sample_stream s
+            WHERE version = (SELECT max(version) FROM sample_stream m
+                             WHERE m.source = s.source)
+        """).collect()
+    }
+    out = spark.sql("SELECT * FROM sample_stream")
+    assert got == batch
+    # every emission is <= k rows and versions increase per key
+    sizes = out.groupBy("source", "version").count().collect()
+    assert all(r["count"] <= 12 for r in sizes)
