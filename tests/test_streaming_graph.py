@@ -123,3 +123,61 @@ def test_progress_file_is_json_with_batch_id(spark, tmp_path):
         progress = json.load(f)
     assert progress["triangles"] == 1
     assert progress["last_batch_id"] >= 0
+
+
+def test_streaming_components_snapshot_matches_batch(spark, tmp_path):
+    """Re-run-per-window components: after each drain, labels_path is
+    the batch labeling of every edge ever streamed; merges across
+    batches relabel correctly and restarts re-emit nothing."""
+    from pyspark.sql import functions as F
+
+    from kinesis_vcr_spark.operators.components import connected_components
+    from kinesis_vcr_spark.streaming.graph import (
+        streaming_connected_components,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    labels = str(tmp_path / "labels")
+
+    # two disjoint chains that a LATER batch merges
+    _write_chunk(spark, [(1, 2), (2, 3), (10, 11)], f"{src}/f0.parquet")
+    _write_chunk(spark, [(20, 21), (3, 1)], f"{src}/f1.parquet")
+
+    def run():
+        stream = (
+            spark.readStream.schema("a long, b long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = streaming_connected_components(
+            stream, "a", "b", state, ckpt, labels
+        )
+        q.awaitTermination(300)
+
+    def snapshot():
+        return {
+            (r.node, r.component)
+            for r in spark.read.parquet(labels).collect()
+        }
+
+    run()
+    all_edges = _edges(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (3, 1)])
+    expected = {
+        (r.node, r.component)
+        for r in connected_components(all_edges, "a", "b").collect()
+    }
+    assert snapshot() == expected
+    assert {c for _, c in snapshot()} == {1, 10, 20}
+
+    # restart with nothing new: snapshot unchanged
+    run()
+    assert snapshot() == expected
+
+    # a bridging edge merges two components in the NEXT snapshot
+    _write_chunk(spark, [(11, 20)], f"{src}/f9.parquet")
+    run()
+    got = snapshot()
+    assert {c for _, c in got} == {1, 10}
+    assert (21, 10) in got
