@@ -1043,6 +1043,7 @@ register(QuerySpec("token_pmi_collocations", token_pmi_collocations,
 FUZZY_MAX_DIST = 2
 FUZZY_AFFIX = 8
 FUZZY_MUT_OFFSET = 1_000_000
+FUZZY_BLOCK_CAP = 1000  # shared constant: Spark cap AND the oracle rule
 
 
 def doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1070,13 +1071,14 @@ def doc_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = edit_distance_pairs(
         corpus, "doc_id", "text",
         max_dist=FUZZY_MAX_DIST, affix_len=FUZZY_AFFIX,
-        # NO member cap (ADVICE r05): the oracle encodes no cap, and at
-        # sf1.0 the 31-word fixture vocabulary makes affix blocks hold
-        # >1000 members — the default cap would silently drop whole
-        # blocks (planted pairs included) that the oracle keeps. Same
-        # discipline as semantic_dedup_planted's
-        # max_cluster_members=None.
-        block_member_cap=None,
+        # the cap is part of the CHECKED contract (ADVICE r05, resolved
+        # r06): the oracle SQL encodes the identical over-cap-block
+        # exclusion, so Spark and DuckDB drop exactly the same blocks
+        # at every sf. The r06 first cut passed cap=None instead —
+        # exact, but 33.9 s at sf1.0 (~20× per decade: the 31-word
+        # fixture makes uncapped affix blocks quadratic); encoding the
+        # cap keeps both exactness AND the bounded-work scale posture.
+        block_member_cap=FUZZY_BLOCK_CAP,
     )
     return pairs.orderBy("id_a", "id_b")
 
@@ -1095,10 +1097,19 @@ WITH d AS (
          substr(text, greatest(length(text) - {FUZZY_AFFIX - 1}, 1),
                 {FUZZY_AFFIX})
   FROM d
+), kept AS (
+  -- the hot-block cap IS part of the operator contract: blocks with
+  -- more than {FUZZY_BLOCK_CAP} members are dropped on BOTH engines
+  -- (mirrors cap_group_size over the exploded block table)
+  SELECT doc_id, bpos, bkey FROM (
+    SELECT doc_id, bpos, bkey,
+           count(*) OVER (PARTITION BY bpos, bkey) AS n
+    FROM blocks
+  ) WHERE n <= {FUZZY_BLOCK_CAP}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM blocks a
-  JOIN blocks b
+  FROM kept a
+  JOIN kept b
     ON a.bpos = b.bpos AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 )
 SELECT c.id_a, c.id_b,
