@@ -170,39 +170,38 @@ def read_triangle_count(state_dir: str) -> int:
     return _read_progress(progress_path)["triangles"]
 
 
-def streaming_connected_components(
+def streaming_graph_snapshot(
     edges: DataFrame,
     src_col: str,
     dst_col: str,
     state_dir: str,
     checkpoint_dir: str,
-    labels_path: str,
+    out_path: str,
+    batch_fn,
     available_now: bool = True,
-    max_iter: int = 25,
 ):
-    """The re-run-per-window shape for the ITERATIVE graph ops, made
-    concrete for connected components (the module-docstring guidance as
-    executable code): per micro-batch, fold the new edges into the
-    accumulated canonical edge table (same state as
-    :func:`streaming_triangle_count`) and re-run the batch
-    ``connected_components`` fixpoint over it, overwriting
-    ``labels_path`` with the CURRENT labeling.
+    """The GENERIC re-run-per-window shape for the iterative graph ops
+    (the module-docstring guidance as executable code): per
+    micro-batch, fold the new edges into the accumulated canonical
+    edge table (same state layout as :func:`streaming_triangle_count`)
+    and re-run ``batch_fn(edges_df) -> DataFrame`` — any batch graph
+    operator over canonical ``(a, b)`` edges: components, PageRank,
+    BFS, k-core, … — overwriting ``out_path`` with the CURRENT
+    snapshot.
 
-    This is honest about the asymptotics: component labels are not
-    boundedly-incremental (one edge can relabel an entire component),
-    so each trigger pays one batch run over the accumulated graph —
-    the right trade when triggers are minutes apart and the graph fits
-    the batch operator's envelope (hash-min label propagation,
-    node-sized state, O(diameter) rounds). After the stream drains,
-    ``labels_path`` equals the batch labeling of every edge ever
-    streamed (test-pinned); replayed batches are skipped via the same
-    batch-id watermark. Use a DEDICATED ``state_dir`` per streaming
-    query — the batch-id watermark is per-query state, so sharing one
-    edge store between this and ``streaming_triangle_count`` would
-    cross their replay accounting.
+    This is honest about the asymptotics: these operators' fixpoints
+    are not boundedly-incremental (one edge can relabel an entire
+    component or shift every rank), so each trigger pays one batch run
+    over the accumulated graph — the right trade when triggers are
+    minutes apart and the graph fits the batch operator's envelope.
+    After a drain, ``out_path`` equals ``batch_fn`` over every edge
+    ever streamed (test-pinned for components and PageRank); replayed
+    batches are skipped via the same batch-id watermark, and the
+    overwrite means a replayed batch regenerates the identical
+    snapshot. Use a DEDICATED ``state_dir`` per streaming query — the
+    batch-id watermark is per-query state, so sharing one edge store
+    across queries would cross their replay accounting.
     """
-    from kinesis_vcr_spark.operators.components import connected_components
-
     edges_path, progress_path = _state_paths(state_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -218,11 +217,7 @@ def streaming_connected_components(
             fresh = canon
         fresh.write.mode("append").parquet(edges_path)
         all_edges = spark.read.parquet(edges_path)
-        labels = connected_components(all_edges, "a", "b", max_iter=max_iter)
-        # overwrite = the labeling is a SNAPSHOT of the current graph,
-        # not an append-only log; a replayed batch regenerates the
-        # identical snapshot
-        labels.write.mode("overwrite").parquet(labels_path)
+        batch_fn(all_edges).write.mode("overwrite").parquet(out_path)
         progress = {**progress, "last_batch_id": batch_id}
         tmp = f"{progress_path}.tmp"
         with open(tmp, "w") as f:
@@ -237,3 +232,55 @@ def streaming_connected_components(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_connected_components(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    labels_path: str,
+    available_now: bool = True,
+    max_iter: int = 25,
+):
+    """Components over an edge stream — the thin
+    :func:`streaming_graph_snapshot` instantiation (see that docstring
+    for the contract)."""
+    from kinesis_vcr_spark.operators.components import connected_components
+
+    return streaming_graph_snapshot(
+        edges, src_col, dst_col, state_dir, checkpoint_dir, labels_path,
+        lambda e: connected_components(e, "a", "b", max_iter=max_iter),
+        available_now=available_now,
+    )
+
+
+def streaming_pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    ranks_path: str,
+    available_now: bool = True,
+    iterations: int = 10,
+):
+    """Exact-integer PageRank snapshots over an edge stream — the
+    :func:`streaming_graph_snapshot` instantiation for the rank
+    family. NOTE: the accumulated state is the CANONICAL UNDIRECTED
+    simple edge set (shared wrapper contract), so ranks are those of
+    the undirected graph — each stored edge contributes both
+    directions via the operator's multi-edge semantics."""
+    from kinesis_vcr_spark.operators.pagerank import pagerank_micro
+
+    def fn(e: DataFrame) -> DataFrame:
+        both = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        return pagerank_micro(both, "a", "b", iterations=iterations)
+
+    return streaming_graph_snapshot(
+        edges, src_col, dst_col, state_dir, checkpoint_dir, ranks_path,
+        fn, available_now=available_now,
+    )

@@ -181,3 +181,43 @@ def test_streaming_components_snapshot_matches_batch(spark, tmp_path):
     got = snapshot()
     assert {c for _, c in got} == {1, 10}
     assert (21, 10) in got
+
+
+def test_streaming_pagerank_snapshot_matches_batch(spark, tmp_path):
+    """The generic snapshot wrapper with a second operator: after each
+    drain, ranks_path equals batch pagerank_micro over the undirected
+    accumulation of every edge ever streamed (bit-exact — the operator
+    is integer-deterministic)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_vcr_spark.operators.pagerank import pagerank_micro
+    from kinesis_vcr_spark.operators.triangles import _simple_undirected
+    from kinesis_vcr_spark.streaming.graph import streaming_pagerank
+
+    src = str(tmp_path / "src")
+    _write_chunk(spark, GRAPH[:6], f"{src}/f0.parquet")
+    _write_chunk(spark, GRAPH[6:] + [(2, 1)], f"{src}/f1.parquet")
+
+    q = streaming_pagerank(
+        spark.readStream.schema("a long, b long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*"),
+        "a", "b",
+        str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        str(tmp_path / "ranks"),
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.node, r.rank_micro)
+        for r in spark.read.parquet(str(tmp_path / "ranks")).collect()
+    }
+    canon = _simple_undirected(_edges(spark, GRAPH), "a", "b")
+    both = canon.unionByName(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    expected = {
+        (r.node, r.rank_micro)
+        for r in pagerank_micro(both, "a", "b", iterations=10).collect()
+    }
+    assert got == expected
