@@ -171,3 +171,63 @@ def compact_archive(
         "record_count",
         "byte_size",
     ).unionByName(merged)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jvm
+
+
+def compact_scoped_state(
+    spark: SparkSession,
+    path: str,
+    partition_cols: tuple[str, ...] = (),
+    target_files: int = 1,
+) -> None:
+    """Compact an ``ingest=<scope>``-partitioned parquet state dir
+    (the layout shared by streaming/graph.py edge state,
+    streaming/neardup.py pairs, operators/dedup_index.py bands and
+    shingles, operators/ivf.py lists) into a single
+    ``ingest=_compacted`` scope.
+
+    A long-lived stream appends one scope per micro-batch; at 100 TB
+    that is millions of small files whose LISTING eventually dominates
+    every probe/snapshot. Content is preserved exactly (same rows,
+    provenance column collapsed), so any read path that drops
+    ``ingest`` — which every probe/snapshot/read path in this repo does
+    — produces byte-identical results after compaction (test-pinned in
+    tests/test_state_compaction.py).
+
+    Run it only against a DRAINED or paused stream: the swap is
+    rename-based (write ``__compacting`` tmp → rename old aside →
+    rename tmp in → delete old), and a writer racing the swap could
+    land a scope in the doomed generation. A crash mid-swap leaves
+    either the old dir or a complete new dir plus a ``__pre_compact``
+    leftover to delete by hand — never a half-merged table.
+
+    ``partition_cols`` preserves an inner physical partitioning (e.g.
+    ``("band_pos",)`` for the near-dup band table); otherwise output is
+    coalesced to ``target_files`` files.
+    """
+    fs, jvm = _hadoop_fs(spark, path)
+    df = spark.read.parquet(path).drop("ingest")
+    tmp = f"{path}__compacting"
+    old = f"{path}__pre_compact"
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    out = df.repartition(*partition_cols) if partition_cols else df.coalesce(
+        target_files
+    )
+    writer = out.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(f"{tmp}/ingest=_compacted")
+    P = jvm.org.apache.hadoop.fs.Path
+    if not fs.rename(P(path), P(old)):
+        raise OSError(f"compaction swap failed renaming {path} aside")
+    if not fs.rename(P(tmp), P(path)):
+        fs.rename(P(old), P(path))  # roll back — old generation intact
+        raise OSError(f"compaction swap failed installing {tmp}")
+    fs.delete(P(old), True)

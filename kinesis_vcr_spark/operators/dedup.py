@@ -25,6 +25,8 @@ Scale posture (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -224,6 +226,109 @@ def lsh_band_hashes(signature: Column, bands: int, rows: int) -> Column:
 DEFAULT_BAND_MEMBER_CAP = 1000
 
 
+def adaptive_minhash_bands(
+    n: int,
+    j_noise: float,
+    recall_j: float = 0.9,
+    target_recall: float = 0.985,
+    min_rows: int = 8,
+    max_rows: int = 32,
+    target_bucket: int = 16,
+) -> tuple[int, int]:
+    """Size MinHash LSH ``(num_hashes, bands)`` to corpus size ``n`` —
+    the Jaccard twin of :func:`~kinesis_vcr_spark.operators.similarity.
+    adaptive_hyperplane_lsh` (VERDICT r06 item 1, BASELINE.md finding
+    7: the fixed 8-row default measured n^1.8 candidate growth on
+    char-4-grams whose noise Jaccard sits just under the threshold —
+    69× candidates at 10× docs, true pairs flat).
+
+    A band of ``r`` rows collides on a noise pair with probability
+    ``J_noise^r``, so fixed ``r`` costs Θ(bands · n² · J_noise^r) —
+    quadratic eventually, for ANY constant ``r``. Choosing
+    ``r = ceil(ln(n/target_bucket) / ln(1/J_noise))`` pins
+    ``J_noise^r ≤ target_bucket/n``, making expected noise candidates
+    Θ(n · bands · target_bucket/2) — linear with the O(log n) factor
+    showing up as hash count instead of shuffle volume (hashing is the
+    cheap, perfectly-parallel part; the candidate shuffle is the part
+    that dies at scale). Band count then holds the recall floor via the
+    standard S-curve: a pair at ``J = recall_j`` is missed by all bands
+    with ``(1 - recall_j^r)^b ≤ 1 - target_recall``. Pairs between the
+    verify threshold and ``recall_j`` get S-curve-degraded recall,
+    exactly as with the fixed shapes this replaces (precision is always
+    1.0 — candidates are verified with exact Jaccard).
+
+    ``j_noise`` is corpus physics, not geometry, so unlike the
+    hyperplane twin it must come from the caller — measure it once with
+    :func:`estimate_noise_jaccard` (a fixed-size sample, cost
+    independent of corpus size) and treat it as a property of the
+    (corpus family, shingling) pair.
+
+    At the driver fixture sizes (n ≤ ~5000 documents, char-4-gram
+    J_noise ≈ 0.45) this reduces exactly to the historical 8 bands ×
+    8 rows = 64 hashes, so small-scale results and the DuckDB oracle
+    rows are unchanged; growth from there is rows ∝ log n with bands
+    following the recall floor (sf0.1 → 12×11, sf10 → 21×16).
+    """
+    if not 0.0 < j_noise < 1.0:
+        raise ValueError("j_noise must be in (0, 1)")
+    if not j_noise < recall_j <= 1.0:
+        raise ValueError("recall_j must be in (j_noise, 1]")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    rows = min(
+        max_rows,
+        max(
+            min_rows,
+            math.ceil(
+                math.log(max(n, 2) / target_bucket) / math.log(1.0 / j_noise)
+            ),
+        ),
+    )
+    p_band = recall_j**rows
+    bands = max(
+        1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))
+    )
+    return rows * bands, bands
+
+
+def estimate_noise_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int,
+    char_ngrams: bool = False,
+    sample_docs: int = 256,
+    quantile: float = 0.95,
+) -> float:
+    """The corpus's noise-Jaccard level for
+    :func:`adaptive_minhash_bands`: the ``quantile`` of exact pairwise
+    Jaccard over a deterministic ``sample_docs``-document sample
+    (ordered by ``xxhash64(id)`` — stable across runs and executors).
+
+    Cost is independent of corpus size: the sample is fixed-width, the
+    pairwise join is sample² / 2 ≈ 33k pairs at the default, and only
+    the sampled documents are ever shingled. The high quantile (not the
+    mean) is what matters — candidate volume is driven by the upper
+    tail of the noise distribution, since ``J^rows`` is convex."""
+    sample = (
+        df.select(id_col, text_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+        .limit(sample_docs)
+    )
+    with_sh = shingle_frame(sample, id_col, text_col, shingle_size, char_ngrams)
+    a = with_sh.select(
+        F.col(id_col).alias("__ia"), F.col("shingles").alias("__sa")
+    )
+    b = with_sh.select(
+        F.col(id_col).alias("__ib"), F.col("shingles").alias("__sb")
+    )
+    pairs = a.join(b, F.col("__ia") < F.col("__ib")).select(
+        jaccard(F.col("__sa"), F.col("__sb")).alias("j")
+    )
+    q = pairs.approxQuantile("j", [quantile], 0.001)
+    return float(q[0]) if q else 0.0
+
+
 def _candidate_pairs_from_bands(
     banded: DataFrame,
     id_col: str,
@@ -367,11 +472,13 @@ def near_dup_pairs_minhash(
     ``threshold``, band collisions become noise-driven and candidate
     volume grows super-linearly even though true output stays flat
     (char-4-grams over a narrow vocabulary measured 69× candidates at
-    10× docs, output ~flat). Knobs in cost order: tighter
-    ``band_member_cap``; higher threshold; wider band rows with more
-    hashes — selectivity needs ``J_noise^rows ≲ 16/n``, i.e. rows ≈
-    ln(n/16)/ln(1/J_noise), with bands grown to hold the recall floor
-    (hash count then scales O(log n) per unit data).
+    10× docs, output ~flat). The implemented mitigation is
+    :func:`adaptive_minhash_bands`: size ``(num_hashes, bands)`` from
+    the corpus count and a measured ``j_noise``
+    (:func:`estimate_noise_jaccard`) so noise candidates stay
+    Θ(n·bands) — hash count grows O(log n) instead of shuffle volume
+    growing n². Cheaper fallbacks when re-sizing is off the table:
+    tighter ``band_member_cap``; higher threshold.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")

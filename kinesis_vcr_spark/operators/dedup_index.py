@@ -184,23 +184,49 @@ def build_near_dup_index(
         ).parquet(f"{index_path}/meta")
 
 
-def load_near_dup_index(spark: SparkSession, index_path: str) -> NearDupIndex:
+def load_near_dup_index(
+    spark: SparkSession,
+    index_path: str,
+    exclude_ingest: str | None = None,
+) -> NearDupIndex:
     """Re-open a persisted index. The frames are lazy parquet scans —
     nothing is read until a probe runs; the ``ingest`` provenance
-    partition column is dropped from the probe-facing frames."""
+    partition column is dropped from the probe-facing frames.
+
+    ``exclude_ingest`` filters OUT one ingest scope (partition-pruned,
+    never scanned): an at-least-once orchestrator replaying batch
+    ``b{id}`` after a crash that already appended ``ingest=b{id}`` must
+    probe the index WITHOUT the batch's own documents, or every pair
+    the batch participates in is computed against a doubled shingle set
+    (streaming/neardup.py passes its own label here)."""
     m = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    bands = spark.read.parquet(f"{index_path}/bands")
+    shingles = spark.read.parquet(f"{index_path}/shingles")
+    if exclude_ingest is not None:
+        bands = bands.where(F.col("ingest") != exclude_ingest)
+        shingles = shingles.where(F.col("ingest") != exclude_ingest)
     return NearDupIndex(
-        bands=spark.read.parquet(f"{index_path}/bands").select(
-            "id", "band_pos", "band_hash"
-        ),
-        shingles=spark.read.parquet(f"{index_path}/shingles").select(
-            "id", "shingles"
-        ),
+        bands=bands.select("id", "band_pos", "band_hash"),
+        shingles=shingles.select("id", "shingles"),
         shingle_size=m["shingle_size"],
         num_hashes=m["num_hashes"],
         num_bands=m["bands"],
         char_ngrams=m["char_ngrams"],
     )
+
+
+def compact_near_dup_index(spark: SparkSession, index_path: str) -> None:
+    """Collapse a many-ingest index (a long-lived
+    streaming/neardup.py run appends one scope per micro-batch) into
+    one ``ingest=_compacted`` scope per artifact, preserving the
+    band-table's ``band_pos`` physical partitioning. Probe results are
+    identical before and after (test-pinned); run only while no ingest
+    is writing — see
+    :func:`~kinesis_vcr_spark.operators.compaction.compact_scoped_state`."""
+    from kinesis_vcr_spark.operators.compaction import compact_scoped_state
+
+    compact_scoped_state(spark, f"{index_path}/bands", ("band_pos",))
+    compact_scoped_state(spark, f"{index_path}/shingles")
 
 
 def near_dup_against_index(

@@ -192,6 +192,7 @@ def _write_lists(
     id_col: str,
     vec_col: str,
     ingest_label: str,
+    mode: str = "overwrite",
 ) -> None:
     (
         vectors.select(
@@ -201,7 +202,7 @@ def _write_lists(
         )
         # cluster the lists on disk so a probe reads contiguous data
         .repartition("cid")
-        .write.mode("overwrite")  # scoped to THIS ingest's subtree
+        .write.mode(mode)  # scoped to THIS ingest's subtree
         .partitionBy("cid")
         .parquet(f"{index_path}/lists/ingest={ingest_label}")
     )
@@ -258,11 +259,20 @@ def append_ivf_index(
     list balance (new data far from any centroid piles into its
     nearest list) — monitor list sizes and re-train/rebuild when the
     largest list outgrows the probe budget, exactly like production
-    IVF systems."""
+    IVF systems.
+
+    Write mode mirrors the near-dup index contract
+    (operators/dedup_index.py): an EXPLICIT ``ingest_label`` overwrites
+    only its own scope (orchestrator replay idempotence), while the
+    default ``_appends`` scope ACCUMULATES — two default-label appends
+    must both survive, so the unlabeled scope uses mode=append and
+    idempotence is then the caller's problem."""
     spark = vectors.sparkSession
     centroids, _ = load_ivf_index(spark, index_path)
+    mode = "append" if ingest_label == "_appends" else "overwrite"
     _write_lists(
-        vectors, index_path, centroids, id_col, vec_col, ingest_label
+        vectors, index_path, centroids, id_col, vec_col, ingest_label,
+        mode=mode,
     )
 
 

@@ -74,6 +74,11 @@ def kcore_edges(
             )
             .localCheckpoint()
         )
+    # the guard must permit exactly max_iterations PEELS — without this
+    # final check a graph converging on the last allowed peel would
+    # raise even though the paired oracle's unroll (same depth) succeeds
+    if _degrees(cur).where(F.col("deg") < k).isEmpty():
+        return cur
     raise RuntimeError(
         f"{k}-core peeling did not converge within {max_iterations} "
         "iterations — raise max_iterations (and, for an oracle-paired "

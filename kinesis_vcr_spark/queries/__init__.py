@@ -157,6 +157,14 @@ def _last_checked() -> dict[str, tuple[int, bool]]:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            # legacy/hand-written round files may be a bare name list —
+            # degrade to "checked, passed" rather than crashing query
+            # selection for the whole driver loop
+            try:
+                rows = dict.fromkeys(rows)
+            except TypeError:
+                continue
         for n, row in rows.items():
             if r > last.get(n, (-1, True))[0]:
                 last[n] = (r, _row_ok(row))

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_vcr_spark.operators.dedup import (
+    adaptive_minhash_bands,
     dedup_exact,
     near_dup_pairs_embedding,
     near_dup_pairs_minhash,
@@ -178,19 +179,31 @@ ORDER BY id_a, id_b
 NGRAM_THRESHOLD = 0.7
 
 
+#: char-4-grams of same-vocabulary docs run J≈0.35-0.45 between
+#: UNRELATED pairs (measured once via estimate_noise_jaccard on the
+#: documents fixture, p95 ≈ 0.45; pinned in tests/test_dedup.py) — the
+#: corpus-physics input the adaptive band sizing needs.
+NGRAM_J_NOISE = 0.45
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-4-gram Jaccard near-dup pairs (MinHash-LSH candidates,
     exact verification) — whitespace/tokenizer-insensitive variant."""
     # char-4-gram explode over full text is per-row-CPU heavy — widen
     # the single-split fixture scan (A/B: 7.6 s -> 5.8 s at sf0.1)
     docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
-    # 8 bands x 8 rows (not 16x4): char-4-grams of same-vocabulary docs
-    # run J≈0.35-0.45 between unrelated pairs, so 4-row bands admit ~10%
-    # of all pairs as candidates; 8-row bands drop noise collisions
-    # ~100x while keeping planted-pair (J≥0.9) recall ≈ 99%.
+    # ADAPTIVE band shape (VERDICT r06 item 1): with J_noise just under
+    # the threshold, any fixed row width goes super-linear in candidate
+    # volume (measured n^1.8 at the sf10 rung). Sizing rows from the
+    # corpus count keeps noise candidates Θ(n·bands); at the driver
+    # fixture sizes this reduces exactly to the historical 8×8 = 64
+    # hashes, so oracle rows are unchanged.
+    num_hashes, bands = adaptive_minhash_bands(
+        docs.count(), j_noise=NGRAM_J_NOISE
+    )
     pairs = near_dup_pairs_minhash(
-        docs, "doc_id", "text", shingle_size=4, num_hashes=64, bands=8,
-        threshold=NGRAM_THRESHOLD, char_ngrams=True,
+        docs, "doc_id", "text", shingle_size=4, num_hashes=num_hashes,
+        bands=bands, threshold=NGRAM_THRESHOLD, char_ngrams=True,
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")

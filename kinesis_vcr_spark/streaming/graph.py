@@ -61,6 +61,19 @@ def _state_paths(state_dir: str) -> tuple[str, str]:
     return f"{state_dir}/edges", f"{state_dir}/progress.json"
 
 
+def _read_edges(spark, edges_path: str, exclude_ingest: str | None = None):
+    """The accumulated canonical edge table ``(a, b)`` (None if no
+    batch has committed yet). Edges live under per-batch
+    ``ingest=b{id}`` partition scopes; ``exclude_ingest`` drops one
+    scope partition-pruned — the replay-safety read path."""
+    if not os.path.isdir(edges_path):
+        return None
+    df = spark.read.parquet(edges_path)
+    if exclude_ingest is not None:
+        df = df.where(F.col("ingest") != exclude_ingest)
+    return df.select("a", "b")
+
+
 def _read_progress(progress_path: str) -> dict:
     try:
         with open(progress_path) as f:
@@ -132,17 +145,27 @@ def streaming_triangle_count(
         if batch_id <= progress["last_batch_id"]:
             return  # replayed batch after restart — already applied
         canon = _simple_undirected(batch_df, src_col, dst_col)
-        if os.path.isdir(edges_path):
-            old = spark.read.parquet(edges_path)
-            fresh = canon.join(old, ["a", "b"], "left_anti")
-        else:
+        # edges are stored per-batch under ingest=b{id} scopes and each
+        # batch OVERWRITES its own scope (ADVICE r06): a crash after the
+        # edge write but before the progress bump replays the batch,
+        # which must NOT see its own half-committed edges in `old` — it
+        # would compute fresh=∅, delta=0, and silently lose the batch's
+        # triangles forever. Excluding the scope makes the replayed
+        # delta bit-identical to the lost one.
+        label = f"b{batch_id}"
+        old = _read_edges(spark, edges_path, exclude_ingest=label)
+        if old is None:
             old = spark.createDataFrame([], canon.schema)
             fresh = canon
+        else:
+            fresh = canon.join(old, ["a", "b"], "left_anti")
         # one pass computes the delta AND materializes the new edges
         fresh = fresh.persist()
         try:
             row = triangle_delta(fresh, old).collect()[0]
-            fresh.write.mode("append").parquet(edges_path)
+            fresh.write.mode("overwrite").parquet(
+                f"{edges_path}/ingest={label}"
+            )
         finally:
             fresh.unpersist()
         progress = {
@@ -168,6 +191,20 @@ def read_triangle_count(state_dir: str) -> int:
     """The maintained global triangle count (0 before any batch)."""
     _, progress_path = _state_paths(state_dir)
     return _read_progress(progress_path)["triangles"]
+
+
+def compact_edge_state(spark, state_dir: str, target_files: int = 1) -> None:
+    """Collapse the per-batch ``ingest=b{id}`` edge scopes into one
+    compacted scope (run against a DRAINED stream — see
+    :func:`~kinesis_vcr_spark.operators.compaction.compact_scoped_state`
+    for the swap contract). The maintained count and every later
+    trigger/snapshot are unaffected: deltas only ever read edge
+    CONTENT, and the progress watermark lives in progress.json, not in
+    the scope names."""
+    from kinesis_vcr_spark.operators.compaction import compact_scoped_state
+
+    edges_path, _ = _state_paths(state_dir)
+    compact_scoped_state(spark, edges_path, target_files=target_files)
 
 
 def streaming_graph_snapshot(
@@ -210,13 +247,16 @@ def streaming_graph_snapshot(
         if batch_id <= progress["last_batch_id"]:
             return
         canon = _simple_undirected(batch_df, src_col, dst_col)
-        if os.path.isdir(edges_path):
-            old = spark.read.parquet(edges_path)
-            fresh = canon.join(old, ["a", "b"], "left_anti")
-        else:
-            fresh = canon
-        fresh.write.mode("append").parquet(edges_path)
-        all_edges = spark.read.parquet(edges_path)
+        label = f"b{batch_id}"
+        old = _read_edges(spark, edges_path, exclude_ingest=label)
+        fresh = (
+            canon if old is None else canon.join(old, ["a", "b"], "left_anti")
+        )
+        # same scoped-overwrite discipline as streaming_triangle_count:
+        # a replayed batch replaces its own scope instead of appending a
+        # duplicate edge set into the accumulated state
+        fresh.write.mode("overwrite").parquet(f"{edges_path}/ingest={label}")
+        all_edges = _read_edges(spark, edges_path)
         batch_fn(all_edges).write.mode("overwrite").parquet(out_path)
         progress = {**progress, "last_batch_id": batch_id}
         tmp = f"{progress_path}.tmp"

@@ -112,7 +112,12 @@ def streaming_near_dup(
             ).select("id_a", "id_b", "jaccard")
             append = False
         else:
-            idx = load_near_dup_index(spark, index_path)
+            # exclude THIS batch's own ingest scope from the probe: a
+            # crash after the index append but before the progress bump
+            # replays the batch against an index that already holds its
+            # documents, and a doubled shingle set would duplicate
+            # every pair row (ADVICE r06)
+            idx = load_near_dup_index(spark, index_path, exclude_ingest=label)
             pairs = near_dup_against_index(
                 batch_df, idx, id_col, text_col,
                 threshold=threshold, band_member_cap=band_member_cap,
@@ -128,10 +133,14 @@ def streaming_near_dup(
             append=append, ingest_label=label, **params,
         )
         n_docs = batch_df.count()
-        n_pairs = spark.read.parquet(pairs_path).count()
+        # count only THIS batch's emitted pairs (its own overwrite scope
+        # — idempotent under replay) and accumulate; re-counting the
+        # whole sink every trigger is O(all pairs ever) per micro-batch
+        # and its file listing grows without bound over a stream's life
+        n_pairs = spark.read.parquet(f"{pairs_path}/ingest={label}").count()
         progress = {
             "last_batch_id": batch_id,
-            "pairs_emitted": int(n_pairs),
+            "pairs_emitted": progress["pairs_emitted"] + int(n_pairs),
             "docs_indexed": progress["docs_indexed"] + int(n_docs),
         }
         tmp = f"{progress_path}.tmp"

@@ -3,6 +3,7 @@ near-dups, SimHash monotonicity."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -125,3 +126,63 @@ def test_band_member_cap_keeps_small_groups(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 3) in got  # exact dup
     assert (0, 1) in got  # near dup
+
+
+# ---------------------------------------------------------------------------
+# adaptive band sizing (VERDICT r06 item 1)
+# ---------------------------------------------------------------------------
+
+
+def test_adaptive_bands_reduce_to_fixture_shape():
+    """At driver-fixture corpus sizes the adaptive default must equal
+    the historical 8 bands x 8 rows = 64 hashes — oracle rows
+    unchanged by construction."""
+    from kinesis_vcr_spark.operators.dedup import adaptive_minhash_bands
+
+    for n in (100, 500, 5_000):  # sf0.001 / sf0.01 fixtures
+        assert adaptive_minhash_bands(n, j_noise=0.45) == (64, 8)
+
+
+def test_adaptive_bands_grow_log_and_bound_noise():
+    """Rows grow ~log n; in the unclamped region J_noise^rows stays at
+    or under target_bucket/n (the Θ(n·bands) noise-candidate bound),
+    and hash count stays O(log n) — never a quadratic knob."""
+    from kinesis_vcr_spark.operators.dedup import adaptive_minhash_bands
+
+    prev_rows = 0
+    for n in (5_000, 50_000, 500_000, 5_000_000, 50_000_000):
+        num_hashes, bands = adaptive_minhash_bands(n, j_noise=0.45)
+        rows = num_hashes // bands
+        assert num_hashes % bands == 0
+        assert rows >= prev_rows  # monotone in n
+        prev_rows = rows
+        if rows > 8 and rows < 32:  # unclamped region
+            assert 0.45**rows <= 16 / n
+    # spot values cited in the operator docstring
+    assert adaptive_minhash_bands(50_000, j_noise=0.45) == (132, 12)
+    assert adaptive_minhash_bands(5_000_000, j_noise=0.45) == (336, 21)
+
+
+def test_adaptive_bands_validation():
+    from kinesis_vcr_spark.operators.dedup import adaptive_minhash_bands
+
+    with pytest.raises(ValueError, match="j_noise"):
+        adaptive_minhash_bands(1000, j_noise=1.0)
+    with pytest.raises(ValueError, match="recall_j"):
+        adaptive_minhash_bands(1000, j_noise=0.5, recall_j=0.4)
+    with pytest.raises(ValueError, match="target_recall"):
+        adaptive_minhash_bands(1000, j_noise=0.45, target_recall=1.0)
+
+
+def test_noise_jaccard_estimate_on_fixture(spark, sf_dir):
+    """The measured char-4-gram noise level on the documents fixture
+    must sit in the documented 0.3-0.55 band (NGRAM_J_NOISE = 0.45),
+    and the estimator must be deterministic."""
+    from kinesis_vcr_spark.operators.dedup import estimate_noise_jaccard
+    from kinesis_vcr_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    j1 = estimate_noise_jaccard(docs, "doc_id", "text", 4, char_ngrams=True)
+    j2 = estimate_noise_jaccard(docs, "doc_id", "text", 4, char_ngrams=True)
+    assert j1 == j2
+    assert 0.30 <= j1 <= 0.55, j1

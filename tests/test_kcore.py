@@ -48,3 +48,14 @@ def test_duplicate_and_reversed_edges_collapse(spark):
 def test_k_must_be_positive(spark):
     with pytest.raises(ValueError, match=">= 1"):
         kcore_edges(_edges(spark, [(1, 2)]), "src", "dst", 0)
+
+
+def test_convergence_on_exactly_max_iterations_peels(spark):
+    """A graph whose fixpoint arrives on the LAST allowed peel must
+    converge, not raise (ADVICE r06): the oracle unrolls exactly
+    max_iterations steps, so the guard must permit exactly that many.
+    A 5-path at k=2 peels to empty in exactly 2 rounds."""
+    path5 = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert kcore_edges(path5, "src", "dst", 2, max_iterations=2).count() == 0
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_edges(path5, "src", "dst", 2, max_iterations=1)
