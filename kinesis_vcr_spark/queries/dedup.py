@@ -358,6 +358,49 @@ register(QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_SQL,
                    "char-4-gram Jaccard near-dup pairs via LSH"))
 register(QuerySpec("dedup_near_simhash", dedup_near_simhash, None,
                    "SimHash pigeonhole-blocked near-dup pairs (approximate)"))
+
+
+# --- SimHash recall proof: planted identical-text twins (VERDICT r06
+# item 2 — the driver-grade companion for the rows-only simhash row) ---
+
+SIMHASH_PLANT_OFFSET = 10_000_000
+
+
+def dedup_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic oracle-paired recall proof for the SimHash path:
+    every 10th document gets an identical-TEXT twin at ``doc_id + 1e7``;
+    identical text hashes to the identical 64-bit simhash, so each
+    (original, twin) pair agrees on every pigeonhole block, is a
+    candidate with certainty, and verifies at Hamming 0. Output is
+    restricted to exactly those pairs (``id_b == id_a + offset`` at
+    Hamming 0 can ONLY be an original with its own twin), so the
+    expected rows are exact SQL even though the searcher is
+    approximate — same pattern as the ANN planted companions."""
+    docs = load_table(spark, sf_dir, "documents")
+    twins = docs.where(F.col("doc_id") % PLANT_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(SIMHASH_PLANT_OFFSET)
+    )
+    corpus = docs.unionByName(twins)
+    pairs = near_dup_pairs_simhash(corpus, "doc_id", "text", max_hamming=3)
+    return (
+        pairs.where(
+            (F.col("id_b") == F.col("id_a") + F.lit(SIMHASH_PLANT_OFFSET))
+            & (F.col("hamming") == 0)
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a")
+    )
+
+
+SIMHASH_PLANTED_SQL = f"""
+SELECT doc_id AS id_a, doc_id + {SIMHASH_PLANT_OFFSET} AS id_b
+FROM documents WHERE doc_id % {PLANT_MOD} = 0 ORDER BY id_a
+"""
+
+register(QuerySpec("dedup_simhash_planted", dedup_simhash_planted,
+                   SIMHASH_PLANTED_SQL,
+                   "SimHash planted-twin recall: exact oracle for the "
+                   "pigeonhole-blocked path"))
 register(QuerySpec("dedup_embedding_cosine", dedup_embedding_cosine, EMB_COS_SQL,
                    "embedding-cosine near-dup pairs via hyperplane LSH"))
 register(QuerySpec("dedup_embedding_cosine_planted",

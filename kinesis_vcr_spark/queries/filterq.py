@@ -656,6 +656,69 @@ register(QuerySpec("profile_events_approx", profile_events_approx, None,
                    "(rows-only: estimates are engine-specific)"))
 
 
+#: HLL audit tolerance: Spark's approx_count_distinct default rsd is
+#: 0.05; 3σ of relative error. The estimate is deterministic for fixed
+#: data (fixed hash, no sampling), so the within-band flag is a stable,
+#: oracle-checkable value — this is the driver-grade companion the
+#: rows-only profile_events_approx never had (VERDICT r06 item 2).
+HLL_AUDIT_TOL = 0.15
+
+
+def profile_events_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-bounds audit of the HLL profiler branch: per profiled
+    column, the exact distinct count plus a flag that the
+    ``approx_count_distinct`` estimate lands within ±15 % of it. The
+    oracle recomputes the exact counts and expects every flag = 1, so a
+    silent HLL regression (wrong hash width, broken partial merge,
+    column mix-up) turns the driver row red — the estimate itself stays
+    engine-specific and is deliberately NOT in the output."""
+    from kinesis_vcr_spark.operators.profile import profile_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = profile_table(ev, list(PROFILE_COLS)).select(
+        "col_name", "n_distinct"
+    )
+    approx = profile_table(ev, list(PROFILE_COLS), exact_distinct=False).select(
+        "col_name", F.col("n_distinct").alias("__n_approx")
+    )
+    return (
+        exact.join(approx, "col_name")
+        .select(
+            "col_name",
+            "n_distinct",
+            (
+                F.abs(
+                    F.col("__n_approx").cast("double")
+                    / F.col("n_distinct").cast("double")
+                    - 1.0
+                )
+                <= HLL_AUDIT_TOL
+            )
+            .cast("long")
+            .alias("within_tol"),
+        )
+        .orderBy("col_name")
+    )
+
+
+def _hll_audit_sql() -> str:
+    parts = []
+    for c in PROFILE_COLS:
+        expr = "epoch_ns(ts)" if c == "ts_ns" else c
+        parts.append(
+            f"SELECT '{c}' AS col_name,"
+            f" CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct,"
+            f" CAST(1 AS BIGINT) AS within_tol FROM events"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+register(QuerySpec("profile_events_hll_audit", profile_events_hll_audit,
+                   _hll_audit_sql(),
+                   "HLL profiler audit: exact distincts + in-tolerance "
+                   "flags (driver-grade check for the approx branch)"))
+
+
 # ---------------------------------------------------------------------------
 # corpus snapshot diff (generation-gate audit)
 # ---------------------------------------------------------------------------

@@ -135,3 +135,112 @@ register(
         "product-quantization ADC top-k (m x ksub codebook, no decode)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# planted-recall companions (VERDICT r06 item 2): the rows-only ANN
+# family gets deterministic, ORACLE-PAIRED recall proofs — every 10th
+# vector gets an identical twin at vec_id + 1e6 (the
+# dedup_embedding_cosine_planted construction), and each approximate
+# searcher must recover every twin for its original. Identical vectors
+# hash/assign/encode identically, so twin recovery exercises the FULL
+# approximate pipeline while the expected output is exact SQL.
+# ---------------------------------------------------------------------------
+
+# same construction as queries/dedup.py dedup_embedding_cosine_planted
+PLANT_OFFSET = 1_000_000
+PLANT_MOD = 10
+
+
+def _planted(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(corpus with twins, probe set = the planted originals)."""
+    twins = emb.where(F.col("vec_id") % PLANT_MOD == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(PLANT_OFFSET)
+    )
+    probes = emb.where(F.col("vec_id") % PLANT_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return emb.unionByName(twins), probes
+
+
+def _twin_matches(res: DataFrame) -> DataFrame:
+    return (
+        res.where(F.col("vec_id") == F.col("query_id") + F.lit(PLANT_OFFSET))
+        .select("query_id", F.col("vec_id").alias("match_id"))
+        .orderBy("query_id")
+    )
+
+
+PLANTED_RECALL_SQL = f"""
+SELECT vec_id AS query_id, vec_id + {PLANT_OFFSET} AS match_id
+FROM embeddings WHERE vec_id % {PLANT_MOD} = 0 ORDER BY query_id
+"""
+
+
+def similarity_ann_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH recall proof: an identical twin shares every band
+    signature, so it is a candidate with certainty, scores cosine 1.0
+    (the fixture's organic max is ≈ 0.51), and must surface at rank 1 —
+    full twin recovery is deterministic BY CONSTRUCTION, which is what
+    makes an exact oracle possible for an approximate searcher."""
+    corpus, probes = _planted(load_table(spark, sf_dir, "embeddings"))
+    return _twin_matches(
+        ann_topk(corpus, probes, k=TOP_K, planes=32, bands=8)
+    )
+
+
+def similarity_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall proof: the twin assigns to the probe's own nearest
+    centroid (identical input → identical assignment), which nprobe ≥ 1
+    always probes first, so twin recovery is deterministic by
+    construction — the oracle-paired driver row for the IVF family."""
+    from kinesis_vcr_spark.operators.ivf import ivf_topk
+
+    corpus, probes = _planted(load_table(spark, sf_dir, "embeddings"))
+    return _twin_matches(
+        ivf_topk(corpus, probes, k=TOP_K, k_centroids=16, nprobe=6)
+    )
+
+
+def similarity_pq_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC recall proof: the twin encodes to the query's own code, so
+    its ADC score equals the query's self-code score — the top of the
+    ADC ranking in practice, though (unlike ANN/IVF above) not provable
+    from construction alone: ADC can inflate another code past the
+    self-code when sub-centroid norms differ. k=10 (vs the family's 5)
+    absorbs that slack plus the original/twin tie pair; full recovery
+    at the checked fixtures is pinned by the oracle."""
+    from kinesis_vcr_spark.operators.pq import (
+        pq_adc_topk, pq_encode_table, train_pq,
+    )
+
+    corpus, probes = _planted(load_table(spark, sf_dir, "embeddings"))
+    codebook = train_pq(corpus, m=32, ksub=32, refine_iterations=1)
+    codes = pq_encode_table(corpus, codebook)
+    return _twin_matches(pq_adc_topk(codes, probes, codebook, k=10))
+
+
+register(
+    QuerySpec(
+        "similarity_ann_planted",
+        similarity_ann_planted,
+        PLANTED_RECALL_SQL,
+        "hyperplane-LSH planted-twin recall: exact oracle for the ANN path",
+    )
+)
+register(
+    QuerySpec(
+        "similarity_ivf_planted",
+        similarity_ivf_planted,
+        PLANTED_RECALL_SQL,
+        "IVF planted-twin recall: exact oracle for the inverted-list path",
+    )
+)
+register(
+    QuerySpec(
+        "similarity_pq_planted",
+        similarity_pq_planted,
+        PLANTED_RECALL_SQL,
+        "PQ-ADC planted-twin recall: exact oracle for the quantized path",
+    )
+)
