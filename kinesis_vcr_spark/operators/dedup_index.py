@@ -49,7 +49,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_vcr_spark.operators.dedup import (
@@ -212,6 +212,176 @@ def load_near_dup_index(
         num_hashes=m["num_hashes"],
         num_bands=m["bands"],
         char_ngrams=m["char_ngrams"],
+    )
+
+
+def build_near_dup_index_bucketed(
+    df: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    char_ngrams: bool = False,
+    n_buckets: int = 32,
+    append: bool = False,
+) -> None:
+    """The METASTORE variant of :func:`build_near_dup_index` (VERDICT
+    r06 item 7) — the extreme-scale path the parquet artifact's
+    docstring promises: band rows ``bucketBy(n_buckets, band_hash)``
+    and shingle sets ``bucketBy(n_buckets, id)``, so a probe shuffles
+    ONLY the new batch. The parquet layout shuffles the stored band
+    table on every probe (≈ n_docs × bands rows — 300 GB at 10⁹ docs);
+    here the stored scans come out of the warehouse already
+    hash-partitioned on the join keys and the probe plan has ZERO
+    Exchange on any stored-side scan (plan-pinned in
+    tests/test_dedup_index.py).
+
+    Tables written: ``{prefix}_bands`` (id, band_pos, band_hash),
+    ``{prefix}_shingles`` (id, shingles), ``{prefix}_meta`` (the LSH
+    parameters, 1 row). ``append=True`` inserts a new batch into the
+    existing tables (bucketed appends add files per bucket — compact
+    occasionally exactly like the scoped parquet layout) after the same
+    parameter check as the parquet append."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    spark = df.sparkSession
+    params = (shingle_size, num_hashes, bands, char_ngrams)
+    if append:
+        m = spark.table(f"{table_prefix}_meta").collect()[0]
+        have = (m["shingle_size"], m["num_hashes"], m["bands"], m["char_ngrams"])
+        if have != params:
+            raise ValueError(
+                f"bucketed index {table_prefix} was built with "
+                f"(shingle_size, num_hashes, bands, char_ngrams)={have}; "
+                f"append requested {params}"
+            )
+    band_rows, with_sh = _index_rows(
+        df, id_col, text_col, shingle_size, num_hashes, bands, char_ngrams
+    )
+    mode = "append" if append else "overwrite"
+    (
+        band_rows.write.mode(mode)
+        .bucketBy(n_buckets, "band_hash")
+        .sortBy("band_pos", "band_hash")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_bands")
+    )
+    (
+        with_sh.write.mode(mode)
+        .bucketBy(n_buckets, "id")
+        .sortBy("id")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_shingles")
+    )
+    if not append:
+        spark.createDataFrame([params], _META_SCHEMA).write.mode(
+            "overwrite"
+        ).format("parquet").saveAsTable(f"{table_prefix}_meta")
+
+
+def near_dup_against_bucketed_index(
+    new_df: DataFrame,
+    spark: SparkSession,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    band_member_cap: int | None = DEFAULT_BAND_MEMBER_CAP,
+) -> DataFrame:
+    """Probe the bucketed index — same output contract as
+    :func:`near_dup_against_index` (new×old ∪ new×new pairs,
+    ``id_a < id_b``, exact Jaccard ≥ threshold; parity test-pinned) but
+    with the ONLY-SHUFFLE-THE-BATCH plan:
+
+    - the hot-band cap is computed at KEY level: stored per-band counts
+      come from a groupBy on the bucketed scan (bucket-local partial
+      agg, no Exchange — HashPartitioning(band_hash) satisfies the
+      clustering on (band_pos, band_hash)), added to the batch's own
+      counts. total > cap drops the band, which is row-for-row
+      equivalent to ``cap_group_size`` over the union population —
+      the parity-load-bearing detail of the parquet probe, preserved
+      without ever shuffling a stored band row;
+    - candidate joins read the stored bands in place (batch side
+      shuffles to the bucket spec);
+    - verification coalesces each pair side between the bucketed
+      shingle table (no Exchange) and the batch's own shingles, so
+      stored shingle sets are never shuffled either.
+    """
+    m = spark.table(f"{table_prefix}_meta").collect()[0]
+    new_bands, new_sh = _index_rows(
+        new_df, id_col, text_col,
+        m["shingle_size"], m["num_hashes"], m["bands"], m["char_ngrams"],
+    )
+    stored = spark.table(f"{table_prefix}_bands")
+    keys = ["band_pos", "band_hash"]
+    if band_member_cap is not None:
+        stored_cnt = stored.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("__n_old")
+        )
+        new_cnt = new_bands.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("__n_new")
+        )
+        ok_keys = (
+            new_cnt.join(stored_cnt, keys, "left")
+            .where(
+                F.coalesce(F.col("__n_old"), F.lit(0)) + F.col("__n_new")
+                <= band_member_cap
+            )
+            .select(*keys)
+        )
+        new_bands = new_bands.join(ok_keys, keys)
+    left = new_bands.alias("l")
+    cand_old = (
+        left.join(
+            stored.alias("r"),
+            (F.col("l.band_pos") == F.col("r.band_pos"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") != F.col("r.id")),
+        )
+        .select(
+            F.least(F.col("l.id"), F.col("r.id")).alias("id_a"),
+            F.greatest(F.col("l.id"), F.col("r.id")).alias("id_b"),
+        )
+    )
+    cand_new = (
+        left.join(
+            new_bands.alias("r2"),
+            (F.col("l.band_pos") == F.col("r2.band_pos"))
+            & (F.col("l.band_hash") == F.col("r2.band_hash"))
+            & (F.col("l.id") < F.col("r2.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"), F.col("r2.id").alias("id_b")
+        )
+    )
+    cand = cand_old.unionByName(cand_new).distinct()
+    stored_sh = spark.table(f"{table_prefix}_shingles")
+
+    def side(which: str) -> tuple[DataFrame, DataFrame, Column]:
+        old_s = stored_sh.select(
+            F.col("id").alias(which), F.col("shingles").alias(f"__o_{which}")
+        )
+        new_s = new_sh.select(
+            F.col("id").alias(which), F.col("shingles").alias(f"__n_{which}")
+        )
+        return old_s, new_s, F.coalesce(
+            F.col(f"__o_{which}"), F.col(f"__n_{which}")
+        )
+
+    a_old, a_new, sh_a = side("id_a")
+    b_old, b_new, sh_b = side("id_b")
+    return (
+        cand.join(a_old, "id_a", "left")
+        .join(a_new, "id_a", "left")
+        .join(b_old, "id_b", "left")
+        .join(b_new, "id_b", "left")
+        .select(
+            "id_a", "id_b", jaccard(sh_a, sh_b).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= threshold)
     )
 
 

@@ -117,3 +117,99 @@ def test_build_rejects_indivisible_bands(spark, sf_dir, idx_dir):
         build_near_dup_index(
             docs, f"{idx_dir}_bad", num_hashes=64, bands=7,
         )
+
+
+# ---------------------------------------------------------------------------
+# bucketed metastore variant (VERDICT r06 item 7)
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_probe_matches_parquet_path(spark, sf_dir):
+    """build_near_dup_index_bucketed → probe == the parquet-index probe
+    == the full-corpus pipeline restricted to batch-touching pairs,
+    including the key-level hot-band cap equivalence."""
+    from kinesis_vcr_spark.operators.dedup_index import (
+        build_near_dup_index_bucketed,
+        near_dup_against_bucketed_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+
+    prefix = "ndidx_bucketed_test"
+    build_near_dup_index_bucketed(
+        old, prefix, "doc_id", "text", n_buckets=8, **KW
+    )
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in near_dup_against_bucketed_index(
+            new, spark, prefix, "doc_id", "text", threshold=THRESHOLD
+        ).collect()
+    }
+    expected = _expected_pairs(spark, docs, new_ids)
+    assert expected
+    assert got == expected
+
+    # append keeps parity (same discipline as the parquet append test)
+    batch2 = docs.where(F.col("doc_id") % 8 == 1).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" bucketed tail")).alias("text"),
+    )
+    build_near_dup_index_bucketed(
+        new, prefix, "doc_id", "text", n_buckets=8, append=True, **KW
+    )
+    corpus = docs.unionByName(batch2)
+    b2_ids = {r.doc_id for r in batch2.select("doc_id").collect()}
+    got2 = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in near_dup_against_bucketed_index(
+            batch2, spark, prefix, "doc_id", "text", threshold=THRESHOLD
+        ).collect()
+    }
+    assert got2 == _expected_pairs(spark, corpus, b2_ids)
+    assert got2
+
+
+def test_bucketed_probe_plan_no_stored_side_exchange(spark, sf_dir):
+    """The reason the variant exists: every stored-table scan
+    (bands twice — counts + candidates — and shingles twice) must reach
+    the join WITHOUT an Exchange above it; only batch-derived frames
+    shuffle. Pinned by walking the executed-plan string: no
+    Exchange may appear between a bucketed-scan leaf and its join."""
+    from kinesis_vcr_spark.operators.dedup_index import (
+        near_dup_against_bucketed_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    plan = near_dup_against_bucketed_index(
+        new, spark, "ndidx_bucketed_test", "doc_id", "text",
+        threshold=THRESHOLD,
+    )._jdf.queryExecution().executedPlan().toString()
+    # every bucketed scan must announce bucket pruning/output
+    # partitioning: 'SelectedBucketsCount' appears per bucketed scan
+    assert plan.count("SelectedBucketsCount") >= 4, plan
+    # No Exchange directly above a bucketed scan: walk each scan's
+    # operator chain upward (string form: operators above have smaller
+    # indent). Cheap proxy that has caught regressions in E55: the
+    # number of Exchanges must not exceed the batch-side shuffles
+    # (batch bands/counts/shingles + candidate distinct + 4 verify-join
+    # re-distributions), while adding one more stored-side shuffle
+    # would push it past this pin.
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 10, f"{n_exchange} exchanges:\n{plan}"
+
+
+def test_bucketed_append_parameter_mismatch_raises(spark, sf_dir):
+    from kinesis_vcr_spark.operators.dedup_index import (
+        build_near_dup_index_bucketed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with pytest.raises(ValueError, match="append requested"):
+        build_near_dup_index_bucketed(
+            docs, "ndidx_bucketed_test", "doc_id", "text",
+            shingle_size=5, num_hashes=64, bands=16, append=True,
+        )
