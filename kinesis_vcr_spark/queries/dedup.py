@@ -150,6 +150,43 @@ def dedup_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def dedup_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The METASTORE twin of ``dedup_index_incremental`` (VERDICT r06
+    item 7): identical corpus/batch split and identical expected pairs
+    (same IDX_SQL oracle), but through the
+    ``bucketBy(band_hash)``/``bucketBy(id)`` tables whose probe plan
+    never shuffles a stored row — driver-grade evidence that the
+    only-shuffle-the-batch path computes the same answer as the
+    parquet artifact (plan Exchange-freedom itself is pinned in
+    tests/test_dedup_index.py)."""
+    import os
+    import re
+
+    from kinesis_vcr_spark.operators.dedup_index import (
+        build_near_dup_index_bucketed,
+        near_dup_against_bucketed_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % IDX_NEW_MOD != 0)
+    new = docs.where(F.col("doc_id") % IDX_NEW_MOD == 0)
+    prefix = "ndidx_bq_" + re.sub(
+        r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/"))
+    )
+    # the catalog is session-local, so the query re-exercises the
+    # bucketed BUILD too (overwrite), exactly like its parquet twin
+    build_near_dup_index_bucketed(
+        old, prefix, "doc_id", "text",
+        shingle_size=3, num_hashes=64, bands=16,
+    )
+    pairs = near_dup_against_bucketed_index(
+        new, spark, prefix, "doc_id", "text", threshold=J_THRESHOLD
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 IDX_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -352,6 +389,10 @@ register(QuerySpec("dedup_index_incremental", dedup_index_incremental,
                    "persisted-index incremental dedup: build MinHash "
                    "band index on the corpus, probe the new batch — "
                    "new×old ∪ new×new pairs, exact Jaccard ≥ 0.6"))
+register(QuerySpec("dedup_index_bucketed", dedup_index_bucketed, IDX_SQL,
+                   "bucketed-metastore incremental dedup: same pairs as "
+                   "dedup_index_incremental, probe plan shuffles only "
+                   "the batch"))
 register(QuerySpec("dedup_near_minhash", dedup_near_minhash, MINHASH_SQL,
                    "MinHash-LSH near-dup pairs, exact-Jaccard verified"))
 register(QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_SQL,

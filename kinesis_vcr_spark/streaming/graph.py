@@ -296,6 +296,31 @@ def streaming_connected_components(
     )
 
 
+def streaming_kcore(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    nodes_path: str,
+    k: int,
+    available_now: bool = True,
+    max_iterations: int = 50,
+):
+    """k-core membership snapshots over an edge stream — the
+    :func:`streaming_graph_snapshot` instantiation for the peeling
+    family (completes the graph ops' streaming story now that batch
+    k-core exists): after each drain ``nodes_path`` holds
+    ``kcore_nodes`` over every edge ever streamed."""
+    from kinesis_vcr_spark.operators.kcore import kcore_nodes
+
+    return streaming_graph_snapshot(
+        edges, src_col, dst_col, state_dir, checkpoint_dir, nodes_path,
+        lambda e: kcore_nodes(e, "a", "b", k, max_iterations),
+        available_now=available_now,
+    )
+
+
 def streaming_pagerank(
     edges: DataFrame,
     src_col: str,

@@ -66,6 +66,25 @@ def read_neardup_progress(state_dir: str) -> dict:
     return _read_progress(_progress_path(state_dir))
 
 
+def compact_neardup_state(spark, state_dir: str, pairs_path: str) -> None:
+    """Compact everything a long-lived near-dup stream accumulates —
+    the index's band/shingle scopes AND the pairs sink (one scope per
+    micro-batch each; VERDICT r06 item 6). Run against a DRAINED or
+    paused stream only (see
+    :func:`~kinesis_vcr_spark.operators.compaction.compact_scoped_state`
+    for the swap contract); the progress watermark, later probes, and
+    later appends are unaffected — every read path drops the ``ingest``
+    provenance column, and batch labels never collide with
+    ``_compacted``."""
+    from kinesis_vcr_spark.operators.compaction import compact_scoped_state
+    from kinesis_vcr_spark.operators.dedup_index import (
+        compact_near_dup_index,
+    )
+
+    compact_near_dup_index(spark, f"{state_dir}/index")
+    compact_scoped_state(spark, pairs_path)
+
+
 def streaming_near_dup(
     docs: DataFrame,
     id_col: str,

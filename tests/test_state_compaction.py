@@ -295,3 +295,41 @@ def test_ivf_default_append_accumulates(spark, tmp_path):
     _, lists = load_ivf_index(spark, path)
     ids = {r.vec_id for r in lists.select("vec_id").collect()}
     assert set(range(300, 304)) <= ids and len(ids) == 20 + 5 + 5 + 4
+
+
+def test_compact_neardup_state_preserves_stream(spark, tmp_path):
+    """Drain → compact (index scopes + pairs sink) → keep streaming:
+    pairs parity with the batch pipeline still holds over the whole
+    life of the stream and the progress counters keep accumulating."""
+    from kinesis_vcr_spark.streaming.neardup import compact_neardup_state
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    pairs = str(tmp_path / "pairs")
+    b0, b1 = _docs(spark, DOCS_B0), _docs(spark, DOCS_B1)
+    b0.coalesce(1).write.parquet(f"{src}/f0.parquet")
+    b1.coalesce(1).write.parquet(f"{src}/f1.parquet")
+    _run_neardup(spark, src, state, ckpt, pairs)
+    before = sorted(_pairs_rows(spark, pairs))
+    progress_before = read_neardup_progress(state)
+    assert before and progress_before["pairs_emitted"] == len(before)
+
+    compact_neardup_state(spark, state, pairs)
+    assert sorted(_pairs_rows(spark, pairs)) == before
+    assert read_neardup_progress(state) == progress_before
+
+    # stream a late twin batch against the compacted state
+    late = _docs(spark, [(31, _BASE_B.replace("inside", "indoors"))])
+    late.coalesce(1).write.parquet(f"{src}/f2.parquet")
+    _run_neardup(spark, src, state, ckpt, pairs)
+    full = b0.unionByName(b1).unionByName(late)
+    expected = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in near_dup_pairs_minhash(
+            full, "doc_id", "text", threshold=THRESHOLD,
+            band_member_cap=None, **KW,
+        ).collect()
+    )
+    assert len(expected) > len(before)
+    assert sorted(_pairs_rows(spark, pairs)) == expected

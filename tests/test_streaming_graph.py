@@ -221,3 +221,37 @@ def test_streaming_pagerank_snapshot_matches_batch(spark, tmp_path):
         for r in pagerank_micro(both, "a", "b", iterations=10).collect()
     }
     assert got == expected
+
+
+def test_streaming_kcore_snapshot_matches_batch(spark, tmp_path):
+    """The snapshot wrapper instantiated for the peeling family: after
+    a drain, nodes_path equals batch kcore_nodes over every edge ever
+    streamed."""
+    from kinesis_vcr_spark.operators.kcore import kcore_nodes
+    from kinesis_vcr_spark.streaming.graph import streaming_kcore
+
+    src = str(tmp_path / "src")
+    # K5 arrives in two batches plus a pendant tail that peels away
+    _write_chunk(spark, GRAPH[:6], f"{src}/f0.parquet")
+    _write_chunk(spark, GRAPH[6:], f"{src}/f1.parquet")
+
+    q = streaming_kcore(
+        spark.readStream.schema("a long, b long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*"),
+        "a", "b",
+        str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        str(tmp_path / "nodes"), k=3,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.node, r.core_deg)
+        for r in spark.read.parquet(str(tmp_path / "nodes")).collect()
+    }
+    expected = {
+        (r.node, r.core_deg)
+        for r in kcore_nodes(_edges(spark, GRAPH), "a", "b", 3).collect()
+    }
+    assert got == expected
+    assert {n for n, _ in got} == {0, 1, 2, 3, 4}  # K5 core only
