@@ -215,6 +215,14 @@ def load_near_dup_index(
     )
 
 
+def _drop_managed_table(spark: SparkSession, name: str) -> None:
+    """Drop a managed table from the (session-local) catalog AND remove
+    its warehouse location if a previous session left one behind."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    _rm_recursive(spark, f"{warehouse.rstrip('/')}/{name.lower()}")
+
+
 def build_near_dup_index_bucketed(
     df: DataFrame,
     table_prefix: str,
@@ -262,6 +270,13 @@ def build_near_dup_index_bucketed(
         df, id_col, text_col, shingle_size, num_hashes, bands, char_ngrams
     )
     mode = "append" if append else "overwrite"
+    if not append:
+        # the catalog is session-local but the WAREHOUSE DIR persists:
+        # a fresh session's overwrite hits LOCATION_ALREADY_EXISTS on a
+        # previous session's managed-table leftovers — drop any catalog
+        # entry AND clear the stale location before writing
+        for suffix in ("_bands", "_shingles", "_meta"):
+            _drop_managed_table(spark, f"{table_prefix}{suffix}")
     (
         band_rows.write.mode(mode)
         .bucketBy(n_buckets, "band_hash")
