@@ -53,32 +53,59 @@ def kcore_edges(
 ) -> DataFrame:
     """Edges ``(a, b)`` (canonical ``a < b``) of the k-core of the
     undirected simple graph. Raises after ``max_iterations`` peel
-    rounds without convergence (see module docstring for why loud)."""
+    rounds without convergence (see module docstring for why loud).
+
+    Memory shape (learned at the sf100 rung, r07): the original design
+    ``localCheckpoint``-ed the FILTERED EDGE TABLE every round — an
+    edge-sized materialization per peel, row-object overhead included,
+    which OOMed a 96 g heap on a 500 M-edge graph regardless of how
+    promptly superseded rounds were unpersisted. Peeling state is
+    node-sized by nature, so now only the cumulative PEELED-NODE set is
+    checkpointed per round (truncating the iterative lineage), while
+    the canonical edge table is cached ONCE in compressed columnar form
+    and re-filtered against that set each round. Per-round compute is
+    two broadcast anti-joins + one degree aggregation over the cached
+    base — same as before at shallow peel depths (real graphs converge
+    in a handful of rounds; the fixtures in two) — and peak storage is
+    one columnar copy of the edges plus a node set, at any scale."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    cur = _simple_undirected(edges, src, dst).localCheckpoint()
-    for _ in range(max_iterations):
+    base = _simple_undirected(edges, src, dst).persist()
+    removed: DataFrame | None = None  # schema follows the node id type
+
+    def alive(rm: DataFrame | None) -> DataFrame:
+        if rm is None:
+            return base
+        return base.join(
+            F.broadcast(rm.select(F.col("node").alias("a"))), "a", "left_anti"
+        ).join(
+            F.broadcast(rm.select(F.col("node").alias("b"))), "b", "left_anti"
+        )
+
+    for i in range(max_iterations + 1):  # +1: the final fixpoint check
+        cur = alive(removed)
         bad = _degrees(cur).where(F.col("deg") < k).select("node")
         if bad.isEmpty():
+            # lineage is already shallow (source + two anti-joins
+            # against the checkpointed node set) — no edge-sized
+            # checkpoint of the result, which would reintroduce the
+            # very materialization this shape exists to avoid. The
+            # columnar base STAYS cached so the caller's consuming
+            # action (the whole point of calling this) reads it instead
+            # of re-scanning the source — the setjoin/triangles
+            # documented-persist lifecycle: callers running many k-core
+            # jobs in one session clear it via catalog.clearCache()
+            # (bench does between samples).
             return cur
-        cur = (
-            cur.join(
-                F.broadcast(bad.select(F.col("node").alias("a"))),
-                "a",
-                "left_anti",
-            )
-            .join(
-                F.broadcast(bad.select(F.col("node").alias("b"))),
-                "b",
-                "left_anti",
-            )
-            .localCheckpoint()
-        )
-    # the guard must permit exactly max_iterations PEELS — without this
-    # final check a graph converging on the last allowed peel would
-    # raise even though the paired oracle's unroll (same depth) succeeds
-    if _degrees(cur).where(F.col("deg") < k).isEmpty():
-        return cur
+        if i == max_iterations:
+            base.unpersist()
+            break  # out of peel budget and still not converged
+        prev = removed
+        removed = (
+            bad if prev is None else prev.unionByName(bad)
+        ).localCheckpoint()
+        if prev is not None:
+            prev.unpersist()
     raise RuntimeError(
         f"{k}-core peeling did not converge within {max_iterations} "
         "iterations — raise max_iterations (and, for an oracle-paired "

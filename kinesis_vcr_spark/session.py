@@ -30,7 +30,13 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = cpus
+        # scale runs (sf≥100 locally: hundreds of millions of rows per
+        # shuffle) need more, smaller partitions so per-task hash
+        # state fits the heap — AQE coalesces the excess right back on
+        # small data, so the env override is safe to leave set
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
+        )
 
     builder = (
         SparkSession.builder.master(master)
