@@ -55,19 +55,15 @@ def _simple_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def triangles(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """All triangles of the undirected simple graph as one row per
-    triangle ``(x, y, z)``, ordered by ``(degree, node)`` rank within
-    the row (x = pivot = lowest rank). Each triangle appears exactly
-    once."""
-    und = _simple_undirected(edges, src, dst)
+def _oriented(und: DataFrame) -> DataFrame:
+    """Degree-oriented edges ``(lo, hi, hi_deg)`` — lo is the smaller
+    ``(degree, node)`` rank. NOT persisted; callers own the lifecycle."""
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # rank endpoints by (deg, node); orient lo -> hi
     ed = (
         und.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
         .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
@@ -75,19 +71,18 @@ def triangles(edges: DataFrame, src: str, dst: str) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    # persist: `oriented` feeds three join branches (both wedge sides
-    # and the closing edge list); the upstream dedup + two degree
-    # joins otherwise run once per branch. Lifecycle: no unpersist hook
-    # exists after a lazily returned DataFrame's final action — callers
-    # running many queries per session clear between queries
-    # (bench.py's spark.catalog.clearCache()); otherwise storage-LRU
-    # eviction bounds the cost (MEMORY_AND_DISK default)
-    oriented = ed.select(
+    return ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("hi_deg"),
-    ).persist()
-    x = oriented.alias("x")
+    )
+
+
+def _close_wedges(x_edges: DataFrame, oriented: DataFrame) -> DataFrame:
+    """Triangles ``(x, y, z)`` whose pivot out-edge pair starts from
+    ``x_edges`` (a subset of ``oriented``): ordered wedges at the pivot
+    closed by one more equi-join."""
+    x = x_edges.alias("x")
     y = oriented.alias("y")
     # ordered wedge at the pivot: (hi1, hi2) with rank(hi1) < rank(hi2)
     wedges = x.join(y, F.col("x.lo") == F.col("y.lo")).where(
@@ -107,11 +102,29 @@ def triangles(edges: DataFrame, src: str, dst: str) -> DataFrame:
     return wedges.join(closer, ["y", "z"])
 
 
-def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """``(node, triangles)`` — number of triangles each node
-    participates in. Nodes in no triangle are absent (join back against
-    the node set if zeros are needed)."""
-    tri = triangles(edges, src, dst)
+def triangles(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """All triangles of the undirected simple graph as one row per
+    triangle ``(x, y, z)``, ordered by ``(degree, node)`` rank within
+    the row (x = pivot = lowest rank). Each triangle appears exactly
+    once."""
+    # persist: `oriented` feeds three join branches (both wedge sides
+    # and the closing edge list); the upstream dedup + two degree
+    # joins otherwise run once per branch. Lifecycle: no unpersist hook
+    # exists after a lazily returned DataFrame's final action — callers
+    # running many queries per session clear between queries
+    # (bench.py's spark.catalog.clearCache()); otherwise storage-LRU
+    # eviction bounds the cost (MEMORY_AND_DISK default)
+    oriented = _oriented(_simple_undirected(edges, src, dst)).persist()
+    return _close_wedges(oriented, oriented)
+
+
+#: auto-chunk budget: ~500 M wedge rows ≈ 12 GB raw (×3 longs) per
+#: chunk shuffle — sized so one chunk's spill fits a single machine's
+#: scratch disk with margin; chunks = ceil(wedges / this)
+AUTO_WEDGE_ROWS_PER_CHUNK = 500_000_000
+
+
+def _counts_from(tri: DataFrame) -> DataFrame:
     return (
         tri.select(F.col("x").alias("node"))
         .unionAll(tri.select(F.col("y").alias("node")))
@@ -119,3 +132,78 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    pivot_chunks: int | None = 1,
+) -> DataFrame:
+    """``(node, triangles)`` — number of triangles each node
+    participates in. Nodes in no triangle are absent (join back against
+    the node set if zeros are needed).
+
+    ``pivot_chunks > 1`` switches to DISK-BOUNDED execution (learned at
+    the r07 sf100 rung): the single-job plan materializes the whole
+    wedge set through one shuffle — 4.0 G wedges ≈ 100 GB at sf100,
+    which out-sizes a single machine's scratch disk even though the
+    O(m^1.5) compute is fine. Because degree orientation gives every
+    triangle exactly ONE pivot, partitioning the pivot edge set into
+    ``pivot_chunks`` hash chunks partitions the triangle set exactly:
+    each chunk runs as its OWN job whose wedge shuffle is ~1/chunks of
+    the total, its node-sized partial counts are eagerly
+    ``localCheckpoint``-ed, and the final result sums the partials.
+    Peak scratch disk is one chunk's shuffle instead of the whole wedge
+    volume; total compute is unchanged (the oriented table is cached
+    columnar once and each chunk re-reads it). On a real cluster the
+    aggregate shuffle capacity usually makes ``pivot_chunks=1`` the
+    right call — this knob is for when wedge volume and scratch space
+    collide, at any scale. Results are identical by construction
+    (pinned in tests/test_triangles.py). ``pivot_chunks=None``
+    auto-sizes from the exact wedge count (Σ C(out_deg, 2), one cheap
+    aggregation over the cached oriented table) against
+    ``AUTO_WEDGE_ROWS_PER_CHUNK`` — fixture scales resolve to the
+    single-job plan."""
+    spark = edges.sparkSession
+    oriented = _oriented(_simple_undirected(edges, src, dst)).persist()
+    if pivot_chunks is None:
+        # auto-size from the exact wedge count — one cheap aggregation
+        # over the already-cached oriented table (Σ C(out_deg, 2)),
+        # paid once; at fixture scales this resolves to 1 chunk and the
+        # single-job plan is byte-identical to pivot_chunks=1
+        est = (
+            oriented.groupBy("lo")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(
+                F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w")
+            )
+            .collect()[0]["w"]
+        )
+        pivot_chunks = max(
+            1, -(-int(est or 0) // AUTO_WEDGE_ROWS_PER_CHUNK)
+        )
+    if pivot_chunks <= 1:
+        return _counts_from(_close_wedges(oriented, oriented))
+    partials = []
+    for i in range(pivot_chunks):
+        chunk = oriented.where(
+            F.pmod(F.xxhash64(F.col("lo")), F.lit(pivot_chunks)) == i
+        )
+        # eager, node-sized: the chunk's wedge shuffle becomes garbage
+        # the moment the checkpoint materializes
+        partials.append(
+            _counts_from(_close_wedges(chunk, oriented)).localCheckpoint()
+        )
+        # nudge the JVM so the finished chunk's shuffle files are
+        # eligible for ContextCleaner removal before the next chunk
+        # piles its own on top — this is the whole point of chunking
+        spark.sparkContext._jvm.System.gc()
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    result = out.groupBy("node").agg(
+        F.sum("triangles").alias("triangles")
+    )
+    oriented.unpersist()  # partials are checkpointed; safe to drop
+    return result

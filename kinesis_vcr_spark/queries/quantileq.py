@@ -1070,7 +1070,11 @@ def user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("src_user").isNotNull())
         .select("src_user", "dst_user")
     )
-    counts = triangle_counts(edges, "src_user", "dst_user")
+    # auto pivot-chunking: resolves to the unchanged single-job plan at
+    # every fixture scale; at sf100 (4.0 G wedges ≈ 100 GB shuffle, more
+    # than a single machine's scratch disk) it splits the pivot set so
+    # peak spill is one chunk's wedges (operators/triangles.py, r07)
+    counts = triangle_counts(edges, "src_user", "dst_user", pivot_chunks=None)
     return (
         counts.select(F.col("node").alias("user_id"), "triangles")
         .orderBy(F.col("triangles").desc(), "user_id")

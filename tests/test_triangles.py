@@ -126,3 +126,36 @@ def test_plan_all_equi_joins_no_python(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pivot_chunked_counts_identical(spark):
+    """Disk-bounded chunked execution partitions the triangle set
+    exactly (one pivot per triangle), so per-node counts are identical
+    for any chunk count, and auto-sizing resolves small graphs to one
+    chunk."""
+    from kinesis_vcr_spark.operators.triangles import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(8) for j in range(i + 1, 8)]  # K8
+        + [(100, 101), (101, 102), (100, 102), (4, 100)],
+        "src long, dst long",
+    )
+    plain = {
+        (r.node, r.triangles)
+        for r in triangle_counts(edges, "src", "dst").collect()
+    }
+    for chunks in (2, 3, 7):
+        got = {
+            (r.node, r.triangles)
+            for r in triangle_counts(
+                edges, "src", "dst", pivot_chunks=chunks
+            ).collect()
+        }
+        assert got == plain, chunks
+    auto = {
+        (r.node, r.triangles)
+        for r in triangle_counts(
+            edges, "src", "dst", pivot_chunks=None
+        ).collect()
+    }
+    assert auto == plain
