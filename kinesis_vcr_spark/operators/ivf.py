@@ -276,6 +276,18 @@ def append_ivf_index(
     )
 
 
+def compact_ivf_index(spark, index_path: str) -> None:
+    """Collapse accumulated ``lists/ingest=<label>`` scopes (daily
+    appends) into one compacted scope, preserving the ``cid`` physical
+    clustering — probe results identical before/after (test-pinned);
+    run only while no ingest is writing. Same swap contract as the
+    near-dup index compaction
+    (:func:`~kinesis_vcr_spark.operators.compaction.compact_scoped_state`)."""
+    from kinesis_vcr_spark.operators.compaction import compact_scoped_state
+
+    compact_scoped_state(spark, f"{index_path}/lists", ("cid",))
+
+
 def load_ivf_index(spark, index_path: str) -> tuple[np.ndarray, DataFrame]:
     """(centroids matrix, inverted-lists DataFrame) from
     :func:`build_ivf_index` output; the ``ingest`` provenance

@@ -333,3 +333,46 @@ def test_compact_neardup_state_preserves_stream(spark, tmp_path):
     )
     assert len(expected) > len(before)
     assert sorted(_pairs_rows(spark, pairs)) == expected
+
+
+def test_compact_ivf_index_probe_identical(spark, tmp_path):
+    """IVF lists compaction: build + appends → compact → top-k results
+    bit-identical; appends after compaction still work."""
+    from kinesis_vcr_spark.operators.ivf import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_topk_indexed,
+        load_ivf_index,
+    )
+
+    def vecs(ids):
+        return spark.createDataFrame(
+            [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(vecs(range(30)), path, k_centroids=4)
+    append_ivf_index(vecs(range(100, 110)), path, ingest_label="day1")
+    queries = vecs(range(500, 503)).withColumnRenamed("vec_id", "query_id")
+
+    def topk():
+        return sorted(
+            (r.query_id, r.vec_id, r.cosine, r.rank)
+            for r in ivf_topk_indexed(
+                load_ivf_index(spark, path), queries, k=5, nprobe=2
+            ).collect()
+        )
+
+    before = topk()
+    assert before
+    compact_ivf_index(spark, path)
+    scopes = [
+        d for d in os.listdir(f"{path}/lists") if d.startswith("ingest=")
+    ]
+    assert scopes == ["ingest=_compacted"]
+    assert topk() == before
+    append_ivf_index(vecs(range(200, 205)), path, ingest_label="day2")
+    _, lists = load_ivf_index(spark, path)
+    assert lists.count() == 30 + 10 + 5
