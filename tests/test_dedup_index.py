@@ -213,3 +213,39 @@ def test_bucketed_append_parameter_mismatch_raises(spark, sf_dir):
             docs, "ndidx_bucketed_test", "doc_id", "text",
             shingle_size=5, num_hashes=64, bands=16, append=True,
         )
+
+
+def test_bucketed_probe_smj_reads_stored_in_place(spark, sf_dir):
+    """The at-scale shape: with broadcast disabled (forcing the
+    sort-merge joins a 10^9-doc index would actually run), every
+    bucketed stored scan must feed its join WITHOUT an Exchange above
+    it — a shuffled stored side would appear as Exchange → (Sort) →
+    FileScan over the catalog table."""
+    from kinesis_vcr_spark.operators.dedup_index import (
+        near_dup_against_bucketed_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = near_dup_against_bucketed_index(
+            new, spark, "ndidx_bucketed_test", "doc_id", "text",
+            threshold=THRESHOLD,
+        )._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    lines = plan.splitlines()
+    stored = [
+        i for i, l in enumerate(lines)
+        if "FileScan" in l and "ndidx_bucketed_test_" in l
+    ]
+    assert len(stored) >= 4, plan  # bands ×2 (counts + candidates) + shingles ×2
+    for i in stored:
+        # parent chain is printed immediately above at shallower depth;
+        # a shuffle would put "Exchange hashpartitioning" within the
+        # two lines over the scan (possibly through a Sort)
+        ctx = "\n".join(lines[max(0, i - 2) : i])
+        assert "Exchange hashpartitioning" not in ctx, (
+            f"stored scan shuffled:\n{ctx}\n{lines[i]}"
+        )
