@@ -90,12 +90,15 @@ def kcore_edges(
             # against the checkpointed node set) — no edge-sized
             # checkpoint of the result, which would reintroduce the
             # very materialization this shape exists to avoid. The
-            # columnar base STAYS cached so the caller's consuming
-            # action (the whole point of calling this) reads it instead
-            # of re-scanning the source — the setjoin/triangles
-            # documented-persist lifecycle: callers running many k-core
-            # jobs in one session clear it via catalog.clearCache()
-            # (bench does between samples).
+            # base is UNPERSISTED here, costing the caller's consuming
+            # action one re-scan of the source: leaving it cached
+            # poisons any LATER call whose scan canonicalizes to the
+            # same plan — InMemoryFileIndex equality is by root paths
+            # only, so a re-run over the same path with NEW data (the
+            # streaming snapshot shape, one k-core per trigger) would
+            # be served this call's stale cached edges — and
+            # accumulates an edge-sized cache entry per call besides.
+            base.unpersist()
             return cur
         if i == max_iterations:
             base.unpersist()

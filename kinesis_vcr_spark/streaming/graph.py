@@ -65,13 +65,29 @@ def _read_edges(spark, edges_path: str, exclude_ingest: str | None = None):
     """The accumulated canonical edge table ``(a, b)`` (None if no
     batch has committed yet). Edges live under per-batch
     ``ingest=b{id}`` partition scopes; ``exclude_ingest`` drops one
-    scope partition-pruned — the replay-safety read path."""
+    scope — the replay-safety read path.
+
+    The scan is built from the EXPLICIT per-scope paths, not the state
+    root: ``InMemoryFileIndex`` equality is by root paths alone, so two
+    reads of the same root in one session canonicalize to the SAME
+    plan even after new scopes landed in between — and any ``batch_fn``
+    that ``persist()``s a derivation of the scan (k-core caches its
+    columnar edge base) would silently get the PREVIOUS trigger's
+    cached data back from the CacheManager instead of the new edges.
+    Distinct path sets per trigger make each trigger's plan distinct.
+    (Exclusion also becomes path-level: the replaced scope is never
+    even listed.)"""
     if not os.path.isdir(edges_path):
         return None
-    df = spark.read.parquet(edges_path)
+    scopes = sorted(
+        d for d in os.listdir(edges_path) if d.startswith("ingest=")
+    )
     if exclude_ingest is not None:
-        df = df.where(F.col("ingest") != exclude_ingest)
-    return df.select("a", "b")
+        scopes = [d for d in scopes if d != f"ingest={exclude_ingest}"]
+    if not scopes:
+        return None
+    paths = [f"{edges_path}/{d}" for d in scopes]
+    return spark.read.parquet(*paths).select("a", "b")
 
 
 def _read_progress(progress_path: str) -> dict:

@@ -59,3 +59,22 @@ def test_convergence_on_exactly_max_iterations_peels(spark):
     assert kcore_edges(path5, "src", "dst", 2, max_iterations=2).count() == 0
     with pytest.raises(RuntimeError, match="did not converge"):
         kcore_edges(path5, "src", "dst", 2, max_iterations=1)
+
+
+def test_rerun_over_same_path_sees_new_data(spark, tmp_path):
+    """The CacheManager trap the streaming snapshot hit (r07):
+    InMemoryFileIndex equality is by root paths only, so a second
+    k-core over the SAME parquet path after the data changed
+    canonicalizes to the first run's cached ``base`` plan — if the
+    operator left its columnar base persisted, the second run would be
+    served the FIRST run's edges and report an empty core here."""
+    p = str(tmp_path / "edges")
+    # 6 of K5's 10 edges: 3-core empty
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    _edges(spark, k5[:6]).write.mode("overwrite").parquet(p)
+    first = kcore_nodes(spark.read.parquet(p), "src", "dst", 3)
+    assert first.count() == 0
+    # full K5 lands at the same path: 3-core is all five nodes
+    _edges(spark, k5).write.mode("overwrite").parquet(p)
+    second = kcore_nodes(spark.read.parquet(p), "src", "dst", 3)
+    assert {r.node for r in second.collect()} == {0, 1, 2, 3, 4}
