@@ -40,10 +40,17 @@ def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     verb = argv[0] if argv else "record"
 
-    from kinesis_vcr_spark.session import get_spark
-
     config = VcrConfig.from_env()
-    spark = get_spark(f"kinesis-vcr-{verb}")
+
+    def get_session():
+        # deferred until arguments are validated: usage errors must not
+        # spin up a JVM — and when an outer session already exists
+        # (tests, notebooks), getOrCreate applies this builder's conf
+        # as RUNTIME conf on it (shuffle partitions included), a
+        # mutation a usage-error path has no business making
+        from kinesis_vcr_spark.session import get_spark
+
+        return get_spark(f"kinesis-vcr-{verb}")
 
     if verb == "estimate":
         args = list(argv[1:])
@@ -58,6 +65,7 @@ def main(argv: list[str] | None = None) -> int:
             manifest_path = args[i + 1]
             del args[i : i + 2]
         start, end = _parse_range(args, "estimate")
+        spark = get_session()
         from kinesis_vcr_spark.functions.estimate import (
             boto3_describe_stream_factory,
             count_open_shards,
@@ -103,6 +111,7 @@ def main(argv: list[str] | None = None) -> int:
         if not config.target_stream:
             print("VCR_TARGET_STREAM is required for play", file=sys.stderr)
             return 2
+        spark = get_session()
         writer = kinesis_partition_writer(
             config.target_stream, boto3_put_records_factory
         )
@@ -128,7 +137,7 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         source = read_kinesis_stream(
-            spark,
+            get_session(),
             config.source_stream,
             region="us-east-1",
         )

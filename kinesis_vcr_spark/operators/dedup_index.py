@@ -34,9 +34,10 @@ Scale posture:
   sets (parquet scan pruned by the join, never a full read);
 - ``/bands`` is partitioned by ``band_pos`` so a band-position probe
   prunes to 1/bands of the files; at the very largest scales write the
-  band table as a ``bucketBy(band_hash)`` metastore table instead so
-  the probe shuffles ONLY the new batch (documented beyond-parquet
-  path — same escape-hatch style as setjoin's dense_token_ids=False);
+  band table as a ``bucketBy(band_pos, band_hash)`` metastore table
+  instead (:func:`build_near_dup_index_bucketed`) so the probe
+  shuffles ONLY the new batch (same escape-hatch style as setjoin's
+  dense_token_ids=False);
 - ids must be unique across index + batch (the caller's ingest key);
   probing a batch whose ids are already indexed would self-pair, so
   equal ids are excluded defensively.
@@ -64,6 +65,10 @@ from kinesis_vcr_spark.operators.dedup import (
 _META_SCHEMA = (
     "shingle_size int, num_hashes int, bands int, char_ngrams boolean"
 )
+# the bucketed variant also records its bucket count: probes must
+# repartition the batch side to EXACTLY this spec (see
+# near_dup_against_bucketed_index) and appends must match it
+_BQ_META_SCHEMA = _META_SCHEMA + ", n_buckets int"
 
 
 def _rm_recursive(spark: SparkSession, path: str) -> None:
@@ -257,15 +262,18 @@ def build_near_dup_index_bucketed(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     spark = df.sparkSession
-    params = (shingle_size, num_hashes, bands, char_ngrams)
+    params = (shingle_size, num_hashes, bands, char_ngrams, n_buckets)
     if append:
         m = spark.table(f"{table_prefix}_meta").collect()[0]
-        have = (m["shingle_size"], m["num_hashes"], m["bands"], m["char_ngrams"])
+        have = (
+            m["shingle_size"], m["num_hashes"], m["bands"],
+            m["char_ngrams"], m["n_buckets"],
+        )
         if have != params:
             raise ValueError(
                 f"bucketed index {table_prefix} was built with "
-                f"(shingle_size, num_hashes, bands, char_ngrams)={have}; "
-                f"append requested {params}"
+                f"(shingle_size, num_hashes, bands, char_ngrams, "
+                f"n_buckets)={have}; append requested {params}"
             )
     band_rows, with_sh = _index_rows(
         df, id_col, text_col, shingle_size, num_hashes, bands, char_ngrams
@@ -298,7 +306,7 @@ def build_near_dup_index_bucketed(
         .saveAsTable(f"{table_prefix}_shingles")
     )
     if not append:
-        spark.createDataFrame([params], _META_SCHEMA).write.mode(
+        spark.createDataFrame([params], _BQ_META_SCHEMA).write.mode(
             "overwrite"
         ).format("parquet").saveAsTable(f"{table_prefix}_meta")
 
@@ -330,14 +338,32 @@ def near_dup_against_bucketed_index(
     - verification coalesces each pair side between the bucketed
       shingle table (no Exchange) and the batch's own shingles, so
       stored shingle sets are never shuffled either.
+
+    Every batch-side frame is EXPLICITLY repartitioned to the stored
+    bucket spec (``n_buckets`` from the meta table) before joining.
+    This is load-bearing, not cosmetic: when
+    ``spark.sql.shuffle.partitions`` exceeds the bucket count — the
+    NORMAL state on a real cluster, where shuffle partitions are in
+    the thousands — EnsureRequirements refuses to reuse a child
+    partitioning coarser than the conf, shuffles the STORED side to
+    conf partitions, and DisableUnnecessaryBucketedScan then disables
+    the bucketed read entirely (measured: conf 33+ vs 32 buckets flips
+    the stored scan to Exchange + ``Bucketed: false``). With both join
+    children explicitly at the bucket spec the partitionings are
+    compatible at any conf and no stored row ever moves (plan-pinned
+    at conf ≫ buckets in tests/test_dedup_index.py).
     """
     m = spark.table(f"{table_prefix}_meta").collect()[0]
+    n_buckets = m["n_buckets"]
     new_bands, new_sh = _index_rows(
         new_df, id_col, text_col,
         m["shingle_size"], m["num_hashes"], m["bands"], m["char_ngrams"],
     )
     stored = spark.table(f"{table_prefix}_bands")
     keys = ["band_pos", "band_hash"]
+    # one shuffle of the batch to the stored layout; everything built
+    # from new_bands below inherits (band_pos, band_hash) clustering
+    new_bands = new_bands.repartition(n_buckets, *keys)
     if band_member_cap is not None:
         stored_cnt = stored.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("__n_old")
@@ -394,9 +420,14 @@ def near_dup_against_bucketed_index(
 
     a_old, a_new, sh_a = side("id_a")
     b_old, b_new, sh_b = side("id_b")
+    # candidates re-cluster to the shingle tables' bucket spec per key
+    # side (two batch-sized shuffles) so the stored shingle scans also
+    # join in place at any conf
     return (
-        cand.join(a_old, "id_a", "left")
+        cand.repartition(n_buckets, "id_a")
+        .join(a_old, "id_a", "left")
         .join(a_new, "id_a", "left")
+        .repartition(n_buckets, "id_b")
         .join(b_old, "id_b", "left")
         .join(b_new, "id_b", "left")
         .select(

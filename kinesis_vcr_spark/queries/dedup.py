@@ -154,7 +154,8 @@ def dedup_index_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The METASTORE twin of ``dedup_index_incremental`` (VERDICT r06
     item 7): identical corpus/batch split and identical expected pairs
     (same IDX_SQL oracle), but through the
-    ``bucketBy(band_hash)``/``bucketBy(id)`` tables whose probe plan
+    ``bucketBy(band_pos, band_hash)``/``bucketBy(id)`` tables whose
+    probe plan
     never shuffles a stored row — driver-grade evidence that the
     only-shuffle-the-batch path computes the same answer as the
     parquet artifact (plan Exchange-freedom itself is pinned in

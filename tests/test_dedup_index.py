@@ -191,15 +191,28 @@ def test_bucketed_probe_plan_no_stored_side_exchange(spark, sf_dir):
     # every bucketed scan must announce bucket pruning/output
     # partitioning: 'SelectedBucketsCount' appears per bucketed scan
     assert plan.count("SelectedBucketsCount") >= 4, plan
-    # No Exchange directly above a bucketed scan: walk each scan's
-    # operator chain upward (string form: operators above have smaller
-    # indent). Cheap proxy that has caught regressions in E55: the
-    # number of Exchanges must not exceed the batch-side shuffles
-    # (batch bands/counts/shingles + candidate distinct + 4 verify-join
-    # re-distributions), while adding one more stored-side shuffle
-    # would push it past this pin.
+    # the precise property: no Exchange between any stored scan and its
+    # join (parent chain prints immediately above at shallower depth)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "FileScan" in line and "ndidx_bucketed_test_" in line:
+            # NOTE: "Bucketed: false (disabled by query planner)" is
+            # FINE here — under a broadcast join the scan has no
+            # distribution requirement, so skipping the bucketed read
+            # is the optimal choice; only an Exchange above the scan
+            # (stored rows moving) is a regression. The broadcast-
+            # disabled SMJ variant below additionally requires the
+            # bucketed read itself.
+            ctx = "\n".join(lines[max(0, i - 2) : i])
+            assert "Exchange hashpartitioning" not in ctx, (
+                f"stored scan shuffled:\n{ctx}\n{line}"
+            )
+    # canary on total shuffle count: batch bands align to the bucket
+    # spec (1) + batch agg/shingle shuffles + candidate distinct + the
+    # two verify-side re-clusterings; a stored-side shuffle regression
+    # would push past this
     n_exchange = plan.count("Exchange hashpartitioning")
-    assert n_exchange <= 10, f"{n_exchange} exchanges:\n{plan}"
+    assert n_exchange <= 16, f"{n_exchange} exchanges:\n{plan}"
 
 
 def test_bucketed_append_parameter_mismatch_raises(spark, sf_dir):
@@ -220,32 +233,47 @@ def test_bucketed_probe_smj_reads_stored_in_place(spark, sf_dir):
     sort-merge joins a 10^9-doc index would actually run), every
     bucketed stored scan must feed its join WITHOUT an Exchange above
     it — a shuffled stored side would appear as Exchange → (Sort) →
-    FileScan over the catalog table."""
+    FileScan over the catalog table. Pinned at shuffle partitions BOTH
+    below and far ABOVE the bucket count: a cluster runs with conf in
+    the thousands, and EnsureRequirements re-shuffles a stored side
+    whose layout is coarser than conf unless the probe explicitly
+    aligns the batch side to the bucket spec (the regression this
+    pins: conf 33 vs 32 buckets flipped every probe join to
+    "Bucketed: false (disabled by query planner)")."""
     from kinesis_vcr_spark.operators.dedup_index import (
         near_dup_against_bucketed_index,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     new = docs.where(F.col("doc_id") % 4 == 0)
+    parts_before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        plan = near_dup_against_bucketed_index(
-            new, spark, "ndidx_bucketed_test", "doc_id", "text",
-            threshold=THRESHOLD,
-        )._jdf.queryExecution().executedPlan().toString()
+        for parts in ("4", "1024"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            plan = near_dup_against_bucketed_index(
+                new, spark, "ndidx_bucketed_test", "doc_id", "text",
+                threshold=THRESHOLD,
+            )._jdf.queryExecution().executedPlan().toString()
+            lines = plan.splitlines()
+            stored = [
+                i for i, l in enumerate(lines)
+                if "FileScan" in l and "ndidx_bucketed_test_" in l
+            ]
+            # bands ×2 (counts + candidates) + shingles ×2 at least
+            assert len(stored) >= 4, plan
+            for i in stored:
+                assert "disabled by query planner" not in lines[i], (
+                    f"parts={parts}: bucketed read disabled:\n{lines[i]}"
+                )
+                # parent chain prints immediately above at shallower
+                # depth; a shuffle would put an Exchange within the two
+                # lines over the scan (possibly through a Sort)
+                ctx = "\n".join(lines[max(0, i - 2) : i])
+                assert "Exchange hashpartitioning" not in ctx, (
+                    f"parts={parts}: stored scan shuffled:\n"
+                    f"{ctx}\n{lines[i]}"
+                )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    lines = plan.splitlines()
-    stored = [
-        i for i, l in enumerate(lines)
-        if "FileScan" in l and "ndidx_bucketed_test_" in l
-    ]
-    assert len(stored) >= 4, plan  # bands ×2 (counts + candidates) + shingles ×2
-    for i in stored:
-        # parent chain is printed immediately above at shallower depth;
-        # a shuffle would put "Exchange hashpartitioning" within the
-        # two lines over the scan (possibly through a Sort)
-        ctx = "\n".join(lines[max(0, i - 2) : i])
-        assert "Exchange hashpartitioning" not in ctx, (
-            f"stored scan shuffled:\n{ctx}\n{lines[i]}"
-        )
+        spark.conf.set("spark.sql.shuffle.partitions", parts_before)
