@@ -291,15 +291,23 @@ def build_near_dup_index_bucketed(
         # columns to cover ALL the join's cluster keys (Spark's
         # requireAllClusterKeysForCoPartition, default true) — bucketing
         # on band_hash alone gets the scan's bucketing disabled by the
-        # planner and the stored side re-shuffled on every probe
-        band_rows.write.mode(mode)
+        # planner and the stored side re-shuffled on every probe.
+        # Repartitioning to the bucket spec BEFORE the write lands each
+        # bucket as ONE file (instead of one per upstream task): the
+        # scan then exposes the sortBy order as outputOrdering and a
+        # sort-merge probe skips the stored-side Sort entirely. Appends
+        # add a second file per bucket, which drops the ordering (not
+        # the clustering) until the table is rebuilt or compacted.
+        band_rows.repartition(n_buckets, "band_pos", "band_hash")
+        .write.mode(mode)
         .bucketBy(n_buckets, "band_pos", "band_hash")
         .sortBy("band_pos", "band_hash")
         .format("parquet")
         .saveAsTable(f"{table_prefix}_bands")
     )
     (
-        with_sh.write.mode(mode)
+        with_sh.repartition(n_buckets, "id")
+        .write.mode(mode)
         .bucketBy(n_buckets, "id")
         .sortBy("id")
         .format("parquet")
