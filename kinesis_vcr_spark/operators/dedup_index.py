@@ -48,6 +48,7 @@ are ordered ``id_a < id_b`` regardless of which side is old.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -228,6 +229,54 @@ def _drop_managed_table(spark: SparkSession, name: str) -> None:
     _rm_recursive(spark, f"{warehouse.rstrip('/')}/{name.lower()}")
 
 
+@contextmanager
+def _one_file_per_bucket(spark: SparkSession, n_buckets: int):
+    """Write each bucket as ONE sorted file. That keeps the file count
+    at n_buckets (not n_buckets x writer tasks — listing/open overhead
+    on every probe), and lets a session that opts into
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` skip
+    the stored-side Sort in sort-merge probes entirely (the opt-in is
+    deliberate: exposing the order makes PLANNING list files, which
+    Spark considers too expensive to do by default — measured here:
+    stored-side Sorts 1 -> 0 with the conf on and one file per
+    bucket). The explicit ``repartition(n_buckets, cols)``
+    alone is NOT enough — Spark's planned write inserts its own
+    Exchange on the bucket columns at ``spark.sql.shuffle.partitions``
+    partitions, so each writer task holds a MIX of buckets whenever
+    conf != n_buckets (observed: conf 4 → 4 tasks × ~14 bucket files
+    each). Pinning conf to n_buckets for the write makes the writer's
+    partitioning coincide with bucket assignment (same pmod(hash)
+    expression) → exactly one file per bucket at any session conf.
+    The conf flip is visible to concurrent queries on the session for
+    the duration of the write — same session-global caveat as any
+    conf-scoped block; builds are batch operations, so this is the
+    build's documented trade. Appends still add a file per bucket
+    (ordering lost, clustering kept) until
+    :func:`compact_near_dup_index_bucketed` restores the layout."""
+    pins = {
+        # the writer's required-distribution Exchange lands at conf
+        # partitions...
+        "spark.sql.shuffle.partitions": str(n_buckets),
+        # ...and AQE happily coalesces that Exchange below n_buckets on
+        # small data (ENSURE_REQUIREMENTS origin is coalescible), which
+        # re-mixes buckets across writer tasks — off for the write
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # ...and the planned-write path can still re-plan the exchange
+        # away from the explicit repartition — the legacy writer uses
+        # the incoming partitioning as-is (sorting within each task by
+        # bucket id + sort columns)
+        "spark.sql.optimizer.plannedWrite.enabled": "false",
+    }
+    before = {k: spark.conf.get(k) for k in pins}
+    for k, v in pins.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in before.items():
+            spark.conf.set(k, v)
+
+
 def build_near_dup_index_bucketed(
     df: DataFrame,
     table_prefix: str,
@@ -286,33 +335,28 @@ def build_near_dup_index_bucketed(
         # entry AND clear the stale location before writing
         for suffix in ("_bands", "_shingles", "_meta"):
             _drop_managed_table(spark, f"{table_prefix}{suffix}")
-    (
-        # bucket on BOTH join keys: co-partitioning requires the bucket
-        # columns to cover ALL the join's cluster keys (Spark's
-        # requireAllClusterKeysForCoPartition, default true) — bucketing
-        # on band_hash alone gets the scan's bucketing disabled by the
-        # planner and the stored side re-shuffled on every probe.
-        # Repartitioning to the bucket spec BEFORE the write lands each
-        # bucket as ONE file (instead of one per upstream task): the
-        # scan then exposes the sortBy order as outputOrdering and a
-        # sort-merge probe skips the stored-side Sort entirely. Appends
-        # add a second file per bucket, which drops the ordering (not
-        # the clustering) until the table is rebuilt or compacted.
-        band_rows.repartition(n_buckets, "band_pos", "band_hash")
-        .write.mode(mode)
-        .bucketBy(n_buckets, "band_pos", "band_hash")
-        .sortBy("band_pos", "band_hash")
-        .format("parquet")
-        .saveAsTable(f"{table_prefix}_bands")
-    )
-    (
-        with_sh.repartition(n_buckets, "id")
-        .write.mode(mode)
-        .bucketBy(n_buckets, "id")
-        .sortBy("id")
-        .format("parquet")
-        .saveAsTable(f"{table_prefix}_shingles")
-    )
+    # bucket on BOTH join keys: co-partitioning requires the bucket
+    # columns to cover ALL the join's cluster keys (Spark's
+    # requireAllClusterKeysForCoPartition, default true) — bucketing
+    # on band_hash alone gets the scan's bucketing disabled by the
+    # planner and the stored side re-shuffled on every probe.
+    with _one_file_per_bucket(spark, n_buckets):
+        (
+            band_rows.repartition(n_buckets, "band_pos", "band_hash")
+            .write.mode(mode)
+            .bucketBy(n_buckets, "band_pos", "band_hash")
+            .sortBy("band_pos", "band_hash")
+            .format("parquet")
+            .saveAsTable(f"{table_prefix}_bands")
+        )
+        (
+            with_sh.repartition(n_buckets, "id")
+            .write.mode(mode)
+            .bucketBy(n_buckets, "id")
+            .sortBy("id")
+            .format("parquet")
+            .saveAsTable(f"{table_prefix}_shingles")
+        )
     if not append:
         spark.createDataFrame([params], _BQ_META_SCHEMA).write.mode(
             "overwrite"
@@ -457,6 +501,52 @@ def compact_near_dup_index(spark: SparkSession, index_path: str) -> None:
 
     compact_scoped_state(spark, f"{index_path}/bands", ("band_pos",))
     compact_scoped_state(spark, f"{index_path}/shingles")
+
+
+def compact_near_dup_index_bucketed(
+    spark: SparkSession, table_prefix: str
+) -> None:
+    """Restore the one-sorted-file-per-bucket layout of a bucketed
+    index after appends. Each append adds a file per bucket: bucket
+    CLUSTERING survives (probes stay in place) but the file count
+    grows with every batch, and a bucket holding more than one file
+    can never expose its sortBy order (see
+    :func:`_one_file_per_bucket` for the Sort-elision opt-in). This
+    rewrites each table through a ``__compacting`` sibling and swaps
+    it in via ``ALTER TABLE RENAME`` — run only while no append or
+    probe is in flight (same drained-stream contract as
+    :func:`~kinesis_vcr_spark.operators.compaction.compact_scoped_state`).
+    A crash between drop and rename leaves all rows in the
+    ``__compacting`` table to rename by hand; content is never
+    half-merged. Probe results are identical before/after
+    (test-pinned)."""
+    m = spark.table(f"{table_prefix}_meta").collect()[0]
+    n_buckets = m["n_buckets"]
+    for suffix, cols in (
+        ("_bands", ["band_pos", "band_hash"]),
+        ("_shingles", ["id"]),
+    ):
+        name, tmp = f"{table_prefix}{suffix}", f"{table_prefix}{suffix}__compacting"
+        _drop_managed_table(spark, tmp)
+        # read the table's FILES as plain parquet, not spark.table():
+        # on the bucketed relation Catalyst elides the explicit
+        # repartition as redundant (the table already "is" hash(cols,
+        # n)), then scans it UNBUCKETED in size-based partitions — the
+        # write would land multi-bucket task files, the exact layout
+        # this function exists to undo
+        loc = (
+            spark.sql(f"DESCRIBE FORMATTED {name}")
+            .where(F.col("col_name") == "Location")
+            .collect()[0]["data_type"]
+        )
+        with _one_file_per_bucket(spark, n_buckets):
+            (
+                spark.read.parquet(loc).repartition(n_buckets, *cols)
+                .write.bucketBy(n_buckets, *cols).sortBy(*cols)
+                .format("parquet").saveAsTable(tmp)
+            )
+        _drop_managed_table(spark, name)
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
 
 
 def near_dup_against_index(
