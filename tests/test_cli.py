@@ -37,3 +37,18 @@ def test_estimate_manifest_flag_requires_path(monkeypatch):
     from kinesis_vcr_spark.__main__ import main
 
     assert main(["estimate", "--manifest"]) == 2
+
+
+def test_usage_error_paths_leave_session_conf_alone(spark, monkeypatch):
+    """main() must not spin up (or mutate) Spark before arguments are
+    validated: get_spark's builder.getOrCreate() on an existing session
+    applies its conf as RUNTIME conf — an unknown-verb call used to
+    flip spark.sql.shuffle.partitions for the rest of the session."""
+    monkeypatch.setenv("VCR_BUCKET", "/tmp/nowhere")
+    monkeypatch.setenv("VCR_SOURCE_STREAM", "events")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    assert main(["frobnicate"]) == 2
+    assert main(["estimate", "--manifest"]) == 2
+    with pytest.raises(SystemExit):
+        main(["estimate", "not-a-date"])
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
