@@ -1251,3 +1251,147 @@ register(QuerySpec("customer_supplier_kcore", customer_supplier_kcore,
                    "k-core of the bipartite customer-supplier trading "
                    "graph: iterative peeling to the fixpoint, unrolled-"
                    "peel oracle"))
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch (E86) — exact-parity audit
+# ---------------------------------------------------------------------------
+
+#: quantile probes for the sketch audit. Plain binary-representable
+#: plus one that is not (0.95): both engines parse the same IEEE
+#: double, so ceil(q*m) agrees bit-for-bit.
+QSK_QS = (0.25, 0.5, 0.75, 0.95)
+QSK_SEED = "qsk7"
+QSK_QUERY_K = 256
+
+
+def price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile-sketch audit over lineitem prices: per
+    ``l_returnflag``, each probe quantile's SKETCH estimate (the
+    deterministic bottom-k ticket sample of
+    :func:`~kinesis_vcr_spark.operators.quantiles.quantile_sketch`)
+    next to the EXACT discrete quantile of the full column. Unlike the
+    HLL audit's within-tolerance flag, the estimate itself is
+    oracle-checked: the ticket is engine-portable md5 hex, so DuckDB
+    rebuilds the identical sample and the est column matches
+    bit-for-bit — a silent regression anywhere in the sketch (ticket
+    expression, cut prefilter, sort/slice, rank formula) flips the
+    driver row red.
+
+    Scale posture: the sketch side is the 100 TB path (one HLL-cut
+    pass + bounded O(k) state per key). The exact side is the audit
+    harness — a per-group window sort (spillable, distributed by
+    group) that a production run would simply not execute."""
+    from pyspark.sql import Window
+
+    from kinesis_vcr_spark.operators.quantiles import (
+        quantile_from_sketch,
+        quantile_sketch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("double").alias("v"),
+    )
+    sk = quantile_sketch(
+        li,
+        ["l_returnflag"],
+        "v",
+        ["l_orderkey", "l_linenumber"],
+        k=QSK_QUERY_K,
+        seed=QSK_SEED,
+    )
+    est = sk.select(
+        "l_returnflag",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"),
+                        quantile_from_sketch(F.col("qs"), q).alias(
+                            "est_price"
+                        ),
+                    )
+                    for q in QSK_QS
+                ]
+            )
+        ).alias("__s"),
+    ).select("l_returnflag", "__s.q", "__s.est_price")
+
+    wv = Window.partitionBy("l_returnflag").orderBy("v")
+    wn = Window.partitionBy("l_returnflag")
+    exact = (
+        li.withColumn("__vr", F.row_number().over(wv))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .select(
+            "l_returnflag",
+            "v",
+            "__vr",
+            "__n",
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in QSK_QS])
+            ).alias("q"),
+        )
+        .where(
+            F.col("__vr")
+            == F.greatest(
+                F.lit(1),
+                F.ceil(F.col("q") * F.col("__n")).cast("long"),
+            )
+        )
+        .select("l_returnflag", "q", F.col("v").alias("exact_price"))
+    )
+    return (
+        est.join(exact, ["l_returnflag", "q"])
+        .select("l_returnflag", "q", "est_price", "exact_price")
+        .orderBy("l_returnflag", "q")
+    )
+
+
+def _qsk_sql() -> str:
+    qvals = ", ".join(f"({q})" for q in QSK_QS)
+    return f"""
+WITH hashed AS (
+  SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS v,
+         substr(md5(concat_ws(chr(31), '{QSK_SEED}',
+                    CAST(l_orderkey AS VARCHAR),
+                    CAST(l_linenumber AS VARCHAR))), 1, 8) AS t
+  FROM lineitem
+), qs(q) AS (VALUES {qvals}),
+samp AS (
+  SELECT grp, v FROM (
+    SELECT grp, v,
+           row_number() OVER (PARTITION BY grp ORDER BY t, v) AS rn
+    FROM hashed
+  ) WHERE rn <= {QSK_QUERY_K}
+), sranked AS (
+  SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS vr,
+         count(*) OVER (PARTITION BY grp) AS m
+  FROM samp
+), est AS (
+  SELECT s.grp, q.q, s.v AS est_price
+  FROM sranked s JOIN qs q
+    ON s.vr = greatest(1, CAST(ceil(q.q * s.m) AS BIGINT))
+), franked AS (
+  SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS vr,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM hashed
+), exact AS (
+  SELECT f.grp, q.q, f.v AS exact_price
+  FROM franked f JOIN qs q
+    ON f.vr = greatest(1, CAST(ceil(q.q * f.n) AS BIGINT))
+)
+SELECT e.grp AS l_returnflag, CAST(e.q AS DOUBLE) AS q,
+       e.est_price, x.exact_price
+FROM est e JOIN exact x ON e.grp = x.grp AND e.q = x.q
+ORDER BY l_returnflag, q
+"""
+
+
+register(QuerySpec("price_quantile_sketch", price_quantile_sketch,
+                   _qsk_sql(),
+                   "mergeable quantile sketch audit: deterministic "
+                   "bottom-k ticket sample estimates vs exact discrete "
+                   "quantiles, est values oracle-checked bit-for-bit"))
