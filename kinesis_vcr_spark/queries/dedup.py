@@ -683,3 +683,110 @@ ORDER BY id_a, id_b
 register(QuerySpec("substr_winnow_pairs", substr_winnow_pairs, WINNOW_SQL,
                    "winnowed-fingerprint verbatim-substring duplicate pairs "
                    "(guaranteed ≥ 65-char span detection)"))
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-span removal (E88, ExactSubstr dedup)
+# ---------------------------------------------------------------------------
+
+SPAN_MIN_LEN = 40
+
+
+def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ExactSubstr dedup (Lee et al. 2022) over the documents
+    table: for every document containing a substring of ≥ 40 chars
+    that occurs more than once in the corpus, the maximal-span count,
+    total duplicated characters, and the length + md5 of the text
+    with those spans removed. The duplicated-L-gram coverage
+    construction (operators/spandedup.py) equals the suffix-array
+    answer exactly, so the oracle reproduces every value — including
+    the stitched clean text's md5 — bit-for-bit."""
+    from kinesis_vcr_spark.operators.spandedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    # two consumers (stats + stitching) of one tiny spans table: cache
+    # it so the gram pipeline runs once (documented lifecycle — bench
+    # clears cache between samples, same as setjoin/triangles)
+    spans = duplicated_spans(docs, min_len=SPAN_MIN_LEN).persist()
+    # materialize NOW: the stats and stitching branches below otherwise
+    # race to populate the cache inside one job and each evaluates the
+    # full gram pipeline (measured 2x the query at sf0.1)
+    spans.count()
+    stats = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(
+            F.col("span_end") - F.col("span_start") + F.lit(1)
+        ).alias("dup_chars"),
+    )
+    cleaned = remove_duplicated_spans(
+        docs, min_len=SPAN_MIN_LEN, spans=spans
+    ).select(
+        "doc_id",
+        F.length("clean_text").alias("clean_len"),
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+    return (
+        stats.join(cleaned, "doc_id")
+        .select("doc_id", "n_spans", "dup_chars", "clean_len", "clean_md5")
+        .orderBy("doc_id")
+    )
+
+
+SPAN_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, CAST(p AS INT) AS p,
+         substr(text, CAST(p AS INT), {SPAN_MIN_LEN}) AS g
+  FROM documents,
+       unnest(range(1, length(text) - {SPAN_MIN_LEN - 1} + 1)) t(p)
+  WHERE length(text) >= {SPAN_MIN_LEN}
+), covered AS (
+  SELECT doc_id, p, p + {SPAN_MIN_LEN - 1} AS e FROM (
+    SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS n FROM pos
+  ) WHERE n >= 2
+), flagged AS (
+  SELECT doc_id, p, e,
+         CASE WHEN p > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -1) + 1
+              THEN 1 ELSE 0 END AS newf
+  FROM covered
+), islands AS (
+  SELECT doc_id, p, e,
+         sum(newf) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS isl
+  FROM flagged
+), spans AS (
+  SELECT doc_id, min(p) AS s, max(e) AS e
+  FROM islands GROUP BY doc_id, isl
+), pieces AS (
+  SELECT doc_id, s, e,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+  FROM spans
+), stitched AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
+         string_agg(substr(d.text, pe + 1, s - pe - 1), '' ORDER BY s)
+           || coalesce(substr(any_value(d.text), CAST(max(e) AS INT) + 1),
+                       '')
+           AS clean_text
+  FROM pieces p JOIN documents d USING (doc_id)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_spans, dup_chars,
+       length(clean_text) AS clean_len, md5(clean_text) AS clean_md5
+FROM stitched ORDER BY doc_id
+"""
+
+
+register(QuerySpec("doc_dup_span_stats", doc_dup_span_stats, SPAN_SQL,
+                   "exact duplicate-span removal (ExactSubstr): maximal "
+                   "spans >= 40 chars occurring twice anywhere, removal "
+                   "md5 oracle-checked bit-for-bit"))
