@@ -106,7 +106,16 @@ def duplicated_spans(
         .where(F.col("__n") >= 2)
         .select("gram")
     )
-    covered = grams.join(dup_grams, "gram").select(
+    covered = grams.join(dup_grams, "gram").select(id_col, "p")
+    return _merge_covered_to_spans(covered, id_col, min_len)
+
+
+def _merge_covered_to_spans(
+    covered: DataFrame, id_col: str, min_len: int
+) -> DataFrame:
+    """Gaps-and-islands merge of covered gram starts ``(id_col, p)``
+    into maximal ``(id_col, span_start, span_end)`` extents."""
+    covered = covered.select(
         id_col, "p", (F.col("p") + F.lit(min_len - 1)).alias("e")
     )
     w = Window.partitionBy(id_col).orderBy("p")
@@ -204,3 +213,90 @@ def remove_duplicated_spans(
         )
         .drop("__head", "__last_e")
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted gram-count index (incremental / streaming ExactSubstr)
+# ---------------------------------------------------------------------------
+#
+# The daily-ingest shape of span dedup, mirroring the near-dup band
+# index (operators/dedup_index.py) and the IVF lists (operators/
+# ivf.py): the corpus's L-gram occurrence counts are persisted ONCE as
+# ``{index_path}/grams/ingest=<label>`` scopes; a new batch appends its
+# own aggregated counts (O(batch) work) and a probe computes the
+# batch's duplicated spans against the UNION of everything stored.
+#
+# The stored value per (scope, gram) is ``least(count, 2)`` — dup
+# detection only needs "seen once" vs "seen twice+", so counters never
+# grow and a viral boilerplate gram costs the same 1 row per scope as
+# a unique one. Summing the capped per-scope counts across scopes is
+# exact for the >= 2 test: two sightings in one scope give 2, one
+# sighting in each of two scopes gives 1 + 1.
+#
+# PREFIX SEMANTICS, exactly like streaming ANN ingest: a probe answers
+# "which parts of THIS batch are duplicated against everything seen so
+# far (this batch included)". A new batch can also retro-dirty an OLD
+# document (turning one of its grams from unique to duplicated); the
+# index carries the information to recompute any document's spans at
+# any time, but emitted batch results are not retroactively patched —
+# re-probe affected docs offline if the use case needs it.
+
+
+def append_gram_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = DEFAULT_MIN_SPAN,
+    ingest_label: str = "_base",
+) -> None:
+    """Aggregate the batch's L-gram counts (capped at 2) and write them
+    as their own ``ingest`` scope — overwrite-idempotent, so an
+    orchestrator replay of the same labeled batch replaces its rows
+    instead of double-counting them."""
+    grams = _gram_positions(df, id_col, text_col, min_len)
+    counts = grams.groupBy("gram").agg(
+        F.least(F.count(F.lit(1)), F.lit(2)).cast("int").alias("n")
+    )
+    counts.write.mode("overwrite").parquet(
+        f"{index_path}/grams/ingest={ingest_label}"
+    )
+
+
+def span_probe_index(
+    batch_df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = DEFAULT_MIN_SPAN,
+) -> DataFrame:
+    """Duplicated spans of the BATCH documents against the accumulated
+    index (which must already include the batch's own scope — the
+    append-then-probe discipline of streaming/annstream.py): positions
+    whose gram has a summed stored count >= 2, merged per document.
+    With the index holding exactly one corpus, this equals
+    :func:`duplicated_spans` over that corpus restricted to the batch's
+    documents (test-pinned).
+
+    Scale: the stored side is one aggregation over the gram scopes
+    (O(index) scan per probe — the parquet near-dup index has the same
+    corpus-pinned probe cost, and the same bucketBy(gram) metastore
+    upgrade applies if the daily probe ever dominates); the dup-gram
+    result is batch-restricted via a semi-join BEFORE the aggregation,
+    so only grams the batch actually contains are counted."""
+    spark = batch_df.sparkSession
+    grams = _gram_positions(batch_df, id_col, text_col, min_len)
+    stored = spark.read.parquet(f"{index_path}/grams").drop("ingest")
+    # count only grams present in the batch: the semi-join prunes the
+    # aggregation's input to batch-relevant grams (broadcast of the
+    # batch's distinct grams when small — the daily case)
+    batch_grams = grams.select("gram").distinct()
+    dup = (
+        stored.join(batch_grams, "gram", "left_semi")
+        .groupBy("gram")
+        .agg(F.sum("n").alias("__total"))
+        .where(F.col("__total") >= 2)
+        .select("gram")
+    )
+    covered = grams.join(dup, "gram").select(id_col, "p")
+    return _merge_covered_to_spans(covered, id_col, min_len)

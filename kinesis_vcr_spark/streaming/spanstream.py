@@ -1,0 +1,144 @@
+"""Streaming exact-span dedup against the persisted gram-count index —
+ExactSubstr dedup as a continuously-ingesting stream.
+
+Completes the family symmetry: near-dup (E2/E81/E83) and ANN
+(E21/E87) each have a batch operator, a persisted index, and a
+streaming ingest loop; this is the streaming loop for exact
+duplicate-span removal (E88, operators/spandedup.py). Each
+micro-batch of documents is APPENDED to the gram-count index (its
+aggregated, capped counts — O(batch) work) and then PROBED: the
+batch's maximal duplicated spans against everything seen so far, its
+own batch included. Emitted spans land in an append-only parquet sink,
+one overwrite scope per micro-batch.
+
+Append-before-probe, like streaming/annstream.py and unlike
+streaming/neardup.py: the probe's dup test sums stored per-scope
+counts, so holding the batch's own scope is exactly what makes
+within-batch duplicates visible — and every write being an overwrite
+of this batch's own ``ingest=b{id}`` scope makes a crash anywhere
+before the progress bump replay into identical bytes.
+
+Semantics contract (pinned in tests/test_spandedup_stream.py): batch
+i's emitted spans equal ``duplicated_spans`` over the UNION of batches
+0..i restricted to batch i's documents — prefix semantics; a later
+batch can retro-dirty an earlier document's text, which the index can
+answer (re-probe the old doc offline) but the sink does not
+retroactively patch (same contract as the ANN ingest results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+from kinesis_vcr_spark.operators.spandedup import (
+    DEFAULT_MIN_SPAN,
+    append_gram_index,
+    span_probe_index,
+)
+
+
+def _progress_path(state_dir: str) -> str:
+    return f"{state_dir}/progress.json"
+
+
+def _read_progress(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {"last_batch_id": -1, "spans_emitted": 0, "docs_indexed": 0}
+
+
+def read_span_progress(state_dir: str) -> dict:
+    """Cumulative counters: last applied batch id, span rows emitted,
+    documents indexed."""
+    return _read_progress(_progress_path(state_dir))
+
+
+def compact_span_state(spark, state_dir: str, spans_path: str) -> None:
+    """Compact the gram-count scopes AND the spans sink of a DRAINED or
+    paused stream (one scope per micro-batch each). Row-preserving scope
+    collapse is sufficient for the index: the probe SUMS per-scope
+    capped counts, and compaction preserves the rows it sums."""
+    from kinesis_vcr_spark.operators.compaction import compact_scoped_state
+
+    compact_scoped_state(spark, f"{state_dir}/index/grams")
+    compact_scoped_state(spark, spans_path)
+
+
+def apply_span_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    spans_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = DEFAULT_MIN_SPAN,
+) -> None:
+    """Apply one micro-batch: append its capped gram counts, probe the
+    accumulated index for the batch's duplicated spans, write them into
+    the batch's own overwrite scope, bump the watermark. Public so
+    tests can drive crash-replays directly."""
+    spark = batch_df.sparkSession
+    index_path = f"{state_dir}/index"
+    progress_path = _progress_path(state_dir)
+    progress = _read_progress(progress_path)
+    if batch_id <= progress["last_batch_id"]:
+        return  # replayed after restart — spans + append already done
+    label = f"b{batch_id}"
+    append_gram_index(
+        batch_df, index_path, id_col, text_col,
+        min_len=min_len, ingest_label=label,
+    )
+    spans = span_probe_index(
+        batch_df, index_path, id_col, text_col, min_len=min_len
+    )
+    spans.write.mode("overwrite").parquet(f"{spans_path}/ingest={label}")
+    n_docs = batch_df.count()
+    n_spans = spark.read.parquet(f"{spans_path}/ingest={label}").count()
+    progress = {
+        "last_batch_id": batch_id,
+        "spans_emitted": progress["spans_emitted"] + int(n_spans),
+        "docs_indexed": progress["docs_indexed"] + int(n_docs),
+    }
+    tmp = f"{progress_path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(progress, f)
+    os.replace(tmp, progress_path)
+
+
+def streaming_span_dedup(
+    docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    spans_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = DEFAULT_MIN_SPAN,
+    available_now: bool = True,
+):
+    """Start the append-then-probe loop over a streaming document
+    frame. The gram index lives under ``{state_dir}/index``; per-batch
+    spans ``(id, span_start, span_end)`` append to ``spans_path``.
+    Document ids must be unique across the whole stream — a
+    re-delivered batch is skipped whole via the batch-id watermark."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_span_batch(
+            batch_df, batch_id, state_dir, spans_path,
+            id_col=id_col, text_col=text_col, min_len=min_len,
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
