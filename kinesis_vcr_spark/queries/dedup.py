@@ -790,3 +790,85 @@ register(QuerySpec("doc_dup_span_stats", doc_dup_span_stats, SPAN_SQL,
                    "exact duplicate-span removal (ExactSubstr): maximal "
                    "spans >= 40 chars occurring twice anywhere, removal "
                    "md5 oracle-checked bit-for-bit"))
+
+
+def span_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest shape of exact span dedup (the gram-count index
+    of operators/spandedup.py): index the corpus (doc_id % 4 != 0),
+    append the "new batch" (doc_id % 4 == 0), probe — the batch's
+    maximal duplicated spans against the union, its own rows included.
+    Prefix semantics make the oracle trivial and exact: the same
+    duplicated-L-gram pipeline over ALL documents, restricted to batch
+    docs, because index(old) + append(batch) holds exactly the union's
+    capped gram counts."""
+    import os
+    import tempfile
+
+    from kinesis_vcr_spark.operators.spandedup import (
+        append_gram_index,
+        span_probe_index,
+    )
+
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    old = docs.where(F.col("doc_id") % IDX_NEW_MOD != 0)
+    new = docs.where(F.col("doc_id") % IDX_NEW_MOD == 0)
+    # deterministic per-sf path, overwritten per run (the query gate
+    # re-exercises the index BUILD as well as the probe, like its
+    # near-dup twin dedup_index_incremental)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"kvs_gramindex_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    append_gram_index(
+        old, path, min_len=SPAN_MIN_LEN, ingest_label="_base"
+    )
+    append_gram_index(
+        new, path, min_len=SPAN_MIN_LEN, ingest_label="batch"
+    )
+    spans = span_probe_index(new, path, min_len=SPAN_MIN_LEN)
+    return spans.select("doc_id", "span_start", "span_end").orderBy(
+        "doc_id", "span_start"
+    )
+
+
+SPAN_IDX_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, CAST(p AS INT) AS p,
+         substr(text, CAST(p AS INT), {SPAN_MIN_LEN}) AS g
+  FROM documents,
+       unnest(range(1, length(text) - {SPAN_MIN_LEN - 1} + 1)) t(p)
+  WHERE length(text) >= {SPAN_MIN_LEN}
+), covered AS (
+  SELECT doc_id, p, p + {SPAN_MIN_LEN - 1} AS e FROM (
+    SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS n FROM pos
+  ) WHERE n >= 2
+), flagged AS (
+  SELECT doc_id, p, e,
+         CASE WHEN p > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -1) + 1
+              THEN 1 ELSE 0 END AS newf
+  FROM covered
+), islands AS (
+  SELECT doc_id, p, e,
+         sum(newf) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS isl
+  FROM flagged
+)
+SELECT doc_id, CAST(min(p) AS INT) AS span_start,
+       CAST(max(e) AS INT) AS span_end
+FROM islands WHERE doc_id % {IDX_NEW_MOD} = 0
+GROUP BY doc_id, isl
+ORDER BY doc_id, span_start
+"""
+
+
+register(QuerySpec("span_index_incremental", span_index_incremental,
+                   SPAN_IDX_SQL,
+                   "incremental exact span dedup: gram-count index over "
+                   "the corpus, batch appended then probed; spans == "
+                   "union-corpus spans restricted to the batch"))
