@@ -1,0 +1,249 @@
+"""Persisted inverted (BM25) text-search index — build / append /
+probe, the text-search member of the index family.
+
+Every other retrieval family in this engine already has the
+daily-ingest triple of batch operator + persisted index + streaming
+ingest: near-dup (operators/dedup.py → dedup_index.py →
+streaming/neardup.py), ANN (similarity.py → ivf.py →
+streaming/annstream.py), exact-span (spandedup.py → its gram-count
+index → streaming/spanstream.py). Ranked text retrieval
+(queries/tfidf.py's ``bm25_search``) recomputes corpus statistics per
+query; this module persists them once as the classic search-engine
+layout and answers queries from postings alone:
+
+- ``{path}/postings/ingest=<label>/tb=<bucket>`` — one row per
+  (term, doc) pair: ``(term, doc_id, tf, dl)``. The document length
+  is DENORMALIZED into the posting (the standard impact-ordered-index
+  trick) so a probe never joins back to a forward index: everything
+  BM25 needs about a (term, doc) pair travels in its posting row.
+- ``{path}/stats/ingest=<label>`` — one row per ingest scope:
+  ``(n_docs, sum_dl)``. Corpus-level N and avgdl are the SUM of the
+  per-scope partials — a probe aggregates a handful of tiny rows, not
+  the corpus.
+- ``{path}/meta`` — ``n_buckets``, the one layout parameter probes
+  must reuse (a probe hashing terms with a different bucket count
+  would prune away live postings).
+
+``tb = pmod(xxhash64(term), n_buckets)`` is a PARTITION column: a
+probe for k query terms computes their ≤ k buckets and Catalyst's
+partition pruning skips every other bucket's files entirely
+(plan-pinned in tests/test_searchindex.py). At 100 TB the postings
+table is the corpus-sized artifact; the probe reads O(postings of the
+query's buckets) — with enough buckets, a vanishing fraction —
+while appends stay O(batch) (each ingest writes only its own scope).
+Scoping mirrors the other indexes: a labeled append OVERWRITES its own
+``ingest=<label>`` scope, so an at-least-once orchestrator replaying a
+batch replaces its rows instead of double-counting them.
+
+Contract: ``doc_id`` values are unique across ALL ingest scopes (the
+same streaming contract as the span/ANN indexes). Document frequency
+is then exactly ``count(*)`` over a term's postings, and a probe over
+the accumulated index is bit-identical to ``bm25_search`` run over the
+union of everything ingested (test-pinned; the incremental registry
+query ``search_index_incremental`` oracle-checks it against DuckDB).
+
+Reference anchor: the reference engine has no search surface
+(SURVEY.md §2.5a E-series extension); BM25 follows Robertson &
+Spärck Jones as specified in queries/tfidf.py, whose score expression
+this module mirrors term-for-term so the doubles agree bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_vcr_spark.operators.dedup_index import _rm_recursive
+
+#: default BM25 parameters — shared with queries/tfidf.py.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+_META_SCHEMA = "n_buckets int"
+
+
+def _postings(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """``(term, doc_id, tf, dl, tb)`` rows for a document frame —
+    whitespace tokenization, exact integer counts, dl denormalized
+    into every posting. One explode + one groupBy (map-side combined);
+    dl rides along as a grouping key so no self-join is needed."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.split(text_col, " ")).alias("dl"),
+            F.explode(F.split(text_col, " ")).alias("term"),
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn(
+            "tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+    )
+
+
+def _scope_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Single-row per-scope partial statistics ``(n_docs, sum_dl)``."""
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.size(F.split(text_col, " "))).cast("long"), F.lit(0)
+        ).alias("sum_dl"),
+    )
+
+
+def load_search_meta(spark: SparkSession, index_path: str) -> int:
+    """``n_buckets`` the index was laid out with."""
+    return spark.read.parquet(f"{index_path}/meta").collect()[0][
+        "n_buckets"
+    ]
+
+
+def build_search_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_buckets: int = 16,
+    ingest_label: str = "_base",
+) -> None:
+    """Fresh build: replace the whole artifact (stale scopes from a
+    previous build must not leak into partition discovery — the same
+    discipline as build_near_dup_index) and write the corpus as one
+    ingest scope."""
+    spark = df.sparkSession
+    _rm_recursive(spark, f"{index_path}/postings")
+    _rm_recursive(spark, f"{index_path}/stats")
+    spark.createDataFrame([(n_buckets,)], _META_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/meta")
+    append_search_index(
+        df, index_path, id_col, text_col, ingest_label=ingest_label
+    )
+
+
+def append_search_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ingest_label: str,
+) -> None:
+    """Add one batch as its own ``ingest=<label>`` scope — O(batch)
+    work, overwrite-idempotent under orchestrator replay. The bucket
+    count comes from the persisted meta (never the caller), so every
+    scope shares one partition layout."""
+    spark = df.sparkSession
+    n_buckets = load_search_meta(spark, index_path)
+    posts = _postings(df, id_col, text_col, n_buckets)
+    (
+        posts.repartition("tb")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(f"{index_path}/postings/ingest={ingest_label}")
+    )
+    _scope_stats(df, id_col, text_col).write.mode("overwrite").parquet(
+        f"{index_path}/stats/ingest={ingest_label}"
+    )
+
+
+def _term_buckets(
+    spark: SparkSession, terms: list[str], n_buckets: int
+) -> list[int]:
+    """The ≤ len(terms) partition buckets a probe must read — computed
+    with the SAME engine expression that laid the postings out (a
+    terms-sized collect, not data-sized)."""
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias(
+                "tb"
+            )
+        )
+        .distinct()
+        .collect()
+    )
+    return [r["tb"] for r in rows]
+
+
+def search_index_topk(
+    spark: SparkSession,
+    index_path: str,
+    terms: list[str],
+    k: int = 20,
+    *,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    exclude_ingest: str | None = None,
+) -> DataFrame:
+    """BM25 top-k over everything ingested: ``(doc_id, bm25,
+    n_terms_hit)``, score rounded once at 6 dp, total ordering
+    (score desc, doc_id asc) — the exact output contract of
+    queries/tfidf.py's ``bm25_search``, answered from the index alone.
+
+    Plan shape: the postings scan carries PartitionFilters on ``tb``
+    (only the query terms' buckets are listed) plus a pushed ``term``
+    filter inside them; df comes from a count over those same rows; the
+    corpus stats are a broadcast 1-row aggregate of the per-scope
+    partials. Nothing here scales with corpus size except the pruned
+    postings read.
+
+    ``exclude_ingest`` drops one scope (partition-pruned) — the
+    crash-replay discipline for streaming ingest, identical to
+    load_near_dup_index."""
+    if not terms:
+        raise ValueError("search_index_topk needs at least one term")
+    n_buckets = load_search_meta(spark, index_path)
+    buckets = _term_buckets(spark, terms, n_buckets)
+    posts = spark.read.parquet(f"{index_path}/postings").where(
+        F.col("tb").isin(buckets) & F.col("term").isin(terms)
+    )
+    stats = spark.read.parquet(f"{index_path}/stats")
+    if exclude_ingest is not None:
+        posts = posts.where(F.col("ingest") != exclude_ingest)
+        stats = stats.where(F.col("ingest") != exclude_ingest)
+    posts = posts.drop("ingest", "tb")
+    totals = stats.agg(
+        F.sum("n_docs").alias("n_total"), F.sum("sum_dl").alias("sum_dl")
+    )
+    dfreq = posts.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_docs")  # doc_ids unique across scopes
+    )
+    # mirror bm25_search's expression tree exactly — same ops, same
+    # order, so the doubles are bit-identical to the batch query's
+    avgdl = F.col("sum_dl") / F.col("n_total")
+    idf = F.log(
+        1
+        + (F.col("n_total") - F.col("df_docs") + 0.5)
+        / (F.col("df_docs") + 0.5)
+    )
+    part = idf * (
+        F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+    )
+    per_doc = (
+        posts.join(dfreq, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(part), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return per_doc.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(k)
+
+
+def compact_search_index(spark: SparkSession, index_path: str) -> None:
+    """Collapse the per-ingest scopes of a drained/paused index into
+    one ``ingest=_compacted`` scope each, preserving the inner ``tb``
+    partitioning of the postings (probe pruning survives compaction).
+    Probe results are unchanged: df/tf/dl rows are row-preserved and
+    the stats SUM is scope-count-agnostic."""
+    from kinesis_vcr_spark.operators.compaction import compact_scoped_state
+
+    compact_scoped_state(spark, f"{index_path}/postings", ("tb",))
+    compact_scoped_state(spark, f"{index_path}/stats")

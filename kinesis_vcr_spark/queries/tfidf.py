@@ -232,9 +232,50 @@ ORDER BY source
 """
 
 
+# --- incremental BM25 via the persisted inverted index ---
+
+
+def search_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest shape of ranked retrieval: build the inverted
+    index over the corpus (doc_id % 4 != 0), append the "new batch"
+    (doc_id % 4 == 0), answer the standing BM25 query from the index
+    alone (operators/searchindex.py). Exact contract: postings carry
+    exact tf/dl and per-scope stats sum to the union's N/avgdl, so the
+    probe equals ``bm25_search`` over ALL documents — which is exactly
+    the oracle SQL."""
+    import os
+    import tempfile
+
+    from kinesis_vcr_spark.operators.searchindex import (
+        append_search_index,
+        build_search_index,
+        search_index_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    # deterministic per-sf path, rebuilt per run: the query gate
+    # deliberately re-exercises build + append + probe (same contract
+    # as dedup_index_incremental / span_index_incremental)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"kvs_searchindex_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    build_search_index(old, path)
+    append_search_index(new, path, ingest_label="batch")
+    return search_index_topk(spark, path, list(BM25_TERMS), k=20)
+
+
 register(QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_SQL,
                    "top-5 TF-IDF terms per language"))
 register(QuerySpec("bm25_search", bm25_search, BM25_SQL,
                    "BM25 top-20 docs for a fixed term query"))
 register(QuerySpec("vocab_stats", vocab_stats, VOCAB_SQL,
                    "per-source vocabulary / hapax / length stats"))
+register(QuerySpec("search_index_incremental", search_index_incremental,
+                   BM25_SQL,
+                   "incremental BM25 via the persisted inverted index: "
+                   "corpus indexed, batch appended, standing query "
+                   "answered from pruned postings == batch BM25 over "
+                   "the union"))
