@@ -116,6 +116,7 @@ def build_search_index(
     spark = df.sparkSession
     _rm_recursive(spark, f"{index_path}/postings")
     _rm_recursive(spark, f"{index_path}/stats")
+    _rm_recursive(spark, f"{index_path}/positions")
     spark.createDataFrame([(n_buckets,)], _META_SCHEMA).write.mode(
         "overwrite"
     ).parquet(f"{index_path}/meta")
@@ -237,6 +238,128 @@ def search_index_topk(
     return per_doc.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(k)
 
 
+# ---------------------------------------------------------------------------
+# phrase search — token-adjacency matching, batch and positional-index
+# ---------------------------------------------------------------------------
+#
+# An occurrence of phrase [t_0 .. t_{m-1}] at start position s means:
+# for EVERY offset i, the token at s+i equals t_i. Re-indexing each
+# matching token row (doc, p, term) as a VOTE for start s = p − i turns
+# phrase matching into one aggregation: a start with all m distinct
+# offsets voting is an occurrence. Repeated phrase terms are handled
+# for free (offsets are distinct even when terms are not). No window,
+# no self-join chain: cost is Θ(tokens matching any phrase term)
+# through one shuffle, the same skew posture as every explode→groupBy
+# in this engine.
+
+
+def _phrase_votes(
+    toks: DataFrame, phrase: list[str]
+) -> DataFrame:
+    """``(doc_id, s, i)`` votes — token rows ``(doc_id, p, term)``
+    (0-based p) joined to the tiny (term, offset) phrase table
+    (broadcast by size)."""
+    spark = toks.sparkSession
+    ph = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(phrase)], "term string, i int"
+    )
+    return toks.join(F.broadcast(ph), "term").select(
+        "doc_id", (F.col("p") - F.col("i")).alias("s"), "i"
+    )
+
+
+def phrase_occurrences(
+    df: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact per-document occurrence counts of a token phrase:
+    ``(doc_id, n_occurrences)``, one row per document containing the
+    phrase at least once. Whitespace tokenization (the engine-wide
+    convention); occurrences may overlap (each start counts)."""
+    if not phrase:
+        raise ValueError("phrase_occurrences needs a non-empty phrase")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(text_col, " ")).alias("p", "term"),
+    )
+    votes = _phrase_votes(toks, phrase)
+    starts = (
+        votes.groupBy("doc_id", "s")
+        .agg(F.countDistinct("i").alias("__n"))
+        .where((F.col("__n") == len(phrase)) & (F.col("s") >= 0))
+    )
+    return starts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+
+
+def append_position_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ingest_label: str,
+) -> None:
+    """Positional postings ``(term, doc_id, p)`` for phrase queries,
+    written beside the BM25 postings under
+    ``{path}/positions/ingest=<label>/tb=<bucket>`` with the SAME
+    bucket layout (meta's n_buckets), so phrase probes get the same
+    partition pruning. Optional — only phrase search needs it, and it
+    is the corpus-sized artifact (one row per token), so callers opt
+    in per index."""
+    spark = df.sparkSession
+    n_buckets = load_search_meta(spark, index_path)
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(text_col, " ")).alias("p", "term"),
+        )
+        .withColumn(
+            "tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+    )
+    (
+        toks.repartition("tb")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(f"{index_path}/positions/ingest={ingest_label}")
+    )
+
+
+def phrase_probe_index(
+    spark: SparkSession,
+    index_path: str,
+    phrase: list[str],
+    *,
+    exclude_ingest: str | None = None,
+) -> DataFrame:
+    """Per-document phrase occurrence counts answered from the
+    positional postings alone — equals :func:`phrase_occurrences` over
+    everything ingested (test-pinned). The positions scan is pruned to
+    the phrase terms' buckets exactly like the BM25 probe."""
+    if not phrase:
+        raise ValueError("phrase_probe_index needs a non-empty phrase")
+    n_buckets = load_search_meta(spark, index_path)
+    buckets = _term_buckets(spark, phrase, n_buckets)
+    toks = spark.read.parquet(f"{index_path}/positions").where(
+        F.col("tb").isin(buckets) & F.col("term").isin(list(set(phrase)))
+    )
+    if exclude_ingest is not None:
+        toks = toks.where(F.col("ingest") != exclude_ingest)
+    votes = _phrase_votes(toks.select("doc_id", "p", "term"), phrase)
+    starts = (
+        votes.groupBy("doc_id", "s")
+        .agg(F.countDistinct("i").alias("__n"))
+        .where((F.col("__n") == len(phrase)) & (F.col("s") >= 0))
+    )
+    return starts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+
+
 def compact_search_index(spark: SparkSession, index_path: str) -> None:
     """Collapse the per-ingest scopes of a drained/paused index into
     one ``ingest=_compacted`` scope each, preserving the inner ``tb``
@@ -247,3 +370,10 @@ def compact_search_index(spark: SparkSession, index_path: str) -> None:
 
     compact_scoped_state(spark, f"{index_path}/postings", ("tb",))
     compact_scoped_state(spark, f"{index_path}/stats")
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{index_path}/positions")
+    fs = hpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    if fs.exists(hpath):  # positional postings are opt-in
+        compact_scoped_state(spark, f"{index_path}/positions", ("tb",))

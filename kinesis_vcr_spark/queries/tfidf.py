@@ -267,12 +267,92 @@ def search_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_index_topk(spark, path, list(BM25_TERMS), k=20)
 
 
+# --- phrase search (token adjacency), batch and positional index ---
+
+PHRASE = ("hash", "join")
+
+
+def phrase_search_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-document occurrence counts of the fixed token phrase
+    — the vote re-indexing trick of operators/searchindex.py
+    (``phrase_occurrences``): each matching token votes for start
+    s = p − offset; a start with all offsets voting is an occurrence.
+    One explode, one broadcast join against the 2-row phrase table,
+    one aggregation — no self-join chain, no window."""
+    from kinesis_vcr_spark.operators.searchindex import phrase_occurrences
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_occurrences(docs, list(PHRASE)).orderBy(
+        F.col("n_occurrences").desc(), "doc_id"
+    )
+
+
+def phrase_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search answered from the persisted positional postings:
+    index the corpus (doc_id % 4 != 0), append the batch
+    (doc_id % 4 == 0), probe — per-doc counts over everything
+    ingested equal the batch operator over the union (phrase counting
+    is per-document, so the union answer IS the full-corpus answer —
+    the oracle is the same SQL as ``phrase_search_counts``)."""
+    import os
+    import tempfile
+
+    from kinesis_vcr_spark.operators.searchindex import (
+        append_position_index,
+        build_search_index,
+        phrase_probe_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"kvs_phraseindex_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    build_search_index(old, path)
+    append_position_index(old, path, ingest_label="_base")
+    append_position_index(new, path, ingest_label="batch")
+    return phrase_probe_index(spark, path, list(PHRASE)).orderBy(
+        F.col("n_occurrences").desc(), "doc_id"
+    )
+
+
+PHRASE_SQL = """
+WITH toks AS (
+  SELECT doc_id, CAST(p AS INT) - 1 AS p,
+         list_extract(string_split(text, ' '), CAST(p AS INT)) AS term
+  FROM documents,
+       unnest(range(1, len(string_split(text, ' ')) + 1)) t(p)
+),
+ph(term, i) AS (VALUES ('hash', 0), ('join', 1)),
+votes AS (SELECT doc_id, p - i AS s, i FROM toks JOIN ph USING (term)),
+starts AS (
+  SELECT doc_id, s FROM votes GROUP BY doc_id, s
+  HAVING count(DISTINCT i) = 2 AND s >= 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM starts GROUP BY doc_id
+ORDER BY n_occurrences DESC, doc_id
+"""
+
+
 register(QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_SQL,
                    "top-5 TF-IDF terms per language"))
 register(QuerySpec("bm25_search", bm25_search, BM25_SQL,
                    "BM25 top-20 docs for a fixed term query"))
 register(QuerySpec("vocab_stats", vocab_stats, VOCAB_SQL,
                    "per-source vocabulary / hapax / length stats"))
+register(QuerySpec("phrase_search_counts", phrase_search_counts,
+                   PHRASE_SQL,
+                   "exact per-doc occurrence counts of a fixed token "
+                   "phrase via vote re-indexing (one explode + one "
+                   "agg, no self-join chain)"))
+register(QuerySpec("phrase_index_incremental", phrase_index_incremental,
+                   PHRASE_SQL,
+                   "phrase search answered from persisted positional "
+                   "postings: corpus indexed, batch appended, pruned "
+                   "probe == batch phrase counts over the union"))
 register(QuerySpec("search_index_incremental", search_index_incremental,
                    BM25_SQL,
                    "incremental BM25 via the persisted inverted index: "

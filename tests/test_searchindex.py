@@ -197,6 +197,88 @@ def test_fresh_build_replaces_stale_scopes(spark, sf_dir, tmp_path):
     assert "stale" not in scopes
 
 
+def _py_phrase_count(text, phrase):
+    toks = text.split(" ")
+    m = len(phrase)
+    return sum(
+        1
+        for s in range(len(toks) - m + 1)
+        if toks[s : s + m] == list(phrase)
+    )
+
+
+def test_phrase_occurrences_matches_python(spark):
+    from kinesis_vcr_spark.operators.searchindex import phrase_occurrences
+
+    rows = [
+        (1, "a b a b a"),        # overlapping "a b a": starts 0 and 2
+        (2, "a b c a b a x"),
+        (3, "b a a b"),
+        (4, "a"),                # shorter than the phrase
+        (5, "x y z"),            # no hits
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for phrase in (["a", "b"], ["a", "b", "a"], ["a"]):
+        got = {
+            r["doc_id"]: r["n_occurrences"]
+            for r in phrase_occurrences(docs, phrase).collect()
+        }
+        expected = {
+            i: _py_phrase_count(t, phrase)
+            for i, t in rows
+            if _py_phrase_count(t, phrase) > 0
+        }
+        assert got == expected, f"phrase {phrase}"
+
+
+def test_phrase_probe_equals_batch_over_union(spark, sf_dir, tmp_path):
+    from kinesis_vcr_spark.operators.searchindex import (
+        append_position_index,
+        phrase_occurrences,
+        phrase_probe_index,
+    )
+
+    phrase = ["hash", "join"]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    idx = str(tmp_path / "idx")
+    build_search_index(old, idx)
+    append_position_index(old, idx, ingest_label="_base")
+    append_position_index(new, idx, ingest_label="batch")
+    got = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_probe_index(spark, idx, phrase).collect()
+    }
+    expected = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_occurrences(docs, phrase).collect()
+    }
+    assert expected, "fixture contains no phrase hits"
+    assert got == expected
+
+    # exclude the batch scope: counts over the old corpus only
+    got_old = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_probe_index(
+            spark, idx, phrase, exclude_ingest="batch"
+        ).collect()
+    }
+    expected_old = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_occurrences(old, phrase).collect()
+    }
+    assert got_old == expected_old
+
+    # compaction preserves the phrase probe (positions compacted too)
+    compact_search_index(spark, idx)
+    after = {
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_probe_index(spark, idx, phrase).collect()
+    }
+    assert after == got
+
+
 def test_probe_requires_terms(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     idx = str(tmp_path / "idx")
