@@ -8,9 +8,10 @@ records on the wire", README.md "Format") — so ingest/shuffle/dedup all
 work on media without decoding.
 
 Decoding: real codecs with numpy + the stdlib only (no PIL/ffmpeg):
-PPM, uncompressed BMP, and zlib-compressed PNG images (8-bit
-gray/RGB/RGBA, all five scanline filters), plus PCM WAV audio;
-entropy-coded formats (JPEG/MP3/H.264) raise
+PPM, uncompressed BMP, and full static PNG (every color type incl.
+palette, bit depths 1-16, all five scanline filters, Adam7
+interlace), baseline JPEG, plus PCM WAV audio; the remaining
+entropy-coded formats (progressive JPEG/MP3/H.264) raise
 ``NotImplementedError`` slots where PIL/ffmpeg plug in. ``fake_decode``
 remains the deterministic stand-in used by the oracle-checked driver
 queries, because its arithmetic is reproducible in SQL.
@@ -111,70 +112,48 @@ def _bmp_parse(payload: bytes):
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
+# Adam7 pass grid: (x origin, y origin, x step, y step) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-def _png_parse(payload: bytes):
-    """Stdlib PNG decode (zlib inflate + scanline unfilter) →
-    (width, height, ndarray[h, w, channels] uint8).
+#              color type: channels, allowed bit depths (RFC 2083 §4.1.1)
+_PNG_COLOR_TYPES = {
+    0: (1, (1, 2, 4, 8, 16)),  # grayscale
+    2: (3, (8, 16)),           # RGB
+    3: (1, (1, 2, 4, 8)),      # palette indices
+    4: (2, (8, 16)),           # gray + alpha
+    6: (4, (8, 16)),           # RGBA
+}
 
-    Covers the common real-world cases without PIL: 8-bit grayscale
-    (color type 0), gray+alpha (4), RGB (2), and RGBA (6),
-    non-interlaced; all five scanline filters (None/Sub/Up/Average/
-    Paeth, RFC 2083 §6). Palette (3), 16-bit depth, and Adam7
-    interlace stay NotImplementedError slots — they need either PIL or
-    tables this engine has no other use for. CRCs are not verified
-    (decode path, not an integrity checker; zlib's adler32 already
-    guards the pixel stream)."""
-    import struct  # noqa: PLC0415
-    import zlib  # noqa: PLC0415
 
+def _png_unfilter(raw, offset, stride, h, bpp):
+    """Remove the per-scanline filters from ``h`` lines of ``stride``
+    bytes starting at ``raw[offset]`` → (ndarray[h, stride] uint8,
+    offset past the last line). ``bpp`` is the filter unit (bytes per
+    complete pixel, min 1 — RFC 2083 §6.2)."""
     import numpy as np  # noqa: PLC0415
 
-    if payload[:8] != PNG_SIGNATURE:
-        raise ValueError("not a PNG (bad signature)")
-    pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(payload):
-        length, ctype = struct.unpack_from(">I4s", payload, pos)
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + data + CRC
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT chunks")
-    w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
-        ">IIBBBBB", ihdr
-    )
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if channels is None:
-        raise NotImplementedError("palette (indexed) PNG requires PIL")
-    if depth != 8:
-        raise NotImplementedError("only 8-bit-per-channel PNG supported")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG requires PIL")
-    raw = zlib.decompress(b"".join(idat))
-    stride, bpp = w * channels, channels
-    if len(raw) != (stride + 1) * h:
+    if len(raw) < offset + (stride + 1) * h:
         raise ValueError("PNG pixel data truncated")
+    n_units = stride // bpp
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, stride, y * (stride + 1) + 1
-        ).astype(np.int32)
+        base = offset + y * (stride + 1)
+        f = raw[base]
+        line = np.frombuffer(raw, np.uint8, stride, base + 1).astype(np.int32)
         if f == 0:  # None
             cur = line
-        elif f == 1:  # Sub: per-channel cumulative sum along the row
-            cur = line.reshape(w, bpp).cumsum(axis=0, dtype=np.int64) % 256
+        elif f == 1:  # Sub: per-byte-position cumulative sum along the row
+            cur = line.reshape(n_units, bpp).cumsum(axis=0, dtype=np.int64) % 256
             cur = cur.reshape(stride).astype(np.int32)
         elif f == 2:  # Up
             cur = (line + prev) % 256
         elif f in (3, 4):  # Average / Paeth: sequential by pixel,
             cur = np.zeros(stride, dtype=np.int32)  # vector across channels
-            for x in range(w):
+            for x in range(n_units):
                 s = slice(x * bpp, (x + 1) * bpp)
                 a = cur[(x - 1) * bpp : x * bpp] if x else np.zeros(bpp, np.int32)
                 b = prev[s]
@@ -192,13 +171,127 @@ def _png_parse(payload: bytes):
             raise ValueError(f"invalid PNG scanline filter {f}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    return w, h, out.reshape(h, w, channels)
+    return out, offset + (stride + 1) * h
+
+
+def _png_samples(rows, w, h, channels, depth):
+    """Unfiltered scanline bytes → sample grid ``[h, w, channels]``
+    at native depth (uint8, or uint16 for depth 16). Sub-byte depths
+    are unpacked MSB-first (RFC 2083 §2.3)."""
+    import numpy as np  # noqa: PLC0415
+
+    if depth == 8:
+        return rows[:, : w * channels].reshape(h, w, channels)
+    if depth == 16:  # network byte order: high byte first
+        pairs = rows.reshape(h, -1, 2).astype(np.uint16)
+        vals = (pairs[:, :, 0] << 8) | pairs[:, :, 1]
+        return vals[:, : w * channels].reshape(h, w, channels)
+    bits = np.unpackbits(rows, axis=1)
+    packed = bits[:, : (bits.shape[1] // depth) * depth].reshape(h, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (packed * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)
+    return vals[:, : w * channels].reshape(h, w, channels)
+
+
+def _png_pass(raw, offset, w, h, channels, depth):
+    """Decode one (sub-)image of ``w``×``h`` filtered scanlines →
+    (pixels [h, w, channels], offset past the pass)."""
+    stride = (w * channels * depth + 7) // 8
+    bpp = max(1, channels * depth // 8)
+    rows, offset = _png_unfilter(raw, offset, stride, h, bpp)
+    return _png_samples(rows, w, h, channels, depth), offset
+
+
+def _png_parse(payload: bytes):
+    """Stdlib PNG decode (zlib inflate + scanline unfilter) →
+    (width, height, ndarray[h, w, channels]).
+
+    Full static-image coverage without PIL: all five color types
+    (grayscale, RGB, palette, gray+alpha, RGBA) at every legal bit
+    depth (1/2/4/8/16), all five scanline filters (None/Sub/Up/
+    Average/Paeth, RFC 2083 §6), and Adam7 interlace (each pass is an
+    independently filtered sub-image scattered onto the ``(y0::dy,
+    x0::dx)`` grid). Palette images resolve through PLTE (plus tRNS →
+    RGBA when present); sub-byte grayscale scales to 8-bit by the
+    exact ``255 / (2^depth − 1)`` factor; depth-16 returns uint16.
+    tRNS color-keying for non-palette types is ignored (statistics
+    path — alpha keys don't change the pixel samples). CRCs are not
+    verified (decode path, not an integrity checker; zlib's adler32
+    already guards the pixel stream)."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + CRC
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, np.uint8)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if color_type not in _PNG_COLOR_TYPES:
+        raise ValueError(f"invalid PNG color type {color_type}")
+    channels, depths = _PNG_COLOR_TYPES[color_type]
+    if depth not in depths:
+        raise ValueError(
+            f"invalid PNG bit depth {depth} for color type {color_type}"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        px, end = _png_pass(raw, 0, w, h, channels, depth)
+    else:  # Adam7: seven sequential passes, each its own filter context
+        px = np.zeros(
+            (h, w, channels), dtype=np.uint16 if depth == 16 else np.uint8
+        )
+        end = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # pass empty at this image size
+            sub, end = _png_pass(raw, end, pw, ph, channels, depth)
+            px[y0::dy, x0::dx] = sub
+    if end != len(raw):
+        raise ValueError("PNG pixel data truncated")  # trailing garbage too
+    if color_type == 3:  # resolve palette indices → RGB / RGBA
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[: len(trns)] = trns
+            return w, h, np.dstack([plte[idx], alpha[idx][:, :, None]])
+        return w, h, plte[idx]
+    if color_type == 0 and depth < 8:  # exact 8-bit rescale (255 % (2^d-1) == 0)
+        return w, h, (px * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    return w, h, px
 
 
 def decode_image(payload: bytes) -> dict[str, Any]:
     """Real image decode without PIL: P6 PPM, 24/32-bit BI_RGB BMP,
-    8-bit gray/gray-alpha/RGB/RGBA non-interlaced PNG (stdlib zlib +
-    numpy unfilter — :func:`_png_parse`), and baseline sequential
+    full static PNG — every color type incl. palette, depths 1-16,
+    Adam7 interlace (stdlib zlib + numpy unfilter —
+    :func:`_png_parse`), and baseline sequential
     Huffman JPEG (:mod:`kinesis_vcr_spark.operators.jpeg` — gray or
     YCbCr, any subsampling, restart markers). Progressive JPEG and the
     other non-baseline modes remain the PIL slot — registering a

@@ -329,9 +329,195 @@ def test_png_through_decode_image_and_spark(spark):
     assert out.mean_value == float(arr.mean())
 
 
-def test_png_unsupported_variants_raise():
-    """Palette, 16-bit, and interlaced PNGs stay loud NotImplemented
-    slots; truncated pixel data is a ValueError."""
+def _png_encode(arr, depth=8, color_type=None, interlace=0,
+                filters=(0, 1, 2, 3, 4), plte=None, trns=None):
+    """INDEPENDENT general PNG encoder for the round-trip oracle:
+    native samples (uint8/uint16 grid ``[h, w, ch]`` — palette index
+    grids use ch=1 with ``color_type=3``), packed at any legal bit
+    depth, filtered per scanline (one filter id per row, cycled,
+    fresh context per Adam7 pass), deflated, wrapped in chunks.
+    Written from RFC 2083, not from the decoder under test."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = arr.shape
+    if color_type is None:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = max(1, ch * depth // 8)
+
+    def pack_rows(sub):
+        ph, pw, _ = sub.shape
+        flat = sub.reshape(ph, pw * ch).astype(np.uint16)
+        if depth == 8:
+            return flat.astype(np.uint8)
+        if depth == 16:
+            hi = (flat >> 8).astype(np.uint8)
+            lo = (flat & 255).astype(np.uint8)
+            return np.stack([hi, lo], axis=2).reshape(ph, pw * ch * 2)
+        bits = (
+            (flat[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).reshape(ph, -1).astype(np.uint8)
+        return np.packbits(bits, axis=1)
+
+    def filter_rows(rows):
+        stride = rows.shape[1]
+        out = []
+        prev = np.zeros(stride, np.int32)
+        for y in range(rows.shape[0]):
+            cur = rows[y].astype(np.int32)
+            f = filters[y % len(filters)]
+            a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])[:stride]
+            b = prev
+            c = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])[:stride]
+            if f == 0:
+                filt = cur
+            elif f == 1:
+                filt = cur - a
+            elif f == 2:
+                filt = cur - b
+            elif f == 3:
+                filt = cur - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                filt = cur - pred
+            out.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+            prev = cur
+        return b"".join(out)
+
+    if interlace == 0:
+        body = filter_rows(pack_rows(arr))
+    else:
+        passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        body = b"".join(
+            filter_rows(pack_rows(arr[y0::dy, x0::dx]))
+            for x0, y0, dx, dy in passes
+            if arr[y0::dy, x0::dx].size
+        )
+
+    def chunk(ctype, data):
+        cbody = ctype + data
+        return struct.pack(">I", len(data)) + cbody + struct.pack(
+            ">I", zlib.crc32(cbody) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    parts = [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr)]
+    if plte is not None:
+        parts.append(chunk(b"PLTE", np.asarray(plte, np.uint8).tobytes()))
+    if trns is not None:
+        parts.append(chunk(b"tRNS", bytes(trns)))
+    parts.append(chunk(b"IDAT", zlib.compress(body)))
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+@pytest.mark.parametrize(
+    "size", [(11, 13), (3, 3), (8, 8), (1, 10), (10, 1), (9, 20)]
+)
+def test_png_adam7_matches_sequential(size):
+    """Adam7-interlaced decode reconstructs the same pixels as the
+    plain encoding of the same array, at every edge size (passes that
+    are empty at small w/h must be skipped exactly)."""
+    import numpy as np
+
+    from kinesis_vcr_spark.operators.multimodal import _png_parse
+
+    h, w = size
+    rng = np.random.default_rng(h * 100 + w)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    gw, gh, got = _png_parse(_png_encode(arr, interlace=1))
+    assert (gw, gh) == (w, h)
+    np.testing.assert_array_equal(got, arr)
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_png_16bit_roundtrip(ch):
+    import numpy as np
+
+    from kinesis_vcr_spark.operators.multimodal import _png_parse
+
+    rng = np.random.default_rng(16 + ch)
+    arr = rng.integers(0, 65536, size=(5, 7, ch), dtype=np.uint16)
+    w, h, got = _png_parse(_png_encode(arr, depth=16, filters=(0, 1, 2, 3, 4)))
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got, arr)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_gray_scales_exactly(depth):
+    """1/2/4-bit grayscale unpacks MSB-first and rescales by the exact
+    255/(2^d−1) factor (255 is divisible by 1, 3, and 15)."""
+    import numpy as np
+
+    from kinesis_vcr_spark.operators.multimodal import _png_parse
+
+    rng = np.random.default_rng(depth)
+    vals = rng.integers(0, 1 << depth, size=(6, 11, 1), dtype=np.uint8)
+    w, h, got = _png_parse(
+        _png_encode(vals, depth=depth, color_type=0, filters=(0, 2))
+    )
+    np.testing.assert_array_equal(
+        got, (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    )
+
+
+@pytest.mark.parametrize("depth", [4, 8])
+@pytest.mark.parametrize("with_trns", [False, True])
+def test_png_palette_resolves(depth, with_trns):
+    """Palette indices resolve through PLTE (tRNS appends alpha,
+    padded with 255 for entries past the table)."""
+    import numpy as np
+
+    from kinesis_vcr_spark.operators.multimodal import _png_parse
+
+    rng = np.random.default_rng(depth + with_trns)
+    n = 1 << depth
+    plte = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, size=(7, 9, 1), dtype=np.uint8)
+    trns = [0, 128] if with_trns else None
+    w, h, got = _png_parse(
+        _png_encode(idx, depth=depth, color_type=3, plte=plte, trns=trns,
+                    filters=(0, 1, 2))
+    )
+    expected = plte[idx[:, :, 0]]
+    if with_trns:
+        alpha = np.full(n, 255, np.uint8)
+        alpha[:2] = [0, 128]
+        expected = np.dstack([expected, alpha[idx[:, :, 0]][:, :, None]])
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_png_adam7_16bit_and_palette():
+    """Interlace composes with non-8-bit sample packing: each pass
+    packs its own scanlines, so sub-byte/16-bit strides differ per
+    pass width."""
+    import numpy as np
+
+    from kinesis_vcr_spark.operators.multimodal import _png_parse
+
+    rng = np.random.default_rng(42)
+    arr16 = rng.integers(0, 65536, size=(9, 6, 1), dtype=np.uint16)
+    _, _, got16 = _png_parse(_png_encode(arr16, depth=16, interlace=1))
+    np.testing.assert_array_equal(got16, arr16)
+
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(10, 11, 1), dtype=np.uint8)
+    _, _, gotp = _png_parse(
+        _png_encode(idx, depth=4, color_type=3, plte=plte, interlace=1)
+    )
+    np.testing.assert_array_equal(gotp, plte[idx[:, :, 0]])
+
+
+def test_png_invalid_variants_raise():
+    """Illegal header combos and truncated pixel data are loud
+    ValueErrors (all legal PNGs now decode — no NotImplemented left)."""
     import struct
     import zlib
 
@@ -354,12 +540,14 @@ def test_png_unsupported_variants_raise():
             + chunk(b"IEND", b"")
         )
 
-    with pytest.raises(NotImplementedError, match="palette"):
-        _png_parse(header(8, 3))
-    with pytest.raises(NotImplementedError, match="8-bit"):
-        _png_parse(header(16, 2))
-    with pytest.raises(NotImplementedError, match="interlace"):
-        _png_parse(header(8, 2, interlace=1))
+    with pytest.raises(ValueError, match="bit depth"):
+        _png_parse(header(16, 3))  # 16-bit palette is illegal
+    with pytest.raises(ValueError, match="bit depth"):
+        _png_parse(header(4, 2))  # sub-byte RGB is illegal
+    with pytest.raises(ValueError, match="color type"):
+        _png_parse(header(8, 5))
+    with pytest.raises(ValueError, match="PLTE"):
+        _png_parse(header(8, 3))  # palette declared but no PLTE chunk
     arr = np.zeros((3, 3, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="truncated"):
         _png_parse(_truncate_idat(arr))
