@@ -1,14 +1,28 @@
-"""Baseline JPEG decoder — stdlib + numpy, no PIL.
+"""JPEG decoder (baseline + progressive) — stdlib + numpy, no PIL.
 
-Closes the last common real-world image slot in the multimodal decode
-family (VERDICT r05 item 7): :func:`kinesis_vcr_spark.operators.
-multimodal.decode_image` already handles PPM/BMP/PNG with stdlib
-codecs; this module adds ITU-T T.81 baseline sequential DCT JPEG —
-8-bit samples, Huffman entropy coding, grayscale or YCbCr (JFIF) with
-any h/v chroma subsampling (4:4:4, 4:2:2, 4:2:0, ...), restart
-markers. Progressive (SOF2), arithmetic coding, 12-bit precision, and
-hierarchical modes raise ``NotImplementedError`` — they are rare in
-training corpora and are the documented PIL escape hatch.
+Closes the common real-world image slots in the multimodal decode
+family: :func:`kinesis_vcr_spark.operators.multimodal.decode_image`
+already handles PPM/BMP/PNG with stdlib codecs; this module adds
+ITU-T T.81 Huffman DCT JPEG — 8-bit samples, grayscale or YCbCr (JFIF)
+with any h/v chroma subsampling (4:4:4, 4:2:2, 4:2:0, ...), restart
+markers, in BOTH of the modes that occur in practice:
+
+- baseline/extended sequential (SOF0/SOF1), including multi-scan
+  non-interleaved sequential streams, and
+- progressive (SOF2, Annex G): spectral selection + successive
+  approximation — interleaved DC first/refinement scans,
+  single-component AC first scans with EOB runs, and AC refinement
+  scans with correction bits.
+
+Arithmetic coding, 12-bit precision, lossless, and hierarchical modes
+raise ``NotImplementedError`` — they are vanishingly rare in training
+corpora and are the documented PIL escape hatch.
+
+Architecturally the decoder is scan-accumulating (the shape libjpeg
+uses): every scan decodes into per-component zigzag coefficient
+arrays; dequantization + IDCT + upsampling + color conversion happen
+once at EOI. Baseline streams take the same path with a single scan,
+so both modes share one reconstruction and one set of numerics.
 
 Scope note (matches the family contract in multimodal.py): this is the
 CORRECTNESS decoder for the Spark-side plumbing — schema, Arrow batch
@@ -23,7 +37,12 @@ with analytically-known pixels (a DC-only block decodes to an exact
 flat value); (b) roundtrips against an independent minimal encoder
 (forward DCT + custom DHT tables) with PSNR bounds — the encoder
 deliberately emits NON-standard Huffman tables so the decoder's DHT
-handling is exercised on arbitrary valid tables, not just Annex K's.
+handling is exercised on arbitrary valid tables, not just Annex K's;
+(c) for progressive: any scan script that completes spectral coverage
+and refines to Al=0 reconstructs the SAME quantized coefficients as
+the sequential encoding of the same image, so progressive decodes are
+asserted BIT-IDENTICAL to the baseline decode — an exact oracle, not
+a PSNR bound.
 """
 
 from __future__ import annotations
@@ -128,89 +147,6 @@ class _Huff:
         raise ValueError("invalid JPEG Huffman code")
 
 
-def _parse_segments(payload: bytes):
-    """Walk the marker stream → (quant tables, huffman tables, frame,
-    restart interval, scan components, scan data bytes)."""
-    if payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG (missing SOI)")
-    qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], _Huff] = {}
-    frame = None
-    ri = 0
-    pos = 2
-    while pos + 4 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError("JPEG marker desync")
-        marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI
-            break
-        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
-        seg = payload[pos + 4 : pos + 2 + seglen]
-        if marker == 0xDB:  # DQT (possibly several tables)
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 0xF
-                i += 1
-                if pq:
-                    tbl = np.frombuffer(
-                        seg[i : i + 128], dtype=">u2"
-                    ).astype(np.int64)
-                    i += 128
-                else:
-                    tbl = np.frombuffer(
-                        seg[i : i + 64], dtype=np.uint8
-                    ).astype(np.int64)
-                    i += 64
-                qt[tq] = tbl  # zigzag order
-        elif marker == 0xC4:  # DHT (possibly several tables)
-            i = 0
-            while i < len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 0xF
-                bits = list(seg[i + 1 : i + 17])
-                n = sum(bits)
-                vals = seg[i + 17 : i + 17 + n]
-                huff[(tc, th)] = _Huff(bits, vals)
-                i += 17 + n
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
-            prec = seg[0]
-            if prec != 8:
-                raise NotImplementedError("only 8-bit JPEG supported")
-            h = struct.unpack_from(">H", seg, 1)[0]
-            w = struct.unpack_from(">H", seg, 3)[0]
-            ncomp = seg[5]
-            comps = []
-            for c in range(ncomp):
-                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
-                )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG requires PIL (baseline decoder)"
-            )
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                "non-baseline JPEG mode requires PIL"
-            )
-        elif marker == 0xDD:  # DRI
-            ri = struct.unpack_from(">H", seg, 0)[0]
-        elif marker == 0xDA:  # SOS — scan data follows the header
-            ns = seg[0]
-            scomps = []
-            for c in range(ns):
-                cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
-                scomps.append(
-                    {"cs": cs, "td": tdta >> 4, "ta": tdta & 0xF}
-                )
-            scan_start = pos + 2 + seglen
-            scan_end = _find_scan_end(payload, scan_start)
-            return qt, huff, frame, ri, scomps, payload[scan_start:scan_end]
-        pos += 2 + seglen
-    raise ValueError("JPEG has no SOS scan")
-
-
 def _find_scan_end(payload: bytes, start: int) -> int:
     i = start
     while i + 1 < len(payload):
@@ -223,8 +159,8 @@ def _find_scan_end(payload: bytes, start: int) -> int:
 
 
 def _split_restarts(scan: bytes) -> list[bytes]:
-    """Entropy-coded segments between RSTn markers (predictors reset
-    and bit alignment restart at each boundary)."""
+    """Entropy-coded segments between RSTn markers (predictors, EOB
+    runs, and bit alignment all restart at each boundary)."""
     out = []
     i = last = 0
     while i + 1 < len(scan):
@@ -238,69 +174,357 @@ def _split_restarts(scan: bytes) -> list[bytes]:
     return out
 
 
+def _decode_block_seq(br, dc, ac, blk, pred: int) -> int:
+    """Sequential full-band block decode (T.81 F.2.2) into zigzag
+    coefficient row ``blk``; returns the updated DC predictor."""
+    t = dc.decode(br)
+    pred += _extend(br.receive(t), t)
+    blk[0] = pred
+    k = 1
+    while k < 64:
+        rs = ac.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past block end")
+        blk[k] = _extend(br.receive(s), s)
+        k += 1
+    return pred
+
+
+def _decode_ac_first(br, ac, blk, ss, se, al, eobrun: int) -> int:
+    """Progressive AC first scan for one block (T.81 G.1.2.2):
+    band coefficients arrive scaled by 2^Al; EOB symbols start runs of
+    whole all-zero-band blocks. Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # this block is the run's first
+            if r:
+                eobrun += br.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _refine_nonzero(br, blk, k: int, p1: int, m1: int) -> None:
+    """Append one correction bit to an already-nonzero coefficient
+    (T.81 G.1.2.3): a 1-bit increases the magnitude by 2^Al if that
+    bit position is still clear."""
+    if br.read_bit() and (int(blk[k]) & p1) == 0:
+        blk[k] += p1 if blk[k] >= 0 else m1
+
+
+def _decode_ac_refine(br, ac, blk, ss, se, al, eobrun: int) -> int:
+    """Progressive AC refinement scan for one block (T.81 G.1.2.3,
+    figure G.7 decode side — the shape libjpeg's decode_mcu_AC_refine
+    implements): newly-nonzero coefficients arrive as ±2^Al, runs
+    count ZERO-HISTORY positions only, and every already-nonzero
+    position passed over consumes one correction bit. Blocks inside an
+    EOB run still consume correction bits for their nonzero history.
+    Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "invalid AC refinement magnitude (must be 1)"
+                    )
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_nonzero(br, blk, k, p1, m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        # remainder of this block's band: correction bits only
+        while k <= se:
+            if blk[k] != 0:
+                _refine_nonzero(br, blk, k, p1, m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(
+    scan: bytes,
+    order: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    ri: int,
+    progressive: bool,
+    mcux: int,
+    mcuy: int,
+) -> None:
+    """Decode one entropy-coded scan into the components' coefficient
+    arrays. ``order`` carries per-component decode state: bound
+    dc/ac tables, block-grid geometry, and the ``coef`` array."""
+    interleaved = len(order) > 1
+    if interleaved:
+        n_units = mcux * mcuy  # unit = MCU
+    else:
+        c = order[0]
+        n_units = c["bw_data"] * c["bh_data"]  # unit = one block
+
+    segments = _split_restarts(scan) if ri else [scan]
+    unit = 0
+    for segdata in segments:
+        br = _BitReader(segdata)
+        pred = [0] * len(order)
+        eobrun = 0
+        limit = min(unit + ri, n_units) if ri else n_units
+        while unit < limit:
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for ci, c in enumerate(order):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = c["coef"][my * c["v"] + by,
+                                            mx * c["h"] + bx]
+                            pred[ci] = _decode_unit_dc(
+                                br, c, blk, pred[ci], progressive, ah, al
+                            ) if progressive else _decode_block_seq(
+                                br, c["dc"], c["ac"], blk, pred[ci]
+                            )
+            else:
+                c = order[0]
+                by, bx = divmod(unit, c["bw_data"])
+                blk = c["coef"][by, bx]
+                if not progressive:
+                    pred[0] = _decode_block_seq(
+                        br, c["dc"], c["ac"], blk, pred[0]
+                    )
+                elif ss == 0:
+                    pred[0] = _decode_unit_dc(
+                        br, c, blk, pred[0], progressive, ah, al
+                    )
+                elif ah == 0:
+                    eobrun = _decode_ac_first(
+                        br, c["ac"], blk, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _decode_ac_refine(
+                        br, c["ac"], blk, ss, se, al, eobrun
+                    )
+            unit += 1
+
+
+def _decode_unit_dc(br, c, blk, pred: int, progressive: bool,
+                    ah: int, al: int) -> int:
+    """Progressive DC scan for one block: first scan (Ah=0) decodes
+    the differential DC scaled by 2^Al; refinement scans (Ah>0) read
+    one raw bit per block (no Huffman table involved)."""
+    if ah == 0:
+        t = c["dc"].decode(br)
+        pred += _extend(br.receive(t), t)
+        blk[0] = pred << al
+    elif br.read_bit():
+        blk[0] = int(blk[0]) | (1 << al)
+    return pred
+
+
 def jpeg_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     """(width, height, uint8 array [h, w] gray or [h, w, 3] RGB)."""
-    qt, huff, frame, ri, scomps, scan = _parse_segments(payload)
-    if frame is None:
-        raise ValueError("JPEG scan before frame header")
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _Huff] = {}
+    frame = None
+    progressive = False
+    ri = 0
+    saw_scan = False
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RSTn
+            pos += 2
+            continue
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq:
+                    qt[tq] = np.frombuffer(
+                        seg[i : i + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    i += 128
+                else:
+                    qt[tq] = np.frombuffer(
+                        seg[i : i + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    i += 64
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                huff[(tc, th)] = _Huff(bits, seg[i + 17 : i + 17 + n])
+                i += 17 + n
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            if frame is not None:
+                raise ValueError("multiple JPEG frame headers")
+            progressive = marker == 0xC2
+            frame = _parse_frame(seg)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "non-Huffman-DCT JPEG mode (lossless/arithmetic/"
+                "hierarchical) requires PIL"
+            )
+        elif marker == 0xDD:  # DRI
+            ri = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG scan before frame header")
+            order, ss, se, ah, al = _parse_scan_header(
+                seg, frame, huff, progressive
+            )
+            scan_start = pos + 2 + seglen
+            scan_end = _find_scan_end(payload, scan_start)
+            _decode_scan(
+                payload[scan_start:scan_end], order, ss, se, ah, al,
+                ri, progressive, frame["mcux"], frame["mcuy"],
+            )
+            saw_scan = True
+            pos = scan_end
+            continue
+        # APPn / COM / DNL: skipped by the generic advance
+        pos += 2 + seglen
+    if frame is None or not saw_scan:
+        raise ValueError("JPEG has no SOS scan")
+    return _reconstruct(frame, qt)
+
+
+def _parse_frame(seg: bytes) -> dict:
+    prec = seg[0]
+    if prec != 8:
+        raise NotImplementedError("only 8-bit JPEG supported")
+    h = struct.unpack_from(">H", seg, 1)[0]
+    w = struct.unpack_from(">H", seg, 3)[0]
+    ncomp = seg[5]
+    comps = []
+    for ci in range(ncomp):
+        cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+        comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    by_id = {c["id"]: c for c in comps}
-    order = [by_id[s["cs"]] for s in scomps]
-    for c, s in zip(order, scomps):
-        c["dc"] = huff[(0, s["td"])]
-        c["ac"] = huff[(1, s["ta"])]
-        c["q"] = qt[c["tq"]]
-        c["plane"] = np.zeros(
-            (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
-        )
+    for c in comps:
+        # padded interleaved block grid; non-interleaved scans cover
+        # only the top-left ceil(comp_size/8) sub-grid (T.81 A.2.2)
+        c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                             dtype=np.int64)
+        comp_w = -(-w * c["h"] // hmax)  # ceil(w·h_i/hmax)
+        comp_h = -(-h * c["v"] // vmax)
+        c["bw_data"] = -(-comp_w // 8)
+        c["bh_data"] = -(-comp_h // 8)
+    return {"h": h, "w": w, "comps": comps, "hmax": hmax, "vmax": vmax,
+            "mcux": mcux, "mcuy": mcuy}
 
-    segments = _split_restarts(scan) if ri else [scan]
-    n_mcus = mcux * mcuy
-    mcu = 0
-    for seg in segments:
-        br = _BitReader(seg)
-        pred = dict.fromkeys(range(len(order)), 0)
-        limit = min(mcu + ri, n_mcus) if ri else n_mcus
-        while mcu < limit:
-            my, mx = divmod(mcu, mcux)
-            for ci, c in enumerate(order):
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        t = c["dc"].decode(br)
-                        pred[ci] += _extend(br.receive(t), t)
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = c["ac"].decode(br)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(br.receive(s), s)
-                            k += 1
-                        coeffs = np.zeros(64, dtype=np.float64)
-                        coeffs[_ZZ] = zz * c["q"]
-                        px = _idct2(coeffs.reshape(8, 8)) + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = px
-            mcu += 1
 
-    planes = []
+def _parse_scan_header(seg, frame, huff, progressive):
+    ns = seg[0]
+    by_id = {c["id"]: c for c in frame["comps"]}
+    order = []
+    for ci in range(ns):
+        cs, tdta = seg[1 + 2 * ci : 3 + 2 * ci]
+        if cs not in by_id:
+            raise ValueError(f"scan references unknown component {cs}")
+        c = by_id[cs]
+        td, ta = tdta >> 4, tdta & 0xF
+        c["dc"] = huff.get((0, td))
+        c["ac"] = huff.get((1, ta))
+        order.append(c)
+    ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0xF
+    if progressive:
+        if ss > se or se > 63:
+            raise ValueError("invalid spectral selection band")
+        if ss > 0 and ns != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        needs_dc = ss == 0 and ah == 0
+        needs_ac = ss > 0
+    else:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError("sequential scan must cover the full band")
+        needs_dc = needs_ac = True
     for c in order:
-        p = c["plane"]
-        p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
-        planes.append(p[:h, :w])
+        if needs_dc and c["dc"] is None:
+            raise ValueError("scan references undefined DC Huffman table")
+        if needs_ac and c["ac"] is None:
+            raise ValueError("scan references undefined AC Huffman table")
+    return order, ss, se, ah, al
+
+
+def _reconstruct(frame, qt) -> tuple[int, int, np.ndarray]:
+    """Dequantize + IDCT every block, assemble component planes,
+    upsample to full resolution, convert YCbCr→RGB."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    planes = []
+    for c in frame["comps"]:
+        if c["tq"] not in qt:
+            raise ValueError("component references undefined quant table")
+        q = qt[c["tq"]]
+        by_total, bx_total, _ = c["coef"].shape
+        plane = np.zeros((by_total * 8, bx_total * 8), dtype=np.float64)
+        for by in range(by_total):
+            for bx in range(bx_total):
+                coeffs = np.zeros(64, dtype=np.float64)
+                coeffs[_ZZ] = c["coef"][by, bx] * q
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _idct2(coeffs.reshape(8, 8)) + 128.0
+                )
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], 0), hmax // c["h"], 1
+        )
+        planes.append(plane[:h, :w])
     if len(planes) == 1:
         return w, h, np.clip(planes[0] + 0.5, 0, 255).astype(np.uint8)
     if len(planes) != 3:

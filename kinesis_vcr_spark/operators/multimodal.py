@@ -8,11 +8,12 @@ records on the wire", README.md "Format") — so ingest/shuffle/dedup all
 work on media without decoding.
 
 Decoding: real codecs with numpy + the stdlib only (no PIL/ffmpeg):
-PPM, uncompressed BMP, and full static PNG (every color type incl.
+PPM, uncompressed BMP, full static PNG (every color type incl.
 palette, bit depths 1-16, all five scanline filters, Adam7
-interlace), baseline JPEG, plus PCM WAV audio; the remaining
-entropy-coded formats (progressive JPEG/MP3/H.264) raise
-``NotImplementedError`` slots where PIL/ffmpeg plug in. ``fake_decode``
+interlace), baseline AND progressive Huffman JPEG, plus PCM WAV
+audio; the remaining formats (arithmetic/lossless/12-bit JPEG,
+MP3/H.264) raise ``NotImplementedError`` slots where PIL/ffmpeg plug
+in. ``fake_decode``
 remains the deterministic stand-in used by the oracle-checked driver
 queries, because its arithmetic is reproducible in SQL.
 
@@ -291,12 +292,12 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     """Real image decode without PIL: P6 PPM, 24/32-bit BI_RGB BMP,
     full static PNG — every color type incl. palette, depths 1-16,
     Adam7 interlace (stdlib zlib + numpy unfilter —
-    :func:`_png_parse`), and baseline sequential
-    Huffman JPEG (:mod:`kinesis_vcr_spark.operators.jpeg` — gray or
-    YCbCr, any subsampling, restart markers). Progressive JPEG and the
-    other non-baseline modes remain the PIL slot — registering a
-    PIL-backed Decoder replaces only this function; the Spark plumbing
-    is identical."""
+    :func:`_png_parse`), and Huffman JPEG — baseline sequential AND
+    progressive (:mod:`kinesis_vcr_spark.operators.jpeg` — gray or
+    YCbCr, any subsampling, restart markers, spectral selection +
+    successive approximation). Arithmetic-coded/lossless/hierarchical
+    JPEG remains the PIL slot — registering a PIL-backed Decoder
+    replaces only this function; the Spark plumbing is identical."""
     if payload[:2] == b"P6":
         w, h, px = _ppm_parse(payload)
         return {"width": w, "height": h, "mean_value": float(px.mean())}

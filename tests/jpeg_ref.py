@@ -1,12 +1,19 @@
-"""Minimal independent baseline-JPEG ENCODER — test fixture generator
-for the decoder in kinesis_vcr_spark/operators/jpeg.py.
+"""Minimal independent JPEG ENCODER (baseline + progressive) — test
+fixture generator for the decoder in kinesis_vcr_spark/operators/
+jpeg.py.
 
 Deliberately independent of the decoder's internals: forward DCT via
 its own basis matrix, its own zigzag walk, and NON-standard Huffman
 tables (every used symbol gets a fixed-length-9 canonical code), so a
 roundtrip exercises the decoder's DHT handling on arbitrary valid
 tables rather than sharing Annex K constants with it. Supports 8-bit
-grayscale and YCbCr 4:4:4 / 4:2:0, optional restart intervals.
+grayscale and YCbCr 4:4:4 / 4:2:0, optional restart intervals, and
+(:func:`encode_jpeg_progressive`) T.81 Annex G progressive scripts —
+spectral selection alone or with one level of successive
+approximation, written from figures G.4-G.7, not from the decoder.
+Because both encoders quantize identical coefficients, a progressive
+stream refined to Al=0 must decode BIT-IDENTICALLY to the baseline
+stream of the same image — the exact oracle the tests pin.
 """
 
 from __future__ import annotations
@@ -108,15 +115,14 @@ def _pad(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality_divisor: int = 8,
-    subsample_420: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline JFIF bytes for a uint8 [h, w] gray or [h, w, 3] RGB
-    array. ``quality_divisor`` is the flat quantizer for every
-    coefficient (small = high quality)."""
+def _prepare_components(
+    img: np.ndarray, quality_divisor: int, subsample_420: bool
+):
+    """Shared front half of both encoders: color transform, subsample,
+    pad to the MCU grid, forward-DCT + quantize every block. Returns
+    (comps, q, h, w, mcux, mcuy) with per-component ``blocks`` (list of
+    zigzag int64 arrays, row-major over the padded grid) and ``bw``
+    (blocks per padded row)."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -154,9 +160,23 @@ def encode_jpeg(
     mcuy = -(-h // (8 * vmax))
     for c in comps:
         plane = _pad(c["plane"], mcuy * c["v"] * 8, mcux * c["h"] * 8)
-        bw_blocks = plane.shape[1] // 8
         c["blocks"] = _block_symbols_and_coeffs(plane, q)
-        c["bw"] = bw_blocks
+        c["bw"] = plane.shape[1] // 8
+    return comps, q, h, w, mcux, mcuy
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality_divisor: int = 8,
+    subsample_420: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF bytes for a uint8 [h, w] gray or [h, w, 3] RGB
+    array. ``quality_divisor`` is the flat quantizer for every
+    coefficient (small = high quality)."""
+    comps, q, h, w, mcux, mcuy = _prepare_components(
+        img, quality_divisor, subsample_420
+    )
 
     # MCU-ordered (component, block) sequence, with DC made differential
     def mcu_sequence():
@@ -245,5 +265,293 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += segment(0xDA, bytes(sos))
     out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G, figures G.4-G.7)
+# ---------------------------------------------------------------------------
+
+
+def _sign_shift(v: int, al: int) -> int:
+    """AC first-scan point transform: magnitude shifted toward zero
+    (G.1.2.2), sign preserved."""
+    m = abs(v) >> al
+    return m if v >= 0 else -m
+
+
+class _TokenStream:
+    """Scan encoder output: symbol / raw-bit / restart tokens, written
+    in a second pass once the scan's Huffman table is known."""
+
+    def __init__(self):
+        self.tokens: list[tuple] = []
+        self.syms: set[int] = set()
+
+    def sym(self, s: int) -> None:
+        self.tokens.append(("sym", s))
+        self.syms.add(s)
+
+    def bits(self, value: int, n: int) -> None:
+        if n:
+            self.tokens.append(("bits", value, n))
+
+    def rst(self) -> None:
+        self.tokens.append(("rst",))
+
+
+def _dc_scan_tokens(comps, mcux, mcuy, al, refine, restart_interval):
+    """Interleaved DC scan: first scans send diffs of coef>>Al (floor
+    shift — the decoder reconstructs pred<<Al); refinement scans send
+    one raw bit per block."""
+    ts = _TokenStream()
+    pred = [0] * len(comps)
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            ts.rst()
+            pred = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(comps):
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    bi = (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
+                    coef0 = int(c["blocks"][bi][0])
+                    if refine:
+                        ts.bits((coef0 >> al) & 1, 1)
+                        continue
+                    v = coef0 >> al
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    t = _category(diff)
+                    ts.sym(t)
+                    ts.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    return ts
+
+
+def _data_grid(c, comps, w, h):
+    """Non-interleaved scans traverse ceil(comp_size/8) blocks, NOT the
+    padded interleaved grid (T.81 A.2.2)."""
+    hmax = max(x["h"] for x in comps)
+    vmax = max(x["v"] for x in comps)
+    comp_w = -(-w * c["h"] // hmax)
+    comp_h = -(-h * c["v"] // vmax)
+    return -(-comp_w // 8), -(-comp_h // 8)
+
+
+def _ac_first_scan_tokens(c, comps, w, h, ss, se, al, restart_interval):
+    """Single-component AC first scan (G.1.2.2) with accumulated EOB
+    runs across blocks."""
+    ts = _TokenStream()
+    bw_data, bh_data = _data_grid(c, comps, w, h)
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ts.sym(r << 4)
+            ts.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for unit in range(bw_data * bh_data):
+        if restart_interval and unit and unit % restart_interval == 0:
+            flush_eob()
+            ts.rst()
+        by, bx = divmod(unit, bw_data)
+        zz = c["blocks"][by * c["bw"] + bx]
+        vals = [_sign_shift(int(zz[k]), al) for k in range(ss, se + 1)]
+        if not any(vals):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for v in vals:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ts.sym(0xF0)  # ZRL
+                run -= 16
+            s = _category(v)
+            ts.sym((run << 4) | s)
+            ts.bits(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            eobrun += 1
+    flush_eob()
+    return ts
+
+
+def _ac_refine_scan_tokens(c, comps, w, h, ss, se, al, restart_interval):
+    """Single-component AC refinement scan — figure G.7: newly-nonzero
+    coefficients as ±1 at bit Al, runs counting zero-history positions
+    only, correction bits for already-nonzero positions buffered and
+    emitted after the next symbol (or after the EOB run they fold
+    into)."""
+    ts = _TokenStream()
+    bw_data, bh_data = _data_grid(c, comps, w, h)
+    eobrun = 0
+    corr_pending: list[int] = []  # correction bits owed to the EOB run
+
+    def flush_eob():
+        nonlocal eobrun, corr_pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ts.sym(r << 4)
+            ts.bits(eobrun - (1 << r), r)
+            for b in corr_pending:
+                ts.bits(b, 1)
+            eobrun = 0
+            corr_pending = []
+
+    for unit in range(bw_data * bh_data):
+        if restart_interval and unit and unit % restart_interval == 0:
+            flush_eob()
+            ts.rst()
+        by, bx = divmod(unit, bw_data)
+        zz = c["blocks"][by * c["bw"] + bx]
+        band = [int(zz[k]) for k in range(ss, se + 1)]
+        absv = [abs(v) >> al for v in band]
+        # last newly-nonzero position; runs past it fold into the EOB
+        k_eob = max((i for i, t in enumerate(absv) if t == 1), default=-1)
+        r = 0
+        br_bits: list[int] = []  # correction bits since the last symbol
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            if i <= k_eob:
+                while r > 15:
+                    flush_eob()
+                    ts.sym(0xF0)
+                    for b in br_bits:
+                        ts.bits(b, 1)
+                    br_bits = []
+                    r -= 16
+            if t > 1:  # already nonzero before this scan
+                br_bits.append(t & 1)
+                continue
+            flush_eob()
+            ts.sym((r << 4) | 1)
+            ts.bits(1 if band[i] >= 0 else 0, 1)
+            for b in br_bits:
+                ts.bits(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            corr_pending.extend(br_bits)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return ts
+
+
+def _write_tokens(ts: _TokenStream, table: _FixedHuff | None) -> bytes:
+    body = bytearray()
+    bw = _BitWriter()
+    seg = 0
+    for tok in ts.tokens:
+        if tok[0] == "rst":
+            bw.flush()
+            body += bw.out
+            body += bytes([0xFF, 0xD0 + seg % 8])
+            seg += 1
+            bw = _BitWriter()
+        elif tok[0] == "sym":
+            table.emit(bw, tok[1])
+        else:
+            bw.write(tok[1], tok[2])
+    bw.flush()
+    body += bw.out
+    return bytes(body)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality_divisor: int = 8,
+    subsample_420: bool = False,
+    successive: bool = False,
+    restart_interval: int = 0,
+    ac_split: int = 5,
+) -> bytes:
+    """Progressive JFIF bytes for a uint8 gray/RGB array.
+
+    ``successive=False``: spectral selection only — interleaved DC
+    scan (Al=0), then per-component AC scans [1, ac_split] and
+    [ac_split+1, 63] at Al=0.
+
+    ``successive=True``: full successive approximation — DC first at
+    Al=1 + DC refinement to Al=0 (raw bits, no Huffman table), then
+    per-component AC first scans at Al=1 and AC refinement scans to
+    Al=0 (correction bits, EOB-run folding).
+
+    Either script covers the complete spectrum at Al=0, so the decode
+    must be bit-identical to the baseline encoding's decode."""
+    comps, q, h, w, mcux, mcuy = _prepare_components(
+        img, quality_divisor, subsample_420
+    )
+
+    # (tokens, scan components, ss, se, ah, al, needs_dht)
+    scans = []
+    dc_al = 1 if successive else 0
+    scans.append(
+        (_dc_scan_tokens(comps, mcux, mcuy, dc_al, False, restart_interval),
+         list(range(len(comps))), 0, 0, 0, dc_al, True)
+    )
+    if successive:
+        scans.append(
+            (_dc_scan_tokens(comps, mcux, mcuy, 0, True, restart_interval),
+             list(range(len(comps))), 0, 0, 1, 0, False)
+        )
+    ac_al = 1 if successive else 0
+    bands = [(1, ac_split), (ac_split + 1, 63)]
+    for ci, c in enumerate(comps):
+        for ss, se in bands:
+            scans.append(
+                (_ac_first_scan_tokens(
+                    c, comps, w, h, ss, se, ac_al, restart_interval),
+                 [ci], ss, se, 0, ac_al, True)
+            )
+    if successive:
+        for ci, c in enumerate(comps):
+            for ss, se in bands:
+                scans.append(
+                    (_ac_refine_scan_tokens(
+                        c, comps, w, h, ss, se, 0, restart_interval),
+                     [ci], ss, se, 1, 0, True)
+                )
+
+    def segment(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += segment(0xDB, bytes([0x00]) + bytes(int(x) for x in q))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += segment(0xC2, bytes(sof))
+    if restart_interval:
+        out += segment(0xDD, struct.pack(">H", restart_interval))
+
+    for ts, cis, ss, se, ah, al, needs_dht in scans:
+        table = None
+        if needs_dht:
+            table = _FixedHuff(ts.syms or {0x00})
+            # DC scans bind table class 0, AC scans class 1, both id 0 —
+            # redefined before every scan, exercising table rebinding
+            tc = 0 if ss == 0 else 1
+            out += segment(0xC4, table.dht_payload(tc, 0))
+        sos = bytearray([len(cis)])
+        for ci in cis:
+            sos += bytes([comps[ci]["id"], 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += segment(0xDA, bytes(sos))
+        out += _write_tokens(ts, table)
     out += b"\xff\xd9"
     return bytes(out)

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from kinesis_vcr_spark.operators.jpeg import jpeg_decode
-from tests.jpeg_ref import encode_jpeg
+from tests.jpeg_ref import encode_jpeg, encode_jpeg_progressive
 
 
 def _psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -107,11 +107,96 @@ def test_restart_markers_match_unrestarted():
     assert np.array_equal(plain, rst)
 
 
-def test_progressive_raises():
+def test_hand_assembled_progressive_dc_only():
+    """Fully hand-computed progressive stream: one 8x8 gray block, DC
+    coded in two scans (first at Al=1, refinement at Al=0), no AC
+    scans. First scan sends diff 7>>1 = 3 (category 2, bits '11'
+    after code '0'); refinement sends raw bit 7&1 = 1 (0xFF byte needs
+    a 0x00 stuffing). Reconstructed DC = (3<<1)|1 = 7 -> pixel
+    7·16/8 + 128 = 142 everywhere — the same value as the baseline
+    hand-assembled test, via the successive-approximation path."""
+    dqt = _seg(0xDB, bytes([0x00]) + bytes([16] * 64))
     sof2 = _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8)
                 + bytes([1, 1, 0x11, 0]))
-    payload = b"\xff\xd8" + sof2 + b"\xff\xd9"
-    with pytest.raises(NotImplementedError, match="progressive"):
+    dht = _seg(0xC4, bytes([0x00] + [1] + [0] * 15 + [2]))
+    sos1 = _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))  # Ss=Se=0, Al=1
+    scan1 = bytes([0b01111111])  # code '0', bits '11', 1-padding
+    sos2 = _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))  # Ah=1, Al=0
+    scan2 = b"\xff\x00"  # raw bit 1 + 1-padding, stuffed
+    payload = (b"\xff\xd8" + dqt + sof2 + dht
+               + sos1 + scan1 + sos2 + scan2 + b"\xff\xd9")
+
+    w, h, px = jpeg_decode(payload)
+    assert (w, h) == (8, 8)
+    assert np.all(px == 142)
+
+
+@pytest.mark.parametrize("successive", [False, True])
+@pytest.mark.parametrize(
+    "color", ["gray", "rgb444", "rgb420"]
+)
+def test_progressive_matches_baseline_bit_exact(successive, color):
+    """THE progressive oracle: both encoders quantize identical
+    coefficients, so a progressive script that covers the full
+    spectrum and refines to Al=0 must decode BIT-IDENTICALLY to the
+    baseline stream — spectral selection, EOB runs, ZRL, and (with
+    successive=True) DC/AC refinement correction bits all have exactly
+    one right answer."""
+    rng = np.random.RandomState(17 if successive else 23)
+    if color == "gray":
+        img = (rng.randint(0, 8, size=(25, 38)) * 16 + 40).astype(np.uint8)
+        kw = {}
+    else:
+        img = (rng.randint(0, 8, size=(21, 35, 3)) * 16 + 40).astype(
+            np.uint8
+        )
+        kw = {"subsample_420": color == "rgb420"}
+    base = jpeg_decode(encode_jpeg(img, quality_divisor=4, **kw))[2]
+    prog = jpeg_decode(
+        encode_jpeg_progressive(
+            img, quality_divisor=4, successive=successive, **kw
+        )
+    )[2]
+    assert np.array_equal(base, prog)
+
+
+@pytest.mark.parametrize("successive", [False, True])
+def test_progressive_restart_markers_match(successive):
+    """RSTn inside progressive scans: DC predictors AND EOB runs must
+    reset per segment — decode with restarts == decode without."""
+    rng = np.random.RandomState(31)
+    img = (rng.randint(0, 4, size=(24, 40)) * 24 + 60).astype(np.uint8)
+    plain = jpeg_decode(
+        encode_jpeg_progressive(img, quality_divisor=4,
+                                successive=successive)
+    )[2]
+    rst = jpeg_decode(
+        encode_jpeg_progressive(img, quality_divisor=4,
+                                successive=successive, restart_interval=2)
+    )[2]
+    assert np.array_equal(plain, rst)
+
+
+def test_progressive_high_entropy_band_splits():
+    """Full-noise image (every ZRL/EOB/refinement branch live) across
+    ac_split boundary choices, each bit-identical to baseline."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(17, 29)).astype(np.uint8)
+    base = jpeg_decode(encode_jpeg(img, quality_divisor=8))[2]
+    for split in (1, 5, 33, 62):
+        prog = jpeg_decode(
+            encode_jpeg_progressive(
+                img, quality_divisor=8, successive=True, ac_split=split
+            )
+        )[2]
+        assert np.array_equal(base, prog), f"ac_split={split}"
+
+
+def test_lossless_mode_raises():
+    sof3 = _seg(0xC3, bytes([8]) + struct.pack(">HH", 8, 8)
+                + bytes([1, 1, 0x11, 0]))
+    payload = b"\xff\xd8" + sof3 + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="PIL"):
         jpeg_decode(payload)
 
 
