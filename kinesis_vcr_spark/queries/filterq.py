@@ -1255,3 +1255,112 @@ register(QuerySpec("dedup_allpairs_exact", dedup_allpairs_exact,
                    "exact-recall similarity self-join: prefix-filtered "
                    "AllPairs over word-3-shingles, integer-threshold "
                    "Jaccard, naive co-occurrence oracle"))
+
+
+# ---------------------------------------------------------------------------
+# E91: URL canonicalization dedup (inject-then-collapse: the fixture
+# text carries no URLs of its own, so variants are planted
+# deterministically from doc_id and the oracle replants them)
+# ---------------------------------------------------------------------------
+
+
+def _url_injected_docs(docs: DataFrame) -> DataFrame:
+    """Every doc gets ONE URL whose raw spelling varies by
+    ``doc_id % 4`` over ``doc_id % 3`` page groups: plain https,
+    http+www+trailing-slash, upper-case host + :443 + kept param +
+    tracking param + fragment, and :80 + tracking-only query. Variants
+    0/1/3 collapse to ``example{g}.com/Page{g}``; variant 2 keeps its
+    real ``?q=2`` — the canonicalizer must collapse crawl noise AND
+    preserve meaningful params."""
+    g = F.pmod("doc_id", F.lit(3)).cast("string")
+    v = F.pmod("doc_id", F.lit(4))
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("https://example"), g, F.lit(".com/Page"), g))
+        .when(v == 1, F.concat(
+            F.lit("http://www.example"), g, F.lit(".com/Page"), g,
+            F.lit("/")))
+        .when(v == 2, F.concat(
+            F.lit("https://EXAMPLE"), g, F.lit(".com:443/Page"), g,
+            F.lit("?q=2&utm_source=feed#sec")))
+        .otherwise(F.concat(
+            F.lit("http://example"), g, F.lit(".com:80/Page"), g,
+            F.lit("?fbclid=abc")))
+    )
+    return docs.select(
+        "doc_id", F.concat("text", F.lit(" see "), url).alias("txt")
+    )
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup accounting (E91, RefinedWeb §3.2 shape)
+    over the injected corpus: extract → canonicalize (pure Catalyst
+    regexp chain) → ONE keyed aggregation. 3 page groups × the kept
+    ``?q=2`` split → 6 canonical keys, each carrying its occurrence /
+    raw-variant / doc counts and the min-id keep representative."""
+    from kinesis_vcr_spark.operators.urldedup import (  # noqa: PLC0415
+        url_dedup_groups,
+    )
+
+    docs = _url_injected_docs(load_table(spark, sf_dir, "documents"))
+    return (
+        url_dedup_groups(docs, id_col="doc_id", text_col="txt")
+        .orderBy("canon_url")
+    )
+
+
+URL_DEDUP_SQL = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' see ' || CASE doc_id % 4
+           WHEN 0 THEN 'https://example' || (doc_id % 3)
+                       || '.com/Page' || (doc_id % 3)
+           WHEN 1 THEN 'http://www.example' || (doc_id % 3)
+                       || '.com/Page' || (doc_id % 3) || '/'
+           WHEN 2 THEN 'https://EXAMPLE' || (doc_id % 3)
+                       || '.com:443/Page' || (doc_id % 3)
+                       || '?q=2&utm_source=feed#sec'
+           ELSE 'http://example' || (doc_id % 3)
+                || '.com:80/Page' || (doc_id % 3) || '?fbclid=abc'
+         END AS txt
+  FROM documents
+), occ AS (
+  SELECT doc_id, unnest(regexp_extract_all(txt, 'https?://[^\s]+')) AS raw_url
+  FROM injected
+), canon AS (
+  SELECT doc_id, raw_url,
+    regexp_replace(
+     regexp_replace(
+      regexp_replace(
+       regexp_replace(
+        regexp_replace(
+         lower(regexp_extract(u2, '^([^/?]*)', 1))
+           || regexp_replace(u2, '^[^/?]*', ''),
+         '^www\.', ''),
+        '^([^/?:]+):(?:80|443)([/?].*|$)', '\1\2'),
+       '[?&](?:utm_[a-zA-Z0-9_]+|fbclid|gclid|msclkid)=[^&]*', '', 'g'),
+      '^([^?]*)&', '\1?'),
+     '[/?&]+$', '') AS canon_url
+  FROM (
+    SELECT doc_id, raw_url,
+           regexp_replace(regexp_replace(raw_url, '#.*', ''),
+                          '^(?i:https?)://', '') AS u2
+    FROM occ
+  )
+)
+SELECT canon_url,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_variants,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM canon
+GROUP BY canon_url
+ORDER BY canon_url
+"""
+
+
+register(QuerySpec("url_canonical_dedup", url_canonical_dedup,
+                   URL_DEDUP_SQL,
+                   "URL-level crawl dedup: scheme/www/port/tracking-"
+                   "param/fragment canonicalization as one Catalyst "
+                   "regexp chain, then a single keyed aggregation"))

@@ -296,3 +296,88 @@ register(QuerySpec(
     "text_pii_redaction", text_pii_redaction, PII_SQL,
     "PII inject-then-scrub round trip: email/phone/IPv4 counts + redacted text",
 ))
+
+
+# ---------------------------------------------------------------------------
+# E92: cross-split near-dup leakage audit
+# ---------------------------------------------------------------------------
+
+LEAK_SEED = "leak"
+_LEAK_J = 0.6  # fixture is bimodal (planted twins J>=0.96, noise <0.3)
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination audit (E92): deterministic 80/10/10 split of
+    the documents table, banded near-dup pairs at J >= 0.6, one row per
+    split combination with pair + distinct-doc counts. Cross-split
+    rows are leakage the n-gram decontam pass cannot see (the twin
+    differs by tokens); same-split rows are residual in-split dup
+    mass. The bimodal fixture makes banding exact (same argument as
+    ``dedup_near_minhash``), so the brute-force oracle agrees."""
+    from kinesis_vcr_spark.operators.leakage import (  # noqa: PLC0415
+        split_leakage_report,
+    )
+
+    docs = train_val_test_split(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        ["doc_id"],
+        seed=LEAK_SEED,
+    )
+    return (
+        split_leakage_report(
+            docs, "doc_id", "text", threshold=_LEAK_J,
+            shingle_size=3, num_hashes=64, bands=16,
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+LEAKAGE_SQL = f"""
+WITH tagged AS (
+  SELECT doc_id,
+         CASE WHEN {_ticket_sql(LEAK_SEED, "doc_id")}
+                   < '{ticket_threshold(0.8)}' THEN 'train'
+              WHEN {_ticket_sql(LEAK_SEED, "doc_id")}
+                   < '{ticket_threshold(0.9)}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles
+  FROM toks
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= {_LEAK_J}
+), cl AS (
+  SELECT least(ta.split, tb.split) AS split_a,
+         greatest(ta.split, tb.split) AS split_b,
+         id_a, id_b
+  FROM p
+  JOIN tagged ta ON ta.doc_id = p.id_a
+  JOIN tagged tb ON tb.doc_id = p.id_b
+), u AS (
+  SELECT split_a, split_b, id_a AS doc FROM cl
+  UNION ALL
+  SELECT split_a, split_b, id_b AS doc FROM cl
+)
+SELECT cl.split_a, cl.split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       (SELECT CAST(count(DISTINCT doc) AS BIGINT) FROM u
+        WHERE u.split_a = cl.split_a AND u.split_b = cl.split_b) AS n_docs
+FROM cl
+GROUP BY cl.split_a, cl.split_b
+ORDER BY cl.split_a, cl.split_b
+"""
+
+
+register(QuerySpec("split_leakage_audit", split_leakage_audit,
+                   LEAKAGE_SQL,
+                   "cross-split near-dup leakage audit: deterministic "
+                   "80/10/10 hash split x banded near-dup pairs, "
+                   "classified per split combination"))
