@@ -244,3 +244,35 @@ register(
         "PQ-ADC planted-twin recall: exact oracle for the quantized path",
     )
 )
+
+
+def similarity_ivfpq_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ recall proof (E93): the twin assigns to the probe's own
+    nearest centroid (identical input → identical assignment, probed
+    first at any nprobe ≥ 1) and its residual encodes to the probe's
+    own residual code, so its ADC score equals the query's self-code
+    score — the same k=10 slack argument as ``similarity_pq_planted``
+    (ADC can inflate another code past the self-code), with full
+    recovery at the checked fixtures pinned by the exact oracle."""
+    from kinesis_vcr_spark.operators.ivfpq import (  # noqa: PLC0415
+        build_ivfpq, ivfpq_topk,
+    )
+
+    corpus, probes = _planted(load_table(spark, sf_dir, "embeddings"))
+    centroids, codebook, codes = build_ivfpq(
+        corpus, k_centroids=8, m=32, ksub=32, refine_iterations=1
+    )
+    return _twin_matches(
+        ivfpq_topk(codes, centroids, codebook, probes, k=10, nprobe=2)
+    )
+
+
+register(
+    QuerySpec(
+        "similarity_ivfpq_planted",
+        similarity_ivfpq_planted,
+        PLANTED_RECALL_SQL,
+        "IVF-PQ planted-twin recall: exact oracle for the residual-"
+        "quantized inverted-list path (FAISS IndexIVFPQ shape)",
+    )
+)

@@ -137,3 +137,82 @@ def test_pq_recall_on_clustered(clustered):
         recalls.append(len(set(neighbors) & exact[qid]) / 5)
     assert len(recalls) == 8
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_ivfpq_recall_on_clustered(clustered):
+    """IVF-PQ (E93): nprobe=4 of 8 lists + residual ADC must still
+    clear recall ≥ 0.9 on the clustered fixture (measured 1.0) — the
+    combined index cannot be worse than its parts where both parts
+    measure 1.0."""
+    from kinesis_vcr_spark.operators.ivfpq import build_ivfpq, ivfpq_topk
+
+    df, _ = clustered
+    centroids, codebook, codes = build_ivfpq(
+        df, k_centroids=8, m=32, ksub=32, refine_iterations=1
+    )
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivfpq_topk(
+            codes, centroids, codebook, _probes(df), k=6, nprobe=4
+        ).collect()
+    }
+    assert _recall(_exact_top5(df), approx) >= 0.9
+
+
+def test_ivfpq_residuals_beat_raw_pq_quantization(clustered):
+    """The reason IVF-PQ exists: PQ over residuals reconstructs the
+    corpus strictly better than the same-budget PQ over raw vectors on
+    clustered data (residuals concentrate near zero) — PROVIDED the
+    coarse quantizer resolves the cluster structure. Measured on this
+    fixture (40 clusters): k_centroids=8 leaves multi-modal residuals
+    and the advantage vanishes (ratio ≈ 1.1); k=16 → 0.83×, k=32 →
+    0.43×, k=40 → 0.33×. Pinned at k=16 (coarse k well under the
+    cluster count — the conservative case). MSE measured driver-side
+    on the collected fixture (240 × 64 — test-sized)."""
+    import numpy as np
+
+    from kinesis_vcr_spark.operators.ivf import train_centroids
+    from kinesis_vcr_spark.operators.ivfpq import (
+        residual_frame, train_residual_pq,
+    )
+    from kinesis_vcr_spark.operators.pq import (
+        _encode_batch, _normalize_rows, pq_decode, train_pq,
+    )
+
+    df, _ = clustered
+    mat = _normalize_rows(
+        np.array(
+            [r["embedding"] for r in df.orderBy("vec_id").collect()],
+            dtype=np.float64,
+        )
+    )
+    # raw-vector PQ reconstruction
+    cb_raw = train_pq(df, m=8, ksub=16, refine_iterations=1)
+    err_raw = ((pq_decode(_encode_batch(mat, cb_raw), cb_raw) - mat) ** 2).mean()
+    # residual PQ reconstruction: c_cid + decode(codes)
+    centroids = train_centroids(df, k=16, refine_iterations=1)
+    res = residual_frame(df, centroids)
+    cb_res = train_residual_pq(res, m=8, ksub=16, refine_iterations=1)
+    cid = np.argmax(mat @ centroids.T, axis=1)
+    resid = mat - centroids[cid]
+    recon = centroids[cid] + pq_decode(_encode_batch(resid, cb_res), cb_res)
+    err_res = ((recon - mat) ** 2).mean()
+    assert err_res < err_raw, (err_res, err_raw)
+
+
+def test_ivfpq_planted_driver_query(spark, sf_dir):
+    """Driver companion: every planted twin recovered (the exact
+    oracle the driver re-checks)."""
+    from kinesis_vcr_spark.queries.similarity import (
+        PLANT_MOD, PLANT_OFFSET, similarity_ivfpq_planted,
+    )
+    from kinesis_vcr_spark.tables import load_table
+
+    got = similarity_ivfpq_planted(spark, sf_dir).collect()
+    n_planted = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % PLANT_MOD == 0)
+        .count()
+    )
+    assert len(got) == n_planted
+    assert all(r["match_id"] == r["query_id"] + PLANT_OFFSET for r in got)
