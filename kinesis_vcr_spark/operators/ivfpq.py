@@ -29,9 +29,11 @@ oracle.
 m small ints per vector (the ivf.py ``_write_lists`` layout applies
 unchanged: partitioned by list id, probes prune to nprobe/k_centroids
 of the files). Training collects only centroid/codebook-sized tables;
-encode is one Arrow-batched UDF pass; the probe broadcasts the query
-set (broadcast-probes contract shared with pq/ivf) and rides the
-skew-safe two-phase top-k.
+encode is one Arrow-batched UDF pass; the probe keeps queries
+DISTRIBUTED — (query, cid) probes equi-join the code lists and a
+scalar vectorized UDF scores each candidate (no driver collect of the
+query set, unlike pq_adc_topk's broadcast-probes contract) — and
+rides the skew-safe two-phase top-k.
 """
 
 from __future__ import annotations
@@ -42,7 +44,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from kinesis_vcr_spark.operators.ivf import _rm_recursive, train_centroids
+from kinesis_vcr_spark.operators.ivf import (
+    _rm_recursive,
+    probe_centroids,
+    train_centroids,
+)
+from kinesis_vcr_spark.operators.similarity import unit_double
 from kinesis_vcr_spark.operators.pq import _encode_batch, _normalize_rows
 from kinesis_vcr_spark.operators.topk import topk_per_group
 
@@ -193,6 +200,33 @@ def build_ivfpq(
     )
 
 
+def adc_similarity(
+    query_unit_col, cid_col, codes_col,
+    centroids: np.ndarray, codebook: np.ndarray,
+):
+    """Vectorized ADC score column for joined (query, candidate) rows:
+    ``q·c_cid + Σ_s q_sub_s · codebook[s][code_s]`` per row, one numpy
+    gather + two dot-sums per Arrow batch — no per-row Python, no
+    reconstruction. 6-dp rounded (engine-portable float discipline)."""
+    cmat = centroids
+    cb = codebook
+    m, ksub, dsub = codebook.shape
+
+    @pandas_udf("double")
+    def adc(qv: pd.Series, cid: pd.Series, codes: pd.Series) -> pd.Series:
+        qm = np.vstack(qv.to_numpy()).astype(np.float64)  # n × d (unit)
+        cids = cid.to_numpy().astype(np.int64)
+        cm = np.vstack(codes.to_numpy()).astype(np.int64)  # n × m
+        coarse = (qm * cmat[cids]).sum(axis=1)
+        gathered = np.stack(
+            [cb[s][cm[:, s]] for s in range(m)], axis=1
+        )  # n × m × dsub
+        res = (qm.reshape(len(qm), m, dsub) * gathered).sum(axis=(1, 2))
+        return pd.Series(np.round(coarse + res, 6))
+
+    return adc(query_unit_col, cid_col, codes_col)
+
+
 def ivfpq_topk(
     codes: DataFrame,
     centroids: np.ndarray,
@@ -205,65 +239,41 @@ def ivfpq_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate top-k over the IVF-PQ index: each query scans ONLY
-    its nprobe nearest lists; candidate score = q·c_list + ADC residual
-    lookups (m adds per candidate, no reconstruction). Returns
-    (query_id, vec_id, adc_sim) on the skew-safe two-phase top-k.
+    its nprobe nearest lists. Returns (query_id, vec_id, adc_sim) on
+    the skew-safe two-phase top-k.
 
-    Queries are collected and closure-broadcast (broadcast-probes
-    contract, same as pq_adc_topk); the codes scan is pre-filtered to
-    the UNION of probed lists (at most nq·nprobe of k_centroids lists
-    — with a persisted ``_write_lists`` layout that filter is
-    partition pruning, not a scan)."""
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    qids = [r[query_id_col] for r in qrows]
-    qmat = _normalize_rows(
-        np.array([list(r[query_vec_col]) for r in qrows], dtype=np.float64)
+    Plan shape — and the deliberate divergence from pq_adc_topk's
+    broadcast-probes contract: queries stay DISTRIBUTED. Each query
+    row explodes to its nprobe (query, cid) probes; an equi-join on
+    ``cid`` against the codes table forms exactly the candidate set
+    (Θ(nq · n · nprobe/k_centroids) rows — the work ADC inherently
+    does); one scalar vectorized UDF scores each candidate. No driver
+    collect of the query set, no per-row Python object building — the
+    first cut of this operator emitted an array<struct> of all visible
+    queries per candidate row from inside the UDF and measured 16.7×
+    at 10× data on the planted fixture (whose probe set grows with the
+    corpus); this join shape is the fix. The stored side is
+    pre-filtered to the union of probed lists (a ≤ k_centroids-sized
+    collect) so a persisted index scans only the probed partition
+    dirs."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        unit_double(F.col(query_vec_col)).alias("__q_unit"),
+        F.explode(
+            probe_centroids(F.col(query_vec_col), centroids, nprobe)
+        ).alias("cid"),
     )
-    m, ksub, dsub = codebook.shape
-    csims = qmat @ centroids.T  # nq × k_centroids: the q·c_list term
-    order = np.argsort(-csims, axis=1)[:, :nprobe]  # nq × nprobe
-    probed_mask = np.zeros((len(qids), centroids.shape[0]), dtype=bool)
-    for qi in range(len(qids)):
-        probed_mask[qi, order[qi]] = True
-    tables = np.stack(
-        [qmat[:, s * dsub : (s + 1) * dsub] @ codebook[s].T for s in range(m)],
-        axis=1,
-    )  # nq × m × ksub
-    all_probed = sorted({int(c) for row in order for c in row})
-
-    qid_type = queries.schema[query_id_col].dataType.simpleString()
-
-    @pandas_udf(f"array<struct<query_id: {qid_type}, adc_sim: double>>")
-    def adc(code_series: pd.Series, cid_series: pd.Series) -> pd.Series:
-        cmat = np.vstack(code_series.to_numpy()).astype(np.int64)  # n × m
-        cids = cid_series.to_numpy().astype(np.int64)  # n
-        res_sims = np.zeros((len(qids), cmat.shape[0]), dtype=np.float64)
-        for s in range(m):
-            res_sims += tables[:, s, :][:, cmat[:, s]]
-        sims = res_sims + csims[:, cids]  # add the per-list q·c term
-        visible = probed_mask[:, cids]  # nq × n: did q probe this list?
-        out = []
-        for i in range(cmat.shape[0]):
-            out.append(
-                [
-                    {
-                        "query_id": qids[q],
-                        "adc_sim": round(float(sims[q, i]), 6),
-                    }
-                    for q in range(len(qids))
-                    if visible[q, i]
-                ]
-            )
-        return pd.Series(out)
-
-    scored = (
-        codes.where(F.col("cid").isin(all_probed))
-        .select(id_col, F.explode(adc(F.col("codes"), F.col("cid"))).alias("hit"))
-        .select(
-            F.col("hit.query_id").alias("query_id"),
-            id_col,
-            F.col("hit.adc_sim").alias("adc_sim"),
-        )
+    probed = sorted(
+        r["cid"] for r in q.select("cid").distinct().collect()
+    )  # ≤ k_centroids values — partition pruning for persisted lists
+    cand = q.join(codes.where(F.col("cid").isin(probed)), "cid")
+    scored = cand.select(
+        "query_id",
+        id_col,
+        adc_similarity(
+            F.col("__q_unit"), F.col("cid"), F.col("codes"),
+            centroids, codebook,
+        ).alias("adc_sim"),
     )
     return topk_per_group(
         scored,

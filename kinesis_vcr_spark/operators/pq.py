@@ -192,15 +192,26 @@ def pq_adc_topk(
     query_vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k by ADC: per (query, vector), similarity =
-    Σ_s ip_table[s, code_s] where ip_table is the query's inner-product
-    table against the codebook — m lookups per candidate, no decode.
+    """Approximate top-k by ADC: per (query, vector) candidate,
+    similarity = Σ_s ip_table[s, code_s] where ip_table is the query's
+    inner-product table against the codebook — m lookups per
+    candidate, no decode. Returns (query_id, vec_id, adc_sim) on the
+    skew-safe two-phase top-k.
 
-    Queries are collected and closure-broadcast (probe sets are small —
-    same posture as the brute-force baseline); the codes scan fans out
-    to |queries| rows per vector and the exact top-k rides the
-    skew-safe two-phase path. Returns (query_id, vec_id, adc_sim).
+    Queries are collected and closure-broadcast (probe sets are
+    fixed-size batches by contract — the planted fixture caps its
+    sample for the same reason); per codes-row the UDF emits ONE
+    array<double> of all query scores straight from a numpy gather-sum
+    (nq × n matrix math per Arrow batch), posexploded JVM-side and
+    mapped back to query ids through a broadcast (qidx, query_id)
+    table. Two earlier shapes measured slower at 10× data (r7 session
+    4): per-row array<struct{query_id, sim}> built by Python dicts
+    (object churn, 16×), and a crossJoin shipping the 64-double query
+    vector per candidate row (Arrow volume, 24×). This one moves one
+    double per (candidate, query) and no Python objects.
     """
+    from pyspark.sql.functions import broadcast  # noqa: PLC0415
+
     qrows = queries.select(query_id_col, query_vec_col).collect()
     qids = [r[query_id_col] for r in qrows]  # native values, any id type
     qmat = _normalize_rows(
@@ -215,33 +226,31 @@ def pq_adc_topk(
         ],
         axis=1,
     )
+    nq = len(qids)
 
-    # struct field type follows the queries schema — string / int / long
-    # query-id columns all round-trip unchanged (ADVICE r04)
-    qid_type = queries.schema[query_id_col].dataType.simpleString()
-
-    @pandas_udf(f"array<struct<query_id: {qid_type}, adc_sim: double>>")
-    def adc(code_series: pd.Series) -> pd.Series:
+    @pandas_udf("array<double>")
+    def adc_scores(code_series: pd.Series) -> pd.Series:
         cmat = np.vstack(code_series.to_numpy()).astype(np.int64)  # n × m
-        # sims[q, i] = Σ_s tables[q, s, cmat[i, s]]
-        sims = np.zeros((len(qids), cmat.shape[0]), dtype=np.float64)
+        sims = np.zeros((nq, cmat.shape[0]), dtype=np.float64)
         for s in range(m):
             sims += tables[:, s, :][:, cmat[:, s]]
-        out = [
-            [
-                {"query_id": qids[q], "adc_sim": round(float(sims[q, i]), 6)}
-                for q in range(len(qids))
-            ]
-            for i in range(cmat.shape[0])
-        ]
-        return pd.Series(out)
+        return pd.Series(list(np.round(sims.T, 6)))  # n rows × nq scores
 
-    scored = codes.select(
-        id_col, F.explode(adc(F.col("codes"))).alias("hit")
-    ).select(
-        F.col("hit.query_id").alias("query_id"),
-        id_col,
-        F.col("hit.adc_sim").alias("adc_sim"),
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    qmap = broadcast(
+        codes.sparkSession.createDataFrame(
+            [(i, qid) for i, qid in enumerate(qids)],
+            f"qidx int, query_id {qid_type}",
+        )
+    )
+    scored = (
+        codes.select(
+            id_col, F.posexplode(adc_scores(F.col("codes"))).alias(
+                "qidx", "adc_sim"
+            )
+        )
+        .join(qmap, "qidx")
+        .select("query_id", id_col, "adc_sim")
     )
     return topk_per_group(
         scored,
