@@ -297,7 +297,9 @@ def decode_image(payload: bytes) -> dict[str, Any]:
     YCbCr, any subsampling, restart markers, spectral selection +
     successive approximation). Arithmetic-coded/lossless/hierarchical
     JPEG remains the PIL slot — registering a PIL-backed Decoder
-    replaces only this function; the Spark plumbing is identical."""
+    replaces only this function; the Spark plumbing is identical. GIF
+    (87a/89a LZW, interlace, transparency, first-frame compositing)
+    decodes via :mod:`kinesis_vcr_spark.operators.gif`."""
     if payload[:2] == b"P6":
         w, h, px = _ppm_parse(payload)
         return {"width": w, "height": h, "mean_value": float(px.mean())}
@@ -312,8 +314,13 @@ def decode_image(payload: bytes) -> dict[str, Any]:
 
         w, h, px = jpeg_decode(payload)
         return {"width": w, "height": h, "mean_value": float(px.mean())}
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from kinesis_vcr_spark.operators.gif import gif_decode  # noqa: PLC0415
+
+        w, h, px = gif_decode(payload)
+        return {"width": w, "height": h, "mean_value": float(px.mean())}
     raise NotImplementedError(
-        "unrecognized image container (PPM/BMP/PNG/JPEG supported); "
+        "unrecognized image container (PPM/BMP/PNG/JPEG/GIF supported); "
         "register a PIL-backed Decoder for other formats"
     )
 

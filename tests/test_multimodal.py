@@ -21,8 +21,10 @@ def test_stub_decoders_raise():
     # stream must fail loudly, and unknown containers stay PIL slots
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg")  # no SOS scan
+    with pytest.raises(ValueError):
+        decode_image(b"GIF89a" + b"\x00" * 4)  # truncated header
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a not supported")
+        decode_image(b"II*\x00 tiff is still the PIL slot")
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF")
 
