@@ -212,3 +212,127 @@ register(QuerySpec("text_quality", text_quality, QUALITY_SQL,
                    "heuristic quality scoring per source"))
 register(QuerySpec("text_fingerprint", text_fingerprint, FINGERPRINT_SQL,
                    "rolling-hash document fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# E94: HTML → text extraction + boilerplate signals (inject-then-
+# extract: the fixture text is plain, so each doc is wrapped in one of
+# four deterministic HTML shapes and the oracle wraps identically)
+# ---------------------------------------------------------------------------
+
+
+def _html_wrapped(docs: DataFrame) -> DataFrame:
+    """doc_id % 4 picks the markup shape: plain paragraphs; script+
+    style+entity noise; navigation-heavy (anchors around and inside
+    the content); comments+headings+br. Every shape embeds the
+    document's own text so extraction is content-bearing."""
+    v = F.pmod("doc_id", F.lit(4))
+    t = F.col("text")
+    html = (
+        F.when(v == 0, F.concat(
+            F.lit("<html><body><p>"), t, F.lit("</p></body></html>")))
+        .when(v == 1, F.concat(
+            F.lit("<script>var x = 1 < 2;</script><style>p {color:red}"
+                  "</style><p>"), t, F.lit(" &amp; more &lt;here&gt;</p>")))
+        .when(v == 2, F.concat(
+            F.lit("<div><a href=\"/\">Home</a> | <a href=\"/a\">About us"
+                  "</a><p>"), t, F.lit("</p><a href=\"/c\">Contact</a>"
+                  "</div>")))
+        .otherwise(F.concat(
+            F.lit("<!-- header --><h1>Title &quot;h&quot;</h1>"), t,
+            F.lit("<br>tail &#39;line&#39; &nbsp;end")))
+    )
+    return docs.select("doc_id", "source", html.alias("html"))
+
+
+def html_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup-removal audit per injected HTML shape (E94): extract
+    text with the Catalyst regexp chain, fold the boilerplate signals
+    to exact integers (ratios micro-fixed before summing — the
+    repo-wide float discipline), one narrow projection + one tiny
+    aggregation."""
+    from kinesis_vcr_spark.functions.html import (  # noqa: PLC0415
+        html_signals, html_to_text,
+    )
+
+    docs = _html_wrapped(load_table(spark, sf_dir, "documents"))
+    with_text = docs.withColumn("t", html_to_text(F.col("html")))
+    sig = with_text.select(
+        F.pmod("doc_id", F.lit(4)).alias("variant"),
+        *html_signals(F.col("html"), F.col("t")),
+    )
+    return (
+        sig.groupBy("variant")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("text_chars").alias("sum_text_chars"),
+            F.sum("html_chars").alias("sum_html_chars"),
+            F.sum(F.round(F.col("markup_ratio") * 1e6).cast("long"))
+            .alias("sum_markup_micro"),
+            F.sum("n_tags").alias("sum_tags"),
+            F.sum("n_links").alias("sum_links"),
+            F.sum(F.round(F.col("link_text_density") * 1e6).cast("long"))
+            .alias("sum_linkdens_micro"),
+        )
+        .orderBy("variant")
+    )
+
+
+def _html_sql() -> str:
+    from kinesis_vcr_spark.functions.html import html_to_text_sql
+
+    wrap = """CASE doc_id % 4
+      WHEN 0 THEN '<html><body><p>' || text || '</p></body></html>'
+      WHEN 1 THEN '<script>var x = 1 < 2;</script><style>p {color:red}</style><p>'
+                  || text || ' &amp; more &lt;here&gt;</p>'
+      WHEN 2 THEN '<div><a href="/">Home</a> | <a href="/a">About us</a><p>'
+                  || text || '</p><a href="/c">Contact</a></div>'
+      ELSE '<!-- header --><h1>Title &quot;h&quot;</h1>' || text
+           || '<br>tail &#39;line&#39; &nbsp;end'
+    END"""
+    return f"""
+WITH wrapped AS (
+  SELECT doc_id, {wrap} AS html FROM documents
+), extracted AS (
+  SELECT doc_id, html, {html_to_text_sql("html")} AS t FROM wrapped
+), sig AS (
+  SELECT doc_id % 4 AS variant,
+         length(t) AS text_chars,
+         length(html) AS html_chars,
+         round(CASE WHEN length(html) > 0
+               THEN 1.0 - CAST(length(t) AS DOUBLE)
+                    / CAST(length(html) AS DOUBLE) ELSE 0.0 END, 6)
+           AS markup_ratio,
+         len(regexp_extract_all(html, '(?s)<[^>]+>')) AS n_tags,
+         len(regexp_extract_all(html, '(?is)<a\\b[^>]*>')) AS n_links,
+         round(CASE WHEN length(regexp_replace(t, '\\s+', '', 'g')) > 0
+               THEN CAST(length(regexp_replace(
+                      -- array_to_string([]) is NULL in DuckDB, not ''
+                      coalesce(array_to_string(regexp_extract_all(
+                        html, '(?is)<a\\b[^>]*>(.*?)</a\\s*>', 1), ''), ''),
+                      '(?s)<[^>]+>|\\s+', '', 'g')) AS DOUBLE)
+                    / CAST(length(regexp_replace(t, '\\s+', '', 'g'))
+                           AS DOUBLE)
+               ELSE 0.0 END, 6) AS link_text_density
+  FROM extracted
+)
+SELECT variant,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(text_chars) AS BIGINT) AS sum_text_chars,
+       CAST(sum(html_chars) AS BIGINT) AS sum_html_chars,
+       CAST(sum(CAST(round(markup_ratio * 1e6) AS BIGINT)) AS BIGINT)
+         AS sum_markup_micro,
+       CAST(sum(n_tags) AS BIGINT) AS sum_tags,
+       CAST(sum(n_links) AS BIGINT) AS sum_links,
+       CAST(sum(CAST(round(link_text_density * 1e6) AS BIGINT)) AS BIGINT)
+         AS sum_linkdens_micro
+FROM sig GROUP BY variant ORDER BY variant
+"""
+
+
+register(QuerySpec("html_extract_stats", html_extract_stats, _html_sql(),
+                   "HTML→text extraction + boilerplate signals: "
+                   "script/style/comment strip, block-boundary "
+                   "newlines, entity decode, markup/link-density "
+                   "accounting — one shared regexp chain, oracle "
+                   "generated from the same step table"))
