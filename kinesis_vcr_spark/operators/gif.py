@@ -125,6 +125,8 @@ def gif_frames(payload: bytes):
         if b == 0x3B:  # trailer
             break
         if b == 0x21:  # extension
+            if pos + 2 > len(payload):
+                raise ValueError("GIF extension truncated")
             label = payload[pos + 1]
             data, pos = _read_blocks(payload, pos + 2)
             if label == 0xF9 and len(data) >= 4:  # Graphic Control
@@ -143,6 +145,8 @@ def gif_frames(payload: bytes):
             pos += n * 3
         if ct is None:
             raise ValueError("GIF image with no color table")
+        if pos >= len(payload):
+            raise ValueError("GIF pixel data truncated")
         min_code = payload[pos]
         pos += 1
         data, pos = _read_blocks(payload, pos)

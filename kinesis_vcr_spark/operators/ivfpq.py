@@ -266,6 +266,8 @@ def ivfpq_topk(
     probed = sorted(
         r["cid"] for r in q.select("cid").distinct().collect()
     )  # ≤ k_centroids values — partition pruning for persisted lists
+    if not probed:
+        raise ValueError("ivfpq_topk: queries DataFrame is empty")
     cand = q.join(codes.where(F.col("cid").isin(probed)), "cid")
     scored = cand.select(
         "query_id",
