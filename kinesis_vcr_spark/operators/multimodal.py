@@ -358,8 +358,12 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
 
 def real_decode(kind: str, payload: bytes) -> dict[str, Any]:
     """Decoder dispatching to the REAL codecs above by media kind.
-    Video stays a slot (frame demux needs ffmpeg); use ``fake_decode``
-    or :func:`sample_frames`'s fixed-frame model for video plumbing."""
+    MJPEG-in-AVI video decodes for real via
+    :mod:`kinesis_vcr_spark.operators.avi` (RIFF demux + the in-repo
+    JPEG decoder per frame; ``sample_avi_frames`` is the real-codec
+    instantiation of :func:`sample_frames`); every other video codec
+    stays the ffmpeg slot — use ``fake_decode`` or the fixed-frame
+    model for plumbing tests."""
     if kind == "image":
         return decode_image(payload)
     if kind == "audio":
