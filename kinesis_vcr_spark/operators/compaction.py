@@ -180,6 +180,27 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, jvm
 
 
+def _recover_crashed_swap(fs, jvm, path: str, tmp: str, old: str) -> None:
+    """Repair the between-renames crash window of
+    :func:`compact_scoped_state`: if ``path`` is missing, install the
+    completed new generation (``tmp`` with a ``_SUCCESS`` marker under
+    its ``ingest=_compacted`` scope) or, failing that, restore the old
+    generation from ``old``. No-op when ``path`` exists."""
+    P = jvm.org.apache.hadoop.fs.Path
+    if fs.exists(P(path)):
+        return
+    if fs.exists(P(f"{tmp}/ingest=_compacted/_SUCCESS")):
+        if not fs.rename(P(tmp), P(path)):
+            raise OSError(f"crash recovery failed installing {tmp} at {path}")
+        fs.delete(P(old), True)
+    elif fs.exists(P(old)):
+        if not fs.rename(P(old), P(path)):
+            raise OSError(f"crash recovery failed restoring {old} to {path}")
+        fs.delete(P(tmp), True)
+    # neither generation present: nothing to recover — the read below
+    # will fail loudly on the missing path, which is correct.
+
+
 def compact_scoped_state(
     spark: SparkSession,
     path: str,
@@ -203,18 +224,29 @@ def compact_scoped_state(
     Run it only against a DRAINED or paused stream: the swap is
     rename-based (write ``__compacting`` tmp → rename old aside →
     rename tmp in → delete old), and a writer racing the swap could
-    land a scope in the doomed generation. A crash mid-swap leaves
-    either the old dir or a complete new dir plus a ``__pre_compact``
-    leftover to delete by hand — never a half-merged table.
+    land a scope in the doomed generation.
+
+    Crash contract: there is an unavoidable window BETWEEN the two
+    renames where NO live dir exists at ``path`` — only
+    ``__pre_compact`` (the old generation, complete) and
+    ``__compacting`` (the new generation, complete — it was fully
+    written and ``_SUCCESS``-marked before the first rename). Readers
+    fail loudly during that window; no crash point can expose a
+    half-merged table. The function REPAIRS the window itself on the
+    next invocation: on entry, if ``path`` is missing it installs the
+    new generation when ``__compacting`` carries ``_SUCCESS``,
+    otherwise restores ``__pre_compact``. Call it again after a crash
+    (or just re-run the scheduled compaction) — no manual repair.
 
     ``partition_cols`` preserves an inner physical partitioning (e.g.
     ``("band_pos",)`` for the near-dup band table); otherwise output is
     coalesced to ``target_files`` files.
     """
     fs, jvm = _hadoop_fs(spark, path)
-    df = spark.read.parquet(path).drop("ingest")
     tmp = f"{path}__compacting"
     old = f"{path}__pre_compact"
+    _recover_crashed_swap(fs, jvm, path, tmp, old)
+    df = spark.read.parquet(path).drop("ingest")
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
     fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
     out = df.repartition(*partition_cols) if partition_cols else df.coalesce(

@@ -26,7 +26,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import IntegerType
 
 from kinesis_vcr_spark.operators.similarity import (
-    cosine,
+    pandas_cosine_unit,
     round_cosine,
     unit_double,
 )
@@ -169,9 +169,9 @@ def _rank_candidates(
         cand.select(
             query_id_col,
             id_col,
-            round_cosine(cosine(F.col("__q_unit"), F.col("__v_unit"))).alias(
-                "cosine"
-            ),
+            round_cosine(
+                pandas_cosine_unit(F.col("__q_unit"), F.col("__v_unit"))
+            ).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

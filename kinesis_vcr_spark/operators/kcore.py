@@ -12,9 +12,12 @@ survives is the k-core regardless of deletion order.
 Spark shape (mirrors the iterative-family discipline of
 operators/components.py and pagerank.py):
 
-- the degree table is NODE-sized; the under-k set is smaller still and
-  only ever SHRINKS, so both anti-joins broadcast it — the edge table
-  never shuffles in any iteration;
+- the degree table is NODE-sized; while the cumulative removed set
+  stays under :data:`BROADCAST_REMOVED_MAX` both anti-joins broadcast
+  it — the edge table never shuffles. On graphs where peeling removes
+  a large node fraction the hint is dropped past that bound and the
+  planner falls back to a shuffle anti-join (a bounded broadcast, not
+  an 8 GB-limit / driver-OOM wall);
 - ``localCheckpoint`` per round truncates the iterative lineage;
 - iteration count is the graph's peeling depth (≤ its degeneracy
   ordering rounds, typically ≪ node count); ``max_iterations`` is a
@@ -33,6 +36,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kinesis_vcr_spark.operators.triangles import _simple_undirected
+
+# The removed-node set is CUMULATIVE, so on graphs where peeling deletes
+# a large node fraction it is not "small" in any useful sense — an
+# unconditional broadcast hint would grow without bound (Spark's 8 GB
+# broadcast hard limit / driver OOM). Below this many removed node ids
+# (~hundreds of MB of long ids at worst) the broadcast anti-join is the
+# strictly better plan (edge table never shuffles); above it the hint is
+# dropped so the planner falls back to a shuffle anti-join.
+BROADCAST_REMOVED_MAX = 5_000_000
 
 
 def _degrees(edges: DataFrame) -> DataFrame:
@@ -72,20 +84,28 @@ def kcore_edges(
         raise ValueError(f"k must be >= 1, got {k}")
     base = _simple_undirected(edges, src, dst).persist()
     removed: DataFrame | None = None  # schema follows the node id type
+    removed_count = 0  # maintained exactly: bad-set counts are disjoint
 
     def alive(rm: DataFrame | None) -> DataFrame:
         if rm is None:
             return base
+        # broadcast only while the cumulative set is provably bounded;
+        # past BROADCAST_REMOVED_MAX let the planner pick (shuffle
+        # anti-join) instead of forcing an unbounded broadcast.
+        hint = F.broadcast if removed_count <= BROADCAST_REMOVED_MAX else (
+            lambda df: df
+        )
         return base.join(
-            F.broadcast(rm.select(F.col("node").alias("a"))), "a", "left_anti"
+            hint(rm.select(F.col("node").alias("a"))), "a", "left_anti"
         ).join(
-            F.broadcast(rm.select(F.col("node").alias("b"))), "b", "left_anti"
+            hint(rm.select(F.col("node").alias("b"))), "b", "left_anti"
         )
 
     for i in range(max_iterations + 1):  # +1: the final fixpoint check
         cur = alive(removed)
         bad = _degrees(cur).where(F.col("deg") < k).select("node")
-        if bad.isEmpty():
+        n_bad = bad.count()
+        if n_bad == 0:
             # lineage is already shallow (source + two anti-joins
             # against the checkpointed node set) — no edge-sized
             # checkpoint of the result, which would reintroduce the
@@ -107,6 +127,7 @@ def kcore_edges(
         removed = (
             bad if prev is None else prev.unionByName(bad)
         ).localCheckpoint()
+        removed_count += n_bad  # bad is disjoint from prior removals
         if prev is not None:
             prev.unpersist()
     raise RuntimeError(

@@ -102,6 +102,38 @@ def pandas_cosine(vec_a: Column, vec_b: Column) -> Column:
     return cos(vec_a, vec_b)
 
 
+def pandas_cosine_unit(unit_a: Column, unit_b: Column) -> Column:
+    """Cosine of two ALREADY-normalized vectors, bit-identical to
+    ``cosine(unit_a, unit_b)`` (the interpreted-HOF dot) but vectorized
+    per Arrow batch.
+
+    Same bit-identity argument as :func:`pandas_cosine`: the dot is an
+    explicit left-to-right accumulation over dimensions (each step one
+    vectorized IEEE-double op across the batch) — the exact operation
+    sequence of the HOF ``aggregate`` and of DuckDB's sequential sum.
+    No normalization happens here, so unit columns persisted in an
+    index (IVF lists store ``__v_unit``) score identically whether the
+    dot runs JVM-side or through this UDF. This is the hot-path scorer
+    for the exact re-rank in :func:`cosine_topk` / :func:`ann_topk` /
+    ``ivf_topk`` — the interpreted HOF was the measured linear constant
+    behind ``similarity_ivf_planted``'s 11.6×/decade growth (r07
+    verdict, "What's wrong" #1).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def cos_unit(a: pd.Series, b: pd.Series) -> pd.Series:
+        va = np.vstack(a.to_numpy()).astype(np.float64)
+        vb = np.vstack(b.to_numpy()).astype(np.float64)
+        acc = np.zeros(va.shape[0])
+        for i in range(va.shape[1]):  # left-to-right, like aggregate()
+            acc = acc + va[:, i] * vb[:, i]
+        return pd.Series(acc)
+
+    return cos_unit(unit_a, unit_b)
+
+
 def adaptive_hyperplane_lsh(
     n: int,
     threshold: float = 0.95,
@@ -272,9 +304,9 @@ def cosine_topk(
         joined.select(
             query_id_col,
             id_col,
-            round_cosine(cosine(F.col("__q_unit"), F.col("__v_unit"))).alias(
-                "cosine"
-            ),
+            round_cosine(
+                pandas_cosine_unit(F.col("__q_unit"), F.col("__v_unit"))
+            ).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -335,9 +367,9 @@ def ann_topk(
         .select(
             query_id_col,
             id_col,
-            round_cosine(cosine(F.col("__q_unit"), F.col("__v_unit"))).alias(
-                "cosine"
-            ),
+            round_cosine(
+                pandas_cosine_unit(F.col("__q_unit"), F.col("__v_unit"))
+            ).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -78,3 +78,19 @@ def test_rerun_over_same_path_sees_new_data(spark, tmp_path):
     _edges(spark, k5).write.mode("overwrite").parquet(p)
     second = kcore_nodes(spark.read.parquet(p), "src", "dst", 3)
     assert {r.node for r in second.collect()} == {0, 1, 2, 3, 4}
+
+
+def test_broadcast_bound_falls_back_to_shuffle_anti_join(spark, monkeypatch):
+    """With BROADCAST_REMOVED_MAX forced to 0, every post-first-round
+    anti-join runs WITHOUT the broadcast hint (the unbounded-broadcast
+    guard from the r07 memory rework) — the fixpoint must be identical.
+    The K4+tail fixture needs two peel rounds, so round 2's alive()
+    exercises the fallback path."""
+    import kinesis_vcr_spark.operators.kcore as kc
+
+    df = _edges(spark, K4_PLUS_TAIL)
+    monkeypatch.setattr(kc, "BROADCAST_REMOVED_MAX", 0)
+    nodes = {
+        r.node: r.core_deg for r in kcore_nodes(df, "src", "dst", 2).collect()
+    }
+    assert nodes == {1: 3, 2: 3, 3: 3, 4: 3}

@@ -376,3 +376,60 @@ def test_compact_ivf_index_probe_identical(spark, tmp_path):
     append_ivf_index(vecs(range(200, 205)), path, ingest_label="day2")
     _, lists = load_ivf_index(spark, path)
     assert lists.count() == 30 + 10 + 5
+
+
+def _scoped_state(spark, tmp_path, name):
+    path = str(tmp_path / name)
+    df = spark.createDataFrame([Row(x=i) for i in range(10)])
+    df.where("x < 5").write.parquet(f"{path}/ingest=b0")
+    df.where("x >= 5").write.parquet(f"{path}/ingest=b1")
+    return path
+
+
+def test_compact_crash_between_renames_recovers_new_generation(
+    spark, tmp_path
+):
+    """Simulate the exact no-live-dir window (ADVICE r07): old
+    generation renamed aside, completed __compacting (with _SUCCESS)
+    not yet installed. The next compact_scoped_state call must install
+    the new generation and preserve content."""
+    import shutil
+
+    path = _scoped_state(spark, tmp_path, "state_a")
+    before = {r.x for r in spark.read.parquet(path).collect()}
+
+    # build a COMPLETE new generation exactly as the swap would have
+    spark.read.parquet(path).drop("ingest").coalesce(1).write.parquet(
+        f"{path}__compacting/ingest=_compacted"
+    )
+    shutil.move(path, f"{path}__pre_compact")  # crash after rename #1
+    assert not os.path.exists(path)
+
+    from kinesis_vcr_spark.operators.compaction import compact_scoped_state
+
+    compact_scoped_state(spark, path)
+    assert {r.x for r in spark.read.parquet(path).collect()} == before
+    assert os.listdir(path) == ["ingest=_compacted"]
+    assert not os.path.exists(f"{path}__pre_compact")
+    assert not os.path.exists(f"{path}__compacting")
+
+
+def test_compact_crash_with_incomplete_tmp_restores_old(spark, tmp_path):
+    """If the crash left an INCOMPLETE __compacting (no _SUCCESS), the
+    old generation is restored instead."""
+    import shutil
+
+    path = _scoped_state(spark, tmp_path, "state_b")
+    before = {r.x for r in spark.read.parquet(path).collect()}
+
+    spark.read.parquet(path).drop("ingest").coalesce(1).write.parquet(
+        f"{path}__compacting/ingest=_compacted"
+    )
+    os.remove(f"{path}__compacting/ingest=_compacted/_SUCCESS")
+    shutil.move(path, f"{path}__pre_compact")
+
+    from kinesis_vcr_spark.operators.compaction import compact_scoped_state
+
+    compact_scoped_state(spark, path)
+    assert {r.x for r in spark.read.parquet(path).collect()} == before
+    assert os.listdir(path) == ["ingest=_compacted"]
