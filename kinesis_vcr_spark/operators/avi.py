@@ -59,7 +59,12 @@ def avi_frames(payload: bytes):
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI (bad RIFF signature)")
     meta = {"width": None, "height": None, "fps": None, "codec": None}
-    frames: list[bytes] = []
+    # data chunks are BUFFERED as (stream_no, start, end) and resolved
+    # against the video stream number only after the full walk: on
+    # unusual chunk ordering ('..db'/'..dc' before the vids strh) the
+    # old collect-as-you-go shape let another stream's chunks leak into
+    # the frame list (ADVICE r07).
+    data_chunks: list[tuple[int, int, int]] = []
     video_stream_no = None
     stream_no = -1
 
@@ -88,16 +93,24 @@ def avi_frames(payload: bytes):
                     scale, rate = struct.unpack_from("<II", payload, a + 20)
                     meta["fps"] = round(rate / scale, 6) if scale else None
             elif len(fourcc) == 4 and fourcc[2:4] in (b"dc", b"db"):
-                try:
-                    sno = int(fourcc[:2])
-                except ValueError:
-                    continue
-                if video_stream_no is None or sno == video_stream_no:
-                    frames.append(payload[a:b])
+                # stream id = exactly two ASCII decimal digits
+                # ('00dc'…'99db'); anything else is not a standard
+                # data chunk — validate both bytes explicitly rather
+                # than trusting int() (which accepts '+1', ' 1', …)
+                if (
+                    fourcc[0] in b"0123456789"
+                    and fourcc[1] in b"0123456789"
+                ):
+                    data_chunks.append((int(fourcc[:2]), a, b))
 
     walk(12, len(payload))
     if meta["width"] is None:
         raise ValueError("AVI missing avih main header")
+    frames = [
+        payload[a:b]
+        for sno, a, b in data_chunks
+        if sno == video_stream_no
+    ]
     meta["n_frames"] = len(frames)
     return meta, frames
 

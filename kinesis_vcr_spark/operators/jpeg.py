@@ -380,6 +380,11 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RSTn
             pos += 2
             continue
+        if pos + 4 > len(payload):
+            # struct.error here would escape the ValueError-catching
+            # malformed-media quarantine paths (sample_avi_frames,
+            # decode-and-skip loops)
+            raise ValueError("JPEG segment truncated")
         seglen = struct.unpack_from(">H", payload, pos + 2)[0]
         seg = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT (possibly several tables)

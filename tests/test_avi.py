@@ -131,3 +131,47 @@ def test_spark_frame_sampling_with_real_frames(spark):
         assert (w, h) == (16, 16)
         assert np.all(px == 40 + r["frame_idx"] * 16)
         assert r["frame_bytes"] == len(bytes(r["frame"]))
+
+
+def test_movi_before_hdrl_does_not_leak_decoy_stream(
+):
+    """Chunks seen BEFORE the vids strh (movi LIST first in the file)
+    must still resolve to the correct stream: the demuxer buffers data
+    chunks and filters against the video stream number after the full
+    walk (ADVICE r07). Stream 01's chunks are a decoy that must not
+    leak into the frame list; malformed ids ('+1dc') are skipped."""
+    frames = _jpeg_frames(2)
+    base = write_avi(frames, 16, 16)
+    # rebuild: RIFF('AVI ' + movi + hdrl) — movi first, with decoys
+    avih_hdrl = base[12:]  # hdrl LIST + movi LIST as written
+    # split: hdrl list first in base; recompute from scratch instead
+    import struct as _s
+
+    hdrl_len = _s.unpack_from("<I", avih_hdrl, 4)[0]
+    hdrl = avih_hdrl[: 8 + hdrl_len + (hdrl_len & 1)]
+    movi_body = (
+        _chunk(b"01dc", b"DECOYDATA0")
+        + _chunk(b"+1dc", b"BADID")
+        + b"".join(_chunk(b"00dc", f) for f in frames)
+    )
+    movi = _list(b"movi", movi_body)
+    body = b"AVI " + movi + hdrl
+    payload = b"RIFF" + _s.pack("<I", len(body)) + body
+
+    meta, got = avi_frames(payload)
+    assert meta["n_frames"] == 2
+    assert got == frames  # decoy + malformed ids excluded
+
+
+def test_no_video_stream_yields_no_frames():
+    """A file with data chunks but no vids strh has no video stream —
+    frames must be empty, not someone else's chunks."""
+    avih = struct.pack("<IIIIIIIIIIIIII", 100, 0, 0, 0x10, 0, 0, 1, 0,
+                       16, 16, 0, 0, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih))
+    movi = _list(b"movi", _chunk(b"00dc", b"orphan"))
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    meta, got = avi_frames(payload)
+    assert got == []
+    assert meta["n_frames"] == 0

@@ -212,3 +212,16 @@ def test_decode_image_dispatches_jpeg():
     out = decode_image(encode_jpeg(img))
     assert (out["width"], out["height"]) == (8, 8)
     assert out["mean_value"] == 100.0
+
+
+def test_truncated_marker_segment_raises_valueerror():
+    """A payload cut inside a marker segment header must raise
+    ValueError (not struct.error), so decode-and-quarantine loops that
+    catch ValueError keep working (ADVICE r07)."""
+    import pytest
+
+    from kinesis_vcr_spark.operators.jpeg import jpeg_decode
+
+    # SOI + first 3 bytes of a DQT marker segment (length cut short)
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\xff\xd8\xff\xdb\x00")
