@@ -37,14 +37,18 @@ the index grows by exactly the batch, and nothing ever re-assigns the
 accumulated corpus. State compaction: :func:`compact_ann_state`
 collapses the per-batch scopes (same drained-stream swap contract as
 every scoped state dir in this engine).
+
+State plumbing is FS-agnostic (statefs.py): scope discovery and the
+progress watermark go through the Hadoop FileSystem API, so state_dir
+may be any Spark-writable URI (file:, hdfs:, s3a:) — the object-store
+contract the 100 TB posture requires (r07 verdict missing-item 2).
 """
 
 from __future__ import annotations
 
-import json
-import os
+from pyspark.sql import DataFrame, SparkSession
 
-from pyspark.sql import DataFrame
+from kinesis_vcr_spark import statefs
 from pyspark.sql import functions as F
 
 from kinesis_vcr_spark.operators.ivf import (
@@ -59,18 +63,20 @@ def _progress_path(state_dir: str) -> str:
     return f"{state_dir}/progress.json"
 
 
-def _read_progress(path: str) -> dict:
-    try:
-        with open(path) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return {"last_batch_id": -1, "results_emitted": 0, "vecs_indexed": 0}
+_DEFAULT_PROGRESS = {"last_batch_id": -1, "results_emitted": 0, "vecs_indexed": 0}
 
 
-def read_ann_progress(state_dir: str) -> dict:
+def read_ann_progress(
+    state_dir: str, spark: SparkSession | None = None
+) -> dict:
     """Cumulative counters: last applied batch id, result rows emitted,
     vectors indexed."""
-    return _read_progress(_progress_path(state_dir))
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("read_ann_progress needs an active SparkSession")
+    return statefs.read_json_state(
+        spark, _progress_path(state_dir), _DEFAULT_PROGRESS
+    )
 
 
 def compact_ann_state(spark, state_dir: str, results_path: str) -> None:
@@ -108,7 +114,7 @@ def apply_ann_batch(
     spark = batch_df.sparkSession
     index_path = f"{state_dir}/index"
     progress_path = _progress_path(state_dir)
-    progress = _read_progress(progress_path)
+    progress = statefs.read_json_state(spark, progress_path, _DEFAULT_PROGRESS)
     if batch_id <= progress["last_batch_id"]:
         return  # replayed after restart — results + append already done
     label = f"b{batch_id}"
@@ -147,10 +153,7 @@ def apply_ann_batch(
         "results_emitted": progress["results_emitted"] + int(n_rows),
         "vecs_indexed": progress["vecs_indexed"] + int(n_vecs),
     }
-    tmp = f"{progress_path}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(progress, f)
-    os.replace(tmp, progress_path)
+    statefs.write_json_state(spark, progress_path, progress)
 
 
 def streaming_ann_ingest(

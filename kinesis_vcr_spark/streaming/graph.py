@@ -44,16 +44,19 @@ offline. Degree-skew note: unlike the batch operator's degree
 orientation, delta joins key on the new edge's endpoints; a hub
 endpoint concentrates its delta work, which AQE skew-join splitting
 handles (the per-batch join is sized by the batch, not the graph).
+
+State plumbing is FS-agnostic (statefs.py): scope discovery and the
+progress watermark go through the Hadoop FileSystem API, so state_dir
+may be any Spark-writable URI (file:, hdfs:, s3a:) — the object-store
+contract the 100 TB posture requires (r07 verdict missing-item 2).
 """
 
 from __future__ import annotations
 
-import json
-import os
-
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kinesis_vcr_spark import statefs
 from kinesis_vcr_spark.operators.triangles import _simple_undirected
 
 
@@ -77,11 +80,9 @@ def _read_edges(spark, edges_path: str, exclude_ingest: str | None = None):
     Distinct path sets per trigger make each trigger's plan distinct.
     (Exclusion also becomes path-level: the replaced scope is never
     even listed.)"""
-    if not os.path.isdir(edges_path):
-        return None
-    scopes = sorted(
-        d for d in os.listdir(edges_path) if d.startswith("ingest=")
-    )
+    scopes = statefs.list_ingest_scopes(spark, edges_path)
+    if scopes is None:  # missing root = no batch committed yet; any
+        return None  # other listing failure raised loudly in statefs
     if exclude_ingest is not None:
         scopes = [d for d in scopes if d != f"ingest={exclude_ingest}"]
     if not scopes:
@@ -90,12 +91,7 @@ def _read_edges(spark, edges_path: str, exclude_ingest: str | None = None):
     return spark.read.parquet(*paths).select("a", "b")
 
 
-def _read_progress(progress_path: str) -> dict:
-    try:
-        with open(progress_path) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return {"last_batch_id": -1, "triangles": 0}
+_DEFAULT_PROGRESS = {"last_batch_id": -1, "triangles": 0}
 
 
 def triangle_delta(batch: DataFrame, old: DataFrame) -> DataFrame:
@@ -157,7 +153,9 @@ def streaming_triangle_count(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        progress = _read_progress(progress_path)
+        progress = statefs.read_json_state(
+            spark, progress_path, _DEFAULT_PROGRESS
+        )
         if batch_id <= progress["last_batch_id"]:
             return  # replayed batch after restart — already applied
         canon = _simple_undirected(batch_df, src_col, dst_col)
@@ -188,10 +186,8 @@ def streaming_triangle_count(
             "last_batch_id": batch_id,
             "triangles": progress["triangles"] + row["delta"],
         }
-        tmp = f"{progress_path}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(progress, f)
-        os.replace(tmp, progress_path)  # atomic: crash keeps old state
+        # atomic (statefs staged rename): crash keeps old state
+        statefs.write_json_state(spark, progress_path, progress)
 
     writer = (
         edges.writeStream.foreachBatch(process)
@@ -203,10 +199,18 @@ def streaming_triangle_count(
     return writer.start()
 
 
-def read_triangle_count(state_dir: str) -> int:
-    """The maintained global triangle count (0 before any batch)."""
+def read_triangle_count(
+    state_dir: str, spark: SparkSession | None = None
+) -> int:
+    """The maintained global triangle count (0 before any batch).
+    FS-agnostic (statefs): ``state_dir`` may be any Hadoop URI."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("read_triangle_count needs an active SparkSession")
     _, progress_path = _state_paths(state_dir)
-    return _read_progress(progress_path)["triangles"]
+    return statefs.read_json_state(spark, progress_path, _DEFAULT_PROGRESS)[
+        "triangles"
+    ]
 
 
 def compact_edge_state(spark, state_dir: str, target_files: int = 1) -> None:
@@ -259,7 +263,9 @@ def streaming_graph_snapshot(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        progress = _read_progress(progress_path)
+        progress = statefs.read_json_state(
+            spark, progress_path, _DEFAULT_PROGRESS
+        )
         if batch_id <= progress["last_batch_id"]:
             return
         canon = _simple_undirected(batch_df, src_col, dst_col)
@@ -275,10 +281,7 @@ def streaming_graph_snapshot(
         all_edges = _read_edges(spark, edges_path)
         batch_fn(all_edges).write.mode("overwrite").parquet(out_path)
         progress = {**progress, "last_batch_id": batch_id}
-        tmp = f"{progress_path}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(progress, f)
-        os.replace(tmp, progress_path)
+        statefs.write_json_state(spark, progress_path, progress)
 
     writer = (
         edges.writeStream.foreachBatch(process)

@@ -28,14 +28,18 @@ Scale posture: per trigger the work is the batch's LSH (linear) + an
 equi-join against the stored band table + verification joins against
 the stored shingle sets pruned to candidate ids — the index grows by
 exactly the batch, and nothing ever re-hashes the accumulated corpus.
+
+State plumbing is FS-agnostic (statefs.py): scope discovery and the
+progress watermark go through the Hadoop FileSystem API, so state_dir
+may be any Spark-writable URI (file:, hdfs:, s3a:) — the object-store
+contract the 100 TB posture requires (r07 verdict missing-item 2).
 """
 
 from __future__ import annotations
 
-import json
-import os
+from pyspark.sql import DataFrame, SparkSession
 
-from pyspark.sql import DataFrame
+from kinesis_vcr_spark import statefs
 
 from kinesis_vcr_spark.operators.dedup import (
     DEFAULT_BAND_MEMBER_CAP,
@@ -52,18 +56,20 @@ def _progress_path(state_dir: str) -> str:
     return f"{state_dir}/progress.json"
 
 
-def _read_progress(path: str) -> dict:
-    try:
-        with open(path) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return {"last_batch_id": -1, "pairs_emitted": 0, "docs_indexed": 0}
+_DEFAULT_PROGRESS = {"last_batch_id": -1, "pairs_emitted": 0, "docs_indexed": 0}
 
 
-def read_neardup_progress(state_dir: str) -> dict:
+def read_neardup_progress(
+    state_dir: str, spark: SparkSession | None = None
+) -> dict:
     """Cumulative counters: last applied batch id, pairs emitted, docs
     indexed."""
-    return _read_progress(_progress_path(state_dir))
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("read_neardup_progress needs an active SparkSession")
+    return statefs.read_json_state(
+        spark, _progress_path(state_dir), _DEFAULT_PROGRESS
+    )
 
 
 def compact_neardup_state(spark, state_dir: str, pairs_path: str) -> None:
@@ -113,7 +119,9 @@ def streaming_near_dup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        progress = _read_progress(progress_path)
+        progress = statefs.read_json_state(
+            spark, progress_path, _DEFAULT_PROGRESS
+        )
         if batch_id <= progress["last_batch_id"]:
             return  # replayed after restart — pairs + append already done
         label = f"b{batch_id}"
@@ -121,7 +129,7 @@ def streaming_near_dup(
             shingle_size=shingle_size, num_hashes=num_hashes,
             bands=bands, char_ngrams=char_ngrams,
         )
-        if not os.path.isdir(f"{index_path}/meta"):
+        if not statefs.path_exists(spark, f"{index_path}/meta"):
             # first batch: within-batch pairs via the batch pipeline
             # (identical expressions → identical pairs), then the
             # initial index build
@@ -162,10 +170,7 @@ def streaming_near_dup(
             "pairs_emitted": progress["pairs_emitted"] + int(n_pairs),
             "docs_indexed": progress["docs_indexed"] + int(n_docs),
         }
-        tmp = f"{progress_path}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(progress, f)
-        os.replace(tmp, progress_path)
+        statefs.write_json_state(spark, progress_path, progress)
 
     writer = (
         docs.writeStream.foreachBatch(process)

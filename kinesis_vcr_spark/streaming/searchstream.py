@@ -27,14 +27,18 @@ i.e. ``search_index_topk`` after a cold batch build of the same
 documents; the LAST snapshot equals the batch answer over the whole
 stream. Document ids must be unique across the stream (the shared
 index-family contract).
+
+State plumbing is FS-agnostic (statefs.py): scope discovery and the
+progress watermark go through the Hadoop FileSystem API, so state_dir
+may be any Spark-writable URI (file:, hdfs:, s3a:) — the object-store
+contract the 100 TB posture requires (r07 verdict missing-item 2).
 """
 
 from __future__ import annotations
 
-import json
-import os
+from pyspark.sql import DataFrame, SparkSession
 
-from pyspark.sql import DataFrame
+from kinesis_vcr_spark import statefs
 from pyspark.sql import functions as F
 
 from kinesis_vcr_spark.operators.searchindex import (
@@ -50,18 +54,20 @@ def _progress_path(state_dir: str) -> str:
     return f"{state_dir}/progress.json"
 
 
-def _read_progress(path: str) -> dict:
-    try:
-        with open(path) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return {"last_batch_id": -1, "docs_indexed": 0, "snapshots": 0}
+_DEFAULT_PROGRESS = {"last_batch_id": -1, "docs_indexed": 0, "snapshots": 0}
 
 
-def read_search_progress(state_dir: str) -> dict:
+def read_search_progress(
+    state_dir: str, spark: SparkSession | None = None
+) -> dict:
     """Cumulative counters: last applied batch id, documents indexed,
     snapshots written."""
-    return _read_progress(_progress_path(state_dir))
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("read_search_progress needs an active SparkSession")
+    return statefs.read_json_state(
+        spark, _progress_path(state_dir), _DEFAULT_PROGRESS
+    )
 
 
 def compact_search_state(spark, state_dir: str, results_path: str) -> None:
@@ -100,7 +106,7 @@ def apply_search_batch(
     spark = batch_df.sparkSession
     index_path = f"{state_dir}/index"
     progress_path = _progress_path(state_dir)
-    progress = _read_progress(progress_path)
+    progress = statefs.read_json_state(spark, progress_path, _DEFAULT_PROGRESS)
     if batch_id <= progress["last_batch_id"]:
         return  # replayed after a fully-committed batch — nothing to do
     label = f"b{batch_id}"
@@ -123,10 +129,7 @@ def apply_search_batch(
         "docs_indexed": progress["docs_indexed"] + int(n_docs),
         "snapshots": progress["snapshots"] + 1,
     }
-    tmp = f"{progress_path}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(progress, f)
-    os.replace(tmp, progress_path)
+    statefs.write_json_state(spark, progress_path, progress)
 
 
 def streaming_search_ingest(

@@ -24,14 +24,18 @@ i's emitted spans equal ``duplicated_spans`` over the UNION of batches
 batch can retro-dirty an earlier document's text, which the index can
 answer (re-probe the old doc offline) but the sink does not
 retroactively patch (same contract as the ANN ingest results).
+
+State plumbing is FS-agnostic (statefs.py): scope discovery and the
+progress watermark go through the Hadoop FileSystem API, so state_dir
+may be any Spark-writable URI (file:, hdfs:, s3a:) — the object-store
+contract the 100 TB posture requires (r07 verdict missing-item 2).
 """
 
 from __future__ import annotations
 
-import json
-import os
+from pyspark.sql import DataFrame, SparkSession
 
-from pyspark.sql import DataFrame
+from kinesis_vcr_spark import statefs
 
 from kinesis_vcr_spark.operators.spandedup import (
     DEFAULT_MIN_SPAN,
@@ -44,18 +48,20 @@ def _progress_path(state_dir: str) -> str:
     return f"{state_dir}/progress.json"
 
 
-def _read_progress(path: str) -> dict:
-    try:
-        with open(path) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return {"last_batch_id": -1, "spans_emitted": 0, "docs_indexed": 0}
+_DEFAULT_PROGRESS = {"last_batch_id": -1, "spans_emitted": 0, "docs_indexed": 0}
 
 
-def read_span_progress(state_dir: str) -> dict:
+def read_span_progress(
+    state_dir: str, spark: SparkSession | None = None
+) -> dict:
     """Cumulative counters: last applied batch id, span rows emitted,
     documents indexed."""
-    return _read_progress(_progress_path(state_dir))
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("read_span_progress needs an active SparkSession")
+    return statefs.read_json_state(
+        spark, _progress_path(state_dir), _DEFAULT_PROGRESS
+    )
 
 
 def compact_span_state(spark, state_dir: str, spans_path: str) -> None:
@@ -86,7 +92,7 @@ def apply_span_batch(
     spark = batch_df.sparkSession
     index_path = f"{state_dir}/index"
     progress_path = _progress_path(state_dir)
-    progress = _read_progress(progress_path)
+    progress = statefs.read_json_state(spark, progress_path, _DEFAULT_PROGRESS)
     if batch_id <= progress["last_batch_id"]:
         return  # replayed after restart — spans + append already done
     label = f"b{batch_id}"
@@ -105,10 +111,7 @@ def apply_span_batch(
         "spans_emitted": progress["spans_emitted"] + int(n_spans),
         "docs_indexed": progress["docs_indexed"] + int(n_docs),
     }
-    tmp = f"{progress_path}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(progress, f)
-    os.replace(tmp, progress_path)
+    statefs.write_json_state(spark, progress_path, progress)
 
 
 def streaming_span_dedup(

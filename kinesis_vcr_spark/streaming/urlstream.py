@@ -27,35 +27,38 @@ arrive in ascending doc-id order the union of emissions matches the
 batch ``url_dedup_groups`` verdict over the full corpus exactly; a
 later batch with a smaller id does NOT retro-patch earlier verdicts
 (same prefix contract as the ANN/span ingest sinks).
+
+State plumbing is FS-agnostic (statefs.py): scope discovery and the
+progress watermark go through the Hadoop FileSystem API, so state_dir
+may be any Spark-writable URI (file:, hdfs:, s3a:) — the object-store
+contract the 100 TB posture requires (r07 verdict missing-item 2).
 """
 
 from __future__ import annotations
 
-import json
-import os
-
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kinesis_vcr_spark import statefs
 from kinesis_vcr_spark.operators.urldedup import url_occurrences
+
+_DEFAULT_PROGRESS = {"last_batch_id": -1, "urls_seen": 0, "dups_emitted": 0}
 
 
 def _progress_path(state_dir: str) -> str:
     return f"{state_dir}/progress.json"
 
 
-def _read_progress(path: str) -> dict:
-    try:
-        with open(path) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return {"last_batch_id": -1, "urls_seen": 0, "dups_emitted": 0}
-
-
-def read_url_progress(state_dir: str) -> dict:
+def read_url_progress(state_dir: str, spark: SparkSession | None = None) -> dict:
     """Cumulative counters: last applied batch id, URL occurrences
-    processed, duplicate occurrences emitted."""
-    return _read_progress(_progress_path(state_dir))
+    processed, duplicate occurrences emitted. FS-agnostic (statefs):
+    ``state_dir`` may be any Hadoop-resolvable URI."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("read_url_progress needs an active SparkSession")
+    return statefs.read_json_state(
+        spark, _progress_path(state_dir), _DEFAULT_PROGRESS
+    )
 
 
 def _load_seen(spark, state_dir: str, exclude_label: str | None):
@@ -63,12 +66,9 @@ def _load_seen(spark, state_dir: str, exclude_label: str | None):
     scope except ``exclude_label`` (the replaying batch's own scope
     must not see itself). Returns None when no prior scope exists."""
     root = f"{state_dir}/seen"
-    try:
-        scopes = sorted(
-            d for d in os.listdir(root) if d.startswith("ingest=")
-        )
-    except OSError:
-        return None
+    scopes = statefs.list_ingest_scopes(spark, root)
+    if scopes is None:  # root missing = genuinely no prior state;
+        return None  # any OTHER listing failure raised in statefs
     if exclude_label is not None:
         scopes = [d for d in scopes if d != f"ingest={exclude_label}"]
     if not scopes:
@@ -107,7 +107,7 @@ def apply_url_batch(
     drive crash-replays directly."""
     spark = batch_df.sparkSession
     progress_path = _progress_path(state_dir)
-    progress = _read_progress(progress_path)
+    progress = statefs.read_json_state(spark, progress_path, _DEFAULT_PROGRESS)
     if batch_id <= progress["last_batch_id"]:
         return  # re-delivered after restart: both writes already landed
     label = f"b{batch_id}"
@@ -149,10 +149,7 @@ def apply_url_batch(
         "urls_seen": progress["urls_seen"] + int(n_urls),
         "dups_emitted": progress["dups_emitted"] + int(n_dups),
     }
-    tmp = f"{progress_path}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(progress, f)
-    os.replace(tmp, progress_path)
+    statefs.write_json_state(spark, progress_path, progress)
 
 
 def streaming_url_dedup(

@@ -111,14 +111,14 @@ def test_crash_replay_is_idempotent(spark, sf_dir, tmp_path):
     n_posts = spark.read.parquet(f"{state}/index/postings").count()
 
     # crash-replay batch 1: all writes done, progress bump lost
+    from kinesis_vcr_spark import statefs
+
     p = f"{state}/progress.json"
-    with open(p) as f:
-        saved = json.load(f)
+    saved = statefs.read_json_state(spark, p, {})
     saved["last_batch_id"] = 0
     saved["docs_indexed"] -= b1.count()
     saved["snapshots"] -= 1
-    with open(p, "w") as f:
-        json.dump(saved, f)
+    statefs.write_json_state(spark, p, saved)
     apply_search_batch(b1, 1, state, results, TERMS)
 
     assert spark.read.parquet(f"{state}/index/postings").count() == n_posts

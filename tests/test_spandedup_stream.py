@@ -133,14 +133,14 @@ def test_crash_replay_is_idempotent(spark, sf_dir, tmp_path):
     idx_rows = spark.read.parquet(f"{state}/index/grams").count()
 
     # crash-replay batch 1: progress bump lost, all writes done
+    from kinesis_vcr_spark import statefs
+
     p = f"{state}/progress.json"
-    with open(p) as f:
-        saved = json.load(f)
+    saved = statefs.read_json_state(spark, p, {})
     saved["last_batch_id"] = 0
     saved["spans_emitted"] -= len(spans1)
     saved["docs_indexed"] -= b1.count()
-    with open(p, "w") as f:
-        json.dump(saved, f)
+    statefs.write_json_state(spark, p, saved)
     apply_span_batch(b1, 1, state, spans_path, min_len=L)
 
     assert spark.read.parquet(f"{state}/index/grams").count() == idx_rows

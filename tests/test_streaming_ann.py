@@ -156,14 +156,14 @@ def test_crash_replay_is_idempotent(spark, sf_dir, tmp_path):
     progress1 = read_ann_progress(state)
 
     # crash-replay batch 1: progress bump lost, everything else done
+    from kinesis_vcr_spark import statefs
+
     p = f"{state}/progress.json"
-    with open(p) as f:
-        saved = json.load(f)
+    saved = statefs.read_json_state(spark, p, {})
     saved["last_batch_id"] = 0
     saved["results_emitted"] -= len(res1)
     saved["vecs_indexed"] -= b1.count()
-    with open(p, "w") as f:
-        json.dump(saved, f)
+    statefs.write_json_state(spark, p, saved)
     apply_ann_batch(b1, 1, state, results, **KW)
 
     assert spark.read.parquet(f"{state}/index/lists").count() == idx_count
@@ -172,11 +172,10 @@ def test_crash_replay_is_idempotent(spark, sf_dir, tmp_path):
 
     # crash-replay batch 0 (first batch): must REBUILD, not append a
     # second copy of the batch under a b0 scope
-    with open(p, "w") as f:
-        json.dump(
-            {"last_batch_id": -1, "results_emitted": 0, "vecs_indexed": 0},
-            f,
-        )
+    statefs.write_json_state(
+        spark, p,
+        {"last_batch_id": -1, "results_emitted": 0, "vecs_indexed": 0},
+    )
     apply_ann_batch(b0, 0, state, results, **KW)
     assert (
         spark.read.parquet(f"{state}/index/lists").count() == b0.count()

@@ -80,13 +80,13 @@ def test_within_batch_dedup_and_crash_replay(spark, tmp_path):
     # progress file to batch 0's state)
     apply_url_batch(_docs(spark, CORPUS[2:4]), 1, state, out)
     after_b1 = _verdicts(spark, out)
-    import json
+    from kinesis_vcr_spark import statefs
 
-    with open(f"{state}/progress.json") as f:
-        prog = json.load(f)
+    # rewind through statefs: a hand-edit via plain open() would strand
+    # the Hadoop LocalFileSystem's .crc sidecar (ChecksumException)
+    prog = statefs.read_json_state(spark, f"{state}/progress.json", {})
     prog["last_batch_id"] = 0
-    with open(f"{state}/progress.json", "w") as f:
-        json.dump(prog, f)
+    statefs.write_json_state(spark, f"{state}/progress.json", prog)
     apply_url_batch(_docs(spark, CORPUS[2:4]), 1, state, out)  # replay
     assert _verdicts(spark, out) == after_b1
 
