@@ -325,3 +325,54 @@ def ivf_topk_indexed(
     )
     cand = q.join(lists, "cid")
     return _rank_candidates(cand, query_id_col, id_col, k, exclude_self)
+
+
+def ivf_list_balance(
+    spark,
+    index_path: str,
+    skew_threshold: float = 4.0,
+) -> dict:
+    """Per-list sizes + a drift verdict for a persisted IVF-family
+    index (:func:`build_ivf_index` or ivfpq's ``build_ivfpq_index`` —
+    both store ``lists/`` partitioned by ``cid`` beside
+    ``centroids/``). This is the operator behind the "monitor list
+    sizes and re-train when the largest list outgrows the probe
+    budget" contract that :func:`append_ivf_index` /
+    ``append_ivfpq_index`` document: frozen-centroid appends are
+    O(batch), but data far from every centroid piles into its nearest
+    list, and a probe's cost is the size of the lists it touches.
+
+    Cost: ONE metadata-sized aggregation — a count per cid (k rows
+    collected, k = centroid count), no vector payload read; column
+    pruning means the scan touches only the ``cid`` partition values.
+
+    Verdict: ``needs_retrain`` is true when the largest list exceeds
+    ``skew_threshold ×`` the balanced size n/k — i.e. the worst-case
+    probed list costs ``skew_threshold ×`` its budgeted share. 4× is a
+    conservative default; tune to the probe latency SLO. Empty lists
+    are reported too (they waste nprobe slots without contributing
+    candidates — the complementary drift direction).
+    """
+    k = spark.read.parquet(f"{index_path}/centroids").count()
+    sizes = {
+        r["cid"]: r["size"]
+        for r in spark.read.parquet(f"{index_path}/lists")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .collect()
+    }
+    per_list = [int(sizes.get(c, 0)) for c in range(k)]
+    n = sum(per_list)
+    mean = n / k if k else 0.0
+    largest = max(per_list) if per_list else 0
+    skew = (largest / mean) if mean else 0.0
+    return {
+        "n_vectors": n,
+        "k_centroids": k,
+        "list_sizes": per_list,
+        "largest_list": largest,
+        "mean_list": mean,
+        "empty_lists": sum(1 for s in per_list if s == 0),
+        "skew": skew,
+        "needs_retrain": bool(mean and skew > skew_threshold),
+    }
