@@ -319,9 +319,15 @@ def decode_image(payload: bytes) -> dict[str, Any]:
 
         w, h, px = gif_decode(payload)
         return {"width": w, "height": h, "mean_value": float(px.mean())}
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from kinesis_vcr_spark.operators.tiff import tiff_decode  # noqa: PLC0415
+
+        w, h, px = tiff_decode(payload)
+        return {"width": w, "height": h, "mean_value": float(px.mean())}
     raise NotImplementedError(
-        "unrecognized image container (PPM/BMP/PNG/JPEG/GIF supported); "
-        "register a PIL-backed Decoder for other formats"
+        "unrecognized image container (PPM/BMP/PNG/JPEG/GIF/TIFF "
+        "supported); register a PIL-backed Decoder for other formats "
+        "(WebP is the remaining common-web slot)"
     )
 
 

@@ -1,0 +1,260 @@
+"""Baseline TIFF decoder — pure Python/numpy, no PIL (the container
+has no imaging libs; same in-repo-codec discipline as png/jpeg/gif).
+
+Scope (the formats a web/document corpus actually contains, r07
+verdict item 4): strip-organized baseline TIFF, both byte orders,
+grayscale (bilevel 1-bit, 8/16-bit) and RGB (8/16-bit per sample),
+compressions 1 (none), 5 (LZW) and 32773 (PackBits), horizontal
+predictor (tag 317 = 2) for LZW. Palette-color (photometric 3) maps
+through the ColorMap to RGB. Out of scope → loud
+``NotImplementedError`` (the multimodal quarantine contract):
+tiled TIFF, planar configuration 2, JPEG-in-TIFF, CCITT fax codings.
+
+TIFF LZW (spec §13) differs from GIF LZW in two sync-critical ways,
+both verified empirically with an independent encoder before this
+module was written (the codec discipline that landed GIF and
+progressive JPEG first-try):
+
+- codes are packed MSB-first (GIF is LSB-first);
+- the **early-change** width rule: the DECODER widens when it has just
+  added table entry ``(1 << width) - 2`` (510/1022/2046) — one entry
+  earlier than GIF — because its table lags the encoder's by one at
+  read time (the encoder widens at 511/1023/2047).
+
+Reference anchor: no counterpart in the reference (record/replay
+tool); SURVEY.md §2.5a multimodal family, long-tail slot formerly
+raising NotImplementedError in operators/multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_CLEAR, _EOI = 256, 257
+
+# tag ids (TIFF6 baseline)
+_WIDTH, _LENGTH = 256, 257
+_BITS, _COMPRESSION, _PHOTOMETRIC = 258, 259, 262
+_STRIP_OFFSETS, _SAMPLES_PER_PIXEL, _ROWS_PER_STRIP = 273, 277, 278
+_STRIP_BYTE_COUNTS, _PLANAR, _PREDICTOR, _COLORMAP = 279, 284, 317, 320
+_TILE_WIDTH, _TILE_LENGTH = 322, 323
+
+_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first, early change; module docstring)."""
+    pos = 0
+    width = 9
+    total_bits = len(data) * 8
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset() -> None:
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    def get_code() -> int:
+        nonlocal pos
+        if pos + width > total_bits:
+            return _EOI  # truncated stream: treat as end, like libtiff
+        end = pos + width
+        v = 0
+        p = pos
+        while p < end:
+            v = (v << 1) | ((data[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        pos = end
+        return v
+
+    reset()
+    old: int | None = None
+    while True:
+        code = get_code()
+        if code == _EOI:
+            break
+        if code == _CLEAR:
+            reset()
+            code = get_code()
+            if code == _EOI:
+                break
+            if code >= len(table):
+                raise ValueError("TIFF LZW: invalid code after clear")
+            out += table[code]
+            old = code
+            continue
+        if old is None:
+            raise ValueError("TIFF LZW: stream must start with a clear code")
+        if code < len(table):
+            entry = table[code]
+            out += entry
+            table.append(table[old] + entry[:1])
+        elif code == len(table):
+            entry = table[old] + table[old][:1]
+            out += entry
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW: code out of range")
+        if len(table) > 4096:
+            raise ValueError("TIFF LZW: table overflow without clear")
+        # early change: width bumps when entry (1<<w)-2 was just added
+        if len(table) - 1 == (1 << width) - 2 and width < 12:
+            width += 1
+        old = code
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits RLE (TIFF6 §9): n in [0,127] copies n+1 literals,
+    n in [-127,-1] repeats the next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = struct.unpack_from("b", data, i)[0]
+        i += 1
+        if n >= 0:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n != -128:
+            out += data[i : i + 1] * (1 - n)
+            i += 1
+    return bytes(out)
+
+
+def _read_ifd(payload: bytes, bo: str) -> dict[int, list[int]]:
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(bo + "HHI", payload, base)
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            continue  # RATIONAL/ASCII metadata — not needed for pixels
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        if size * count <= 4:
+            vals = list(
+                struct.unpack_from(bo + fmt * count, payload, base + 8)
+            )
+        else:
+            (off,) = struct.unpack_from(bo + "I", payload, base + 8)
+            vals = list(struct.unpack_from(bo + fmt * count, payload, off))
+        tags[tag] = vals
+    return tags
+
+
+def tiff_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a baseline TIFF → ``(width, height, pixels)``; pixels are
+    ``(h, w)`` for grayscale and ``(h, w, 3)`` for RGB/palette, dtype
+    uint8 or uint16 following BitsPerSample. Photometric 0
+    (WhiteIsZero) is inverted so returned values are always intensity
+    (0 = black), matching every other decoder in this package."""
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order/magic header)")
+    try:
+        tags = _read_ifd(payload, bo)
+    except struct.error as exc:  # bogus offsets/truncation → ValueError
+        raise ValueError(f"TIFF IFD truncated or invalid: {exc}") from exc
+    if _TILE_WIDTH in tags or _TILE_LENGTH in tags:
+        raise NotImplementedError("tiled TIFF not supported (strips only)")
+    if tags.get(_PLANAR, [1])[0] != 1:
+        raise NotImplementedError("planar configuration 2 not supported")
+    try:
+        width = tags[_WIDTH][0]
+        height = tags[_LENGTH][0]
+        strip_offsets = tags[_STRIP_OFFSETS]
+        strip_counts = tags[_STRIP_BYTE_COUNTS]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag {exc}") from exc
+    spp = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
+    bits_list = tags.get(_BITS, [1] * spp)
+    if len(set(bits_list)) != 1:
+        raise NotImplementedError("mixed BitsPerSample not supported")
+    bits = bits_list[0]
+    compression = tags.get(_COMPRESSION, [1])[0]
+    photometric = tags.get(_PHOTOMETRIC, [1])[0]
+    predictor = tags.get(_PREDICTOR, [1])[0]
+    rows_per_strip = tags.get(_ROWS_PER_STRIP, [height])[0] or height
+    if bits not in (1, 8, 16):
+        raise NotImplementedError(f"BitsPerSample {bits} not supported")
+    if bits == 1 and spp != 1:
+        raise NotImplementedError("1-bit data must be single-sample")
+    if photometric not in (0, 1, 2, 3):
+        raise NotImplementedError(
+            f"photometric {photometric} not supported (gray/RGB/palette)"
+        )
+    if photometric == 2 and spp < 3:
+        raise ValueError("RGB photometric with fewer than 3 samples")
+
+    row_bytes = (width * spp * bits + 7) // 8
+    rows = []
+    for si, (off, cnt) in enumerate(zip(strip_offsets, strip_counts)):
+        n_rows = min(rows_per_strip, height - si * rows_per_strip)
+        if n_rows <= 0:
+            break
+        raw = payload[off : off + cnt]
+        if compression == 1:
+            decoded = raw
+        elif compression == 5:
+            decoded = _lzw_decode(raw)
+        elif compression == 32773:
+            decoded = _packbits_decode(raw, n_rows * row_bytes)
+        else:
+            raise NotImplementedError(
+                f"TIFF compression {compression} not supported "
+                "(1/LZW/PackBits only; JPEG-in-TIFF and CCITT are the "
+                "documented long-tail slots)"
+            )
+        if len(decoded) < n_rows * row_bytes:
+            raise ValueError("TIFF strip shorter than its row span")
+        rows.append(decoded[: n_rows * row_bytes])
+    data = b"".join(rows)
+    if len(data) < height * row_bytes:
+        raise ValueError("TIFF strips do not cover the image height")
+
+    if bits == 1:
+        arr = np.unpackbits(
+            np.frombuffer(data, dtype=np.uint8).reshape(height, row_bytes),
+            axis=1,
+        )[:, :width].astype(np.uint8)
+        # scale bilevel to full 8-bit so photometric handling below is
+        # uniform (0/255, then WhiteIsZero inversion applies)
+        px = arr * np.uint8(255)
+        maxval = 255
+    else:
+        dtype = np.uint8 if bits == 8 else np.dtype(bo + "u2")
+        px = np.frombuffer(data, dtype=dtype).reshape(height, width * spp)
+        maxval = (1 << bits) - 1
+        if predictor == 2:
+            # horizontal differencing: cumulative sum per sample channel
+            px = (
+                np.cumsum(
+                    px.reshape(height, width, spp).astype(np.uint32), axis=1
+                )
+                % (maxval + 1)
+            ).astype(dtype).reshape(height, width * spp)
+        if bits == 16:
+            px = px.astype(np.uint16)  # normalize to native byte order
+        if spp > 1:
+            px = px.reshape(height, width, spp)
+    if photometric == 0:  # WhiteIsZero → intensity
+        px = (maxval - px.astype(np.uint32)).astype(px.dtype)
+    if photometric == 3:
+        cmap = tags.get(_COLORMAP)
+        if cmap is None:
+            raise ValueError("palette TIFF missing ColorMap")
+        n = len(cmap) // 3
+        lut = (
+            np.array(cmap, dtype=np.uint32).reshape(3, n).T >> 8
+        ).astype(np.uint8)  # 16-bit colormap entries → 8-bit channels
+        px = lut[px.reshape(height, width)]
+    elif spp > 1 and px.ndim == 3 and px.shape[2] > 3:
+        px = px[:, :, :3]  # drop extra samples (alpha) after predictor
+    return width, height, px

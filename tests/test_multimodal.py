@@ -23,8 +23,10 @@ def test_stub_decoders_raise():
         decode_image(b"\xff\xd8\xff\xe0 jpeg")  # no SOS scan
     with pytest.raises(ValueError):
         decode_image(b"GIF89a" + b"\x00" * 4)  # truncated header
+    with pytest.raises(ValueError):  # TIFF is real now (test_tiff.py);
+        decode_image(b"II*\x00 truncated tiff")  # malformed fails loud
     with pytest.raises(NotImplementedError):
-        decode_image(b"II*\x00 tiff is still the PIL slot")
+        decode_image(b"RIFF1234WEBPVP8 ")  # WebP stays the PIL slot
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF")
 

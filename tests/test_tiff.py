@@ -1,0 +1,309 @@
+"""Baseline TIFF decode (operators/tiff.py) against an INDEPENDENT
+minimal TIFF writer assembled from the TIFF6 spec in this file — the
+same fixture discipline that landed GIF and progressive JPEG: the
+encoder implements the spec's ENCODER rules (LZW widens at 511/1023/
+2047), the decoder the spec's DECODER rules (early change at 510/1022/
+2046), so any sync-rule error breaks the boundary-crossing cases."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from kinesis_vcr_spark.operators.tiff import tiff_decode
+
+CLEAR, EOI = 256, 257
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-spec LZW encoder: MSB-first packing; width++ when the
+    entry just added is (1<<w)-1; at 12 bits a full table emits a
+    Clear (independent of the decoder under test)."""
+    out_bits: list[tuple[int, int]] = []
+    width = 9
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    out_bits.append((CLEAR, width))
+    w = b""
+    for ch in data:
+        k = bytes([ch])
+        if w + k in table:
+            w += k
+            continue
+        out_bits.append((table[w], width))
+        table[w + k] = next_code
+        added = next_code
+        next_code += 1
+        w = k
+        if added == (1 << width) - 1:
+            if width == 12:
+                out_bits.append((CLEAR, width))
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+            else:
+                width += 1
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((EOI, width))
+    buf = bytearray()
+    acc = nbits = 0
+    for code, cw in out_bits:
+        acc = (acc << cw) | code
+        nbits += cw
+        while nbits >= 8:
+            nbits -= 8
+            buf.append((acc >> nbits) & 0xFF)
+    if nbits:
+        buf.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(buf)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while (
+            i + run < len(data) and data[i + run] == data[i] and run < 128
+        ):
+            run += 1
+        if run >= 2:
+            out += struct.pack("b", 1 - run) + data[i : i + 1]
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < len(data)
+                and (j + 1 >= len(data) or data[j] != data[j + 1])
+                and j - i < 128
+            ):
+                j += 1
+            out += struct.pack("b", j - i - 1) + data[i:j]
+            i = j
+    return bytes(out)
+
+
+def write_tiff(
+    pixels: np.ndarray,
+    *,
+    bo: str = "<",
+    compression: int = 1,
+    photometric: int | None = None,
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+    bits: int | None = None,
+    colormap: list[int] | None = None,
+    extra_tags: dict[int, tuple[int, list[int]]] | None = None,
+) -> bytes:
+    """Minimal spec-following TIFF writer (strips, chunky planar)."""
+    h, w = pixels.shape[:2]
+    spp = 1 if pixels.ndim == 2 else pixels.shape[2]
+    if bits is None:
+        bits = 16 if pixels.dtype == np.uint16 else 8
+    if photometric is None:
+        photometric = 2 if spp >= 3 else 1
+    rps = rows_per_strip or h
+    row_bytes = (w * spp * bits + 7) // 8
+
+    def row_bits(r: np.ndarray) -> bytes:
+        if bits == 1:
+            return np.packbits(r.reshape(-1).astype(np.uint8)).tobytes()
+        if bits == 16:
+            return r.astype(np.dtype(bo + "u2")).tobytes()
+        return r.astype(np.uint8).tobytes()
+
+    strips = []
+    for s0 in range(0, h, rps):
+        rows = pixels[s0 : s0 + rps]
+        if predictor == 2:
+            rr = rows.reshape(len(rows), w, spp).astype(np.int32)
+            diff = rr.copy()
+            diff[:, 1:] = (rr[:, 1:] - rr[:, :-1]) % (1 << bits)
+            rows = diff.reshape(rows.shape).astype(pixels.dtype)
+        raw = b"".join(row_bits(rows[i]) for i in range(len(rows)))
+        assert len(raw) == len(rows) * row_bytes
+        if compression == 5:
+            strips.append(lzw_encode(raw))
+        elif compression == 32773:
+            strips.append(packbits_encode(raw))
+        else:
+            strips.append(raw)
+
+    tags: dict[int, tuple[int, list[int]]] = {
+        256: (4, [w]),
+        257: (4, [h]),
+        258: (3, [bits] * spp),
+        259: (3, [compression]),
+        262: (3, [photometric]),
+        277: (3, [spp]),
+        278: (4, [rps]),
+    }
+    if predictor != 1:
+        tags[317] = (3, [predictor])
+    if colormap is not None:
+        tags[320] = (3, colormap)
+    if extra_tags:
+        tags.update(extra_tags)
+
+    # layout: header(8) | IFD | tag overflow | strip data
+    n_tags = len(tags) + 2  # + StripOffsets/StripByteCounts
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_tags + 4
+    overflow = bytearray()
+    overflow_base = ifd_off + ifd_size
+
+    def tag_value(typ: int, vals: list[int]) -> bytes:
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        size = struct.calcsize(fmt) * len(vals)
+        packed = struct.pack(bo + fmt * len(vals), *vals)
+        if size <= 4:
+            return packed + b"\x00" * (4 - size)
+        off = overflow_base + len(overflow)
+        overflow.extend(packed)
+        return struct.pack(bo + "I", off)
+
+    # strip locations come after the overflow area; reserve via 2 passes
+    strip_area: list[int] = []
+
+    def build(strip_data_base: int) -> bytes:
+        offs, pos = [], strip_data_base
+        for s in strips:
+            offs.append(pos)
+            pos += len(s)
+        all_tags = dict(tags)
+        all_tags[273] = (4, offs)
+        all_tags[279] = (4, [len(s) for s in strips])
+        overflow.clear()
+        body = struct.pack(bo + "H", n_tags)
+        for tag in sorted(all_tags):
+            typ, vals = all_tags[tag]
+            body += struct.pack(bo + "HHI", tag, typ, len(vals))
+            body += tag_value(typ, vals)
+        body += struct.pack(bo + "I", 0)  # next IFD
+        return body
+
+    body = build(0)  # sizing pass (overflow filled)
+    strip_base = overflow_base + len(overflow)
+    body = build(strip_base)
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    return (
+        magic
+        + struct.pack(bo + "I", ifd_off)
+        + body
+        + bytes(overflow)
+        + b"".join(strips)
+    )
+
+
+def _gray(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+
+def _rgb(h, w, seed=4):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_uncompressed_gray_le_and_be():
+    px = _gray(9, 13)
+    for bo in ("<", ">"):
+        w, h, got = tiff_decode(write_tiff(px, bo=bo))
+        assert (w, h) == (13, 9)
+        assert np.array_equal(got, px)
+
+
+def test_uncompressed_rgb_multi_strip():
+    px = _rgb(8, 5)
+    w, h, got = tiff_decode(write_tiff(px, rows_per_strip=3))
+    assert (w, h) == (5, 8)
+    assert np.array_equal(got, px)
+
+
+def test_lzw_gray_crosses_width_boundaries():
+    """Random 80x80 builds >510 LZW table entries — any early-change
+    desync corrupts everything past the 9→10 bit switch."""
+    px = _gray(80, 80, seed=11)
+    w, h, got = tiff_decode(write_tiff(px, compression=5))
+    assert np.array_equal(got, px)
+
+
+def test_lzw_rgb_with_horizontal_predictor():
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 40, size=(16, 24, 3), dtype=np.uint8)
+    px = np.cumsum(base, axis=1).astype(np.uint8)  # smooth → predictor wins
+    w, h, got = tiff_decode(
+        write_tiff(px, compression=5, predictor=2)
+    )
+    assert np.array_equal(got, px)
+
+
+def test_lzw_16bit_gray_predictor_be():
+    rng = np.random.default_rng(6)
+    px = rng.integers(0, 1 << 16, size=(7, 9), dtype=np.uint16)
+    w, h, got = tiff_decode(
+        write_tiff(px, bo=">", compression=5, predictor=2)
+    )
+    assert got.dtype == np.uint16
+    assert np.array_equal(got.astype(np.uint16), px)
+
+
+def test_packbits_gray_runs_and_literals():
+    px = np.zeros((6, 50), dtype=np.uint8)
+    px[:, 10:20] = 200  # runs
+    px[0, :7] = np.arange(7)  # literals
+    w, h, got = tiff_decode(write_tiff(px, compression=32773))
+    assert np.array_equal(got, px)
+
+
+def test_bilevel_whitesiszero_inverts_to_intensity():
+    px = np.zeros((4, 10), dtype=np.uint8)
+    px[1, 2:5] = 1
+    payload = write_tiff(px, bits=1, photometric=0)
+    w, h, got = tiff_decode(payload)
+    # WhiteIsZero: stored 0 = white → intensity 255; stored 1 → 0
+    expect = np.where(px == 1, 0, 255).astype(np.uint8)
+    assert np.array_equal(got, expect)
+
+
+def test_palette_maps_through_colormap():
+    idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+    # 16-bit colormap entries, R plane then G then B for 256 entries
+    n = 256
+    cmap = [0] * (3 * n)
+    colors = {0: (255, 0, 0), 1: (0, 255, 0), 2: (0, 0, 255)}
+    for i, (r, g, b) in colors.items():
+        cmap[i] = r * 257
+        cmap[n + i] = g * 257
+        cmap[2 * n + i] = b * 257
+    w, h, got = tiff_decode(
+        write_tiff(idx, photometric=3, colormap=cmap)
+    )
+    assert got.shape == (2, 2, 3)
+    assert tuple(got[0, 0]) == (255, 0, 0)
+    assert tuple(got[0, 1]) == (0, 255, 0)
+    assert tuple(got[1, 0]) == (0, 0, 255)
+
+
+def test_unsupported_shapes_raise_loudly():
+    px = _gray(4, 4)
+    with pytest.raises(NotImplementedError, match="tiled"):
+        tiff_decode(write_tiff(px, extra_tags={322: (4, [16])}))
+    with pytest.raises(NotImplementedError, match="planar"):
+        tiff_decode(write_tiff(px, extra_tags={284: (3, [2])}))
+    with pytest.raises(NotImplementedError, match="compression"):
+        tiff_decode(write_tiff(px, extra_tags={259: (3, [7])}))
+    with pytest.raises(ValueError, match="magic"):
+        tiff_decode(b"NOPE" + bytes(16))
+
+
+def test_decode_image_dispatches_tiff():
+    from kinesis_vcr_spark.operators.multimodal import decode_image
+
+    px = _gray(5, 7)
+    out = decode_image(write_tiff(px, compression=5))
+    assert out["width"] == 7 and out["height"] == 5
+    assert out["mean_value"] == pytest.approx(float(px.mean()))
