@@ -95,3 +95,161 @@ def kept_corpus(docs: DataFrame, **kwargs) -> DataFrame:
     """Just the surviving documents — the pipeline's production output."""
     out = clean_corpus(docs, **kwargs)
     return out.where(F.col("status") == STATUS_KEPT).drop("status")
+
+
+# ---------------------------------------------------------------------------
+# full LLM-prep pipeline (r08): URL dedup → HTML extract → NFC →
+# langid/quality filter → exact+near dedup → decontam → split
+# ---------------------------------------------------------------------------
+
+STATUS_URL = "dropped_url_dup"
+STATUS_LANG = "dropped_lang"
+STATUS_CONTAM = "dropped_contaminated"
+LLM_PREP_STATUS_ORDER = (
+    STATUS_URL, STATUS_LANG, STATUS_QUALITY, STATUS_EXACT, STATUS_NEAR,
+    STATUS_CONTAM, STATUS_KEPT,
+)
+
+
+def llm_prep_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+    keep_lang: str = "en",
+    quality_threshold: float = 0.6,
+    jaccard_threshold: float = 0.6,
+    shingle_size: int = 3,
+    decontam_n: int = 5,
+    min_hits: int = 1,
+    split_seed: str = "e2e",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The whole training-data preparation flow in one call — the
+    integration the pillar operators exist for (r07 verdict item 5).
+    ``docs`` carries raw crawl rows (id, url, html, ...); ``benchmark``
+    carries the eval set in the same shape (id, html). Output: all
+    ``docs`` columns + ``status`` (the FIRST stage that removed the
+    doc, mutually exclusive, in production stage order) + ``split``
+    (train/val/test for kept docs, '-' otherwise).
+
+    Stage order and why (each stage sees only prior survivors):
+
+    1. **URL dedup** — one string expression + a window-min per
+       canonical key; removes bulk crawl duplication before anything
+       touches document CONTENT (RefinedWeb §3.2 runs exact-URL dedup
+       first for the same reason).
+    2. **HTML→text + NFC** — extraction (pure Catalyst regexp chain)
+       and Unicode canonicalization, so every later stage hashes and
+       tokenizes identical bytes.
+    3. **langid then quality** — cheap per-doc scalar filters ahead of
+       any pairwise work.
+    4. **exact dedup** (window-min per text) BEFORE LSH, so a page
+       duplicated 10^6 times dies before it can form a mega-band.
+    5. **near-dup** — MinHash-LSH pairs → connected components → keep
+       the min-id root.
+    6. **decontamination** — word-``decontam_n``-gram overlap against
+       the benchmark's EXTRACTED text (the eval set is external data:
+       it does not run through the pipeline, it is only normalized the
+       same way).
+    7. **split** — deterministic hash-ticket 80/10/10 over survivors.
+
+    100 TB shape: two window shuffles (canonical URL, text), the LSH
+    band join (member-capped), one broadcast gram join (benchmark is
+    eval-set-sized), and id-keyed status joins; every filter is a
+    narrow whole-stage-codegen projection. Deterministic end to end
+    (min-id winners, md5 tickets) — the driver query's DuckDB oracle
+    recomputes every stage relationally.
+    """
+    from kinesis_vcr_spark.functions.html import html_to_text
+    from kinesis_vcr_spark.functions.text import (
+        canonicalize_text,
+        predicted_lang,
+        quality_score,
+    )
+    from kinesis_vcr_spark.operators.components import connected_components
+    from kinesis_vcr_spark.operators.dedup import near_dup_pairs_minhash
+    from kinesis_vcr_spark.operators.decontam import ngram_contamination
+    from kinesis_vcr_spark.operators.sampling import train_val_test_split
+    from kinesis_vcr_spark.operators.urldedup import canonicalize_url
+
+    idc = F.col(id_col)
+    base = docs.withColumn(
+        "__canon_url", canonicalize_url(F.col(url_col))
+    ).withColumn(
+        "__url_winner",
+        F.min(idc).over(Window.partitionBy("__canon_url")),
+    ).withColumn(
+        "__text", canonicalize_text(html_to_text(F.col(html_col)))
+    ).withColumn(
+        "__pred_lang", predicted_lang(F.col("__text"))
+    ).withColumn(
+        "__q", quality_score(F.col("__text"))
+    )
+
+    scalar_ok = (
+        (idc == F.col("__url_winner"))
+        & (F.col("__pred_lang") == keep_lang)
+        & (F.col("__q") >= quality_threshold)
+    )
+    s1 = base.where(scalar_ok).select(id_col, "__text")
+    exact_w = s1.withColumn(
+        "__exact_winner", F.min(idc).over(Window.partitionBy("__text"))
+    )
+    exact_kept = exact_w.where(idc == F.col("__exact_winner"))
+
+    pairs = near_dup_pairs_minhash(
+        exact_kept, id_col, "__text",
+        shingle_size=shingle_size, threshold=jaccard_threshold,
+    )
+    comp = connected_components(
+        pairs, "id_a", "id_b", checkpoint_dir=checkpoint_dir
+    )
+    near_drops = (
+        comp.where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias(id_col))
+        .withColumn("__near_drop", F.lit(True))
+    )
+
+    s2 = exact_kept.join(near_drops, id_col, "left_anti")
+    bench_text = benchmark.select(
+        F.col(id_col),
+        canonicalize_text(html_to_text(F.col(html_col))).alias("__text"),
+    )
+    contam = (
+        ngram_contamination(
+            s2, bench_text, id_col, "__text", n=decontam_n,
+            min_hits=min_hits,
+        )
+        .where(F.col("contaminated"))
+        .select(id_col)
+        .withColumn("__contam", F.lit(True))
+    )
+
+    kept_ids = s2.join(contam, id_col, "left_anti").select(id_col)
+    splits = train_val_test_split(
+        kept_ids, [id_col],
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=split_seed,
+    ).select(id_col, "split")
+
+    labeled = (
+        base.join(exact_w.select(id_col, "__exact_winner"), id_col, "left")
+        .join(near_drops, id_col, "left")
+        .join(contam, id_col, "left")
+        .join(splits, id_col, "left")
+    )
+    status = (
+        F.when(idc != F.col("__url_winner"), F.lit(STATUS_URL))
+        .when(F.col("__pred_lang") != keep_lang, F.lit(STATUS_LANG))
+        .when(F.col("__q") < quality_threshold, F.lit(STATUS_QUALITY))
+        .when(idc != F.col("__exact_winner"), F.lit(STATUS_EXACT))
+        .when(F.col("__near_drop"), F.lit(STATUS_NEAR))
+        .when(F.col("__contam"), F.lit(STATUS_CONTAM))
+        .otherwise(F.lit(STATUS_KEPT))
+    )
+    return labeled.select(
+        *docs.columns,
+        status.alias("status"),
+        F.coalesce(F.col("split"), F.lit("-")).alias("split"),
+    )

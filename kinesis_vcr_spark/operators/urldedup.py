@@ -105,3 +105,28 @@ def url_dedup_groups(
         F.countDistinct(id_col).alias("n_docs"),
         F.min(id_col).alias("keep_" + id_col),
     )
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """The SAME canonicalization chain as :func:`canonicalize_url`,
+    rendered as nested DuckDB ``regexp_replace`` calls over SQL
+    expression ``expr`` — generated from CANON_STEPS (the
+    ``html_to_text_sql`` discipline: one source of truth, zero drift).
+    Spark's ``$N`` group references become DuckDB's ``\\N``; step 3
+    (authority lower-casing) is the same concat special case as the
+    Column version."""
+
+    def rr(e: str, pat: str, rep: str) -> str:
+        p = pat.replace("'", "''")
+        r = rep.replace("$", "\\").replace("'", "''")
+        return f"regexp_replace({e}, '{p}', '{r}', 'g')"
+
+    out = rr(expr, *CANON_STEPS[0])
+    out = rr(out, *CANON_STEPS[1])
+    out = (
+        f"lower(regexp_extract({out}, '^([^/?]*)', 1)) "
+        f"|| regexp_replace({out}, '^[^/?]*', '', 'g')"
+    )
+    for pat, rep in CANON_STEPS[2:]:
+        out = rr(out, pat, rep)
+    return out

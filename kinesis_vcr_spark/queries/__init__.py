@@ -71,6 +71,7 @@ _MODULE_ORDER = (
     "stats",
     "multimodal",
     "llmprep",
+    "e2e",
     "corpusprep",
     "relational",
     "relational2",

@@ -545,17 +545,17 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_sql_expr() -> str:
+def _quality_sql_expr(col: str = "text") -> str:
     from kinesis_vcr_spark.queries.textstats import _EN
 
-    return f"""round((least(len(string_split(text, ' ')) / 100.0, 1.0)
-            + CAST(len(list_filter(string_split(text, ' '),
+    return f"""round((least(len(string_split({col}, ' ')) / 100.0, 1.0)
+            + CAST(len(list_filter(string_split({col}, ' '),
                   x -> list_contains([{_EN}], x))) AS DOUBLE)
-              / len(string_split(text, ' '))
-            + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-              / len(string_split(text, ' '))
-            + CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
-              / length(text)
+              / len(string_split({col}, ' '))
+            + CAST(len(list_distinct(string_split({col}, ' '))) AS DOUBLE)
+              / len(string_split({col}, ' '))
+            + CAST(length(regexp_replace({col}, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+              / length({col})
            ) / 4.0, 6)"""
 
 
