@@ -57,28 +57,52 @@ def cap_group_size(
 
 def content_key(*cols: str | Column) -> Column:
     """256-bit content hash over the given columns (collision-safe key
-    for grouping at 100 TB — 64-bit hashes collide at ~4B rows)."""
-    parts = [F.col(c) if isinstance(c, str) else c for c in cols]
-    return F.sha2(F.concat_ws("\x00", *parts), 256)
+    for grouping at 100 TB — 64-bit hashes collide at ~4B rows).
+
+    Null-safe: each column is tagged ``v<value>`` / ``n`` before
+    joining, so a NULL key and an empty-string key digest differently
+    (``concat_ws`` alone silently drops NULLs, merging the two
+    groups)."""
+    tagged = []
+    for c in cols:
+        col = F.col(c) if isinstance(c, str) else c
+        tagged.append(
+            F.coalesce(F.concat(F.lit("v"), col.cast("string")), F.lit("n"))
+        )
+    return F.sha2(F.concat_ws("\x00", *tagged), 256)
 
 
 def dedup_exact(
     df: DataFrame, key_cols: list[str], tie_col: str
 ) -> DataFrame:
     """Keep exactly one row per distinct ``key_cols`` value — the one
-    with the smallest ``tie_col`` (deterministic under any parallelism).
+    with the smallest ``(tie_col, remaining columns)`` tuple
+    (deterministic under any parallelism; with a unique ``tie_col``
+    this is exactly min-tie).
 
-    One shuffle, partitioned by the content key. Skew note: identical
-    content hashes to identical partitions by construction; a key with
-    billions of duplicates would hot-spot, but dedup output is one row
-    per key so AQE skew-join handling is not needed — the window only
-    tracks rank 1.
+    Digest-keyed group-min, NOT a window (r08 verdict): a
+    ``row_number`` window partitioned by the raw key has two
+    scale-killers — the shuffle ships the full key (e.g. an entire
+    document text) as the exchange key, and a window partition is
+    indivisible at runtime, so a key duplicated 10^6 times hot-spots
+    one task with 10^6 full payloads. Here the shuffle key is the
+    32-byte :func:`content_key` digest and the aggregate is map-side
+    combinable: every mapper partition collapses each key to ONE
+    surviving row BEFORE the exchange, so the hot key contributes at
+    most one row per upstream partition to the shuffle.
+
+    Requires every column of ``df`` to be orderable (no map columns) —
+    the winner is ``min`` over the full-row struct, which is also what
+    makes whole-row duplicates (replayed manifest rows) collapse to a
+    single survivor even when ``tie_col`` ties.
     """
-    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(tie_col)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    others = [c for c in df.columns if c != tie_col]
+    row = F.struct(F.col(tie_col), *[F.col(c) for c in others])
+    winners = df.groupBy(content_key(*key_cols).alias("__ck")).agg(
+        F.min(row).alias("__row")
+    )
+    return winners.select(
+        *[F.col(f"__row.{c}").alias(c) for c in df.columns]
     )
 
 

@@ -103,9 +103,14 @@ def kcore_edges(
 
     for i in range(max_iterations + 1):  # +1: the final fixpoint check
         cur = alive(removed)
-        bad = _degrees(cur).where(F.col("deg") < k).select("node")
+        # persist before counting: the count must not force a degree
+        # computation that the unionByName below would then redo from
+        # scratch — one degree pass per peel round, not two (r08
+        # ADVICE). Unpersisted as soon as the checkpoint has copied it.
+        bad = _degrees(cur).where(F.col("deg") < k).select("node").persist()
         n_bad = bad.count()
         if n_bad == 0:
+            bad.unpersist()
             # lineage is already shallow (source + two anti-joins
             # against the checkpointed node set) — no edge-sized
             # checkpoint of the result, which would reintroduce the
@@ -122,11 +127,13 @@ def kcore_edges(
             return cur
         if i == max_iterations:
             base.unpersist()
+            bad.unpersist()
             break  # out of peel budget and still not converged
         prev = removed
         removed = (
             bad if prev is None else prev.unionByName(bad)
         ).localCheckpoint()
+        bad.unpersist()
         removed_count += n_bad  # bad is disjoint from prior removals
         if prev is not None:
             prev.unpersist()

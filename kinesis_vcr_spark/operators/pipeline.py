@@ -5,10 +5,10 @@ document with its fate.
 
 Stage order matters and mirrors production practice:
 
-1. **exact dedup first** (cheapest: one window over a content key) — a
-   boilerplate page duplicated 10^6 times must die here, BEFORE the
-   LSH stage where it would form a mega-band (see the band-member cap
-   in :mod:`kinesis_vcr_spark.operators.dedup`);
+1. **exact dedup first** (cheapest: one digest-keyed group-min, with
+   map-side combine) — a boilerplate page duplicated 10^6 times must
+   die here, BEFORE the LSH stage where it would form a mega-band (see
+   the band-member cap in :mod:`kinesis_vcr_spark.operators.dedup`);
 2. **near-dup clustering** over the exact survivors only: MinHash-LSH
    candidate pairs → connected components → keep the min-id root of
    each component;
@@ -52,14 +52,28 @@ def clean_corpus(
     """
     from kinesis_vcr_spark.functions.text import quality_score
     from kinesis_vcr_spark.operators.components import connected_components
-    from kinesis_vcr_spark.operators.dedup import near_dup_pairs_minhash
+    from kinesis_vcr_spark.operators.dedup import (
+        content_key,
+        near_dup_pairs_minhash,
+    )
 
     idc = F.col(id_col)
-    # 1 — exact: min id per identical text wins (one shuffle on content)
-    exact_w = docs.withColumn(
-        "__exact_winner", F.min(idc).over(Window.partitionBy(text_col))
+    # 1 — exact: min id per identical text wins. Digest-keyed group-min
+    # (r08 verdict): the shuffle carries (32-byte digest, id) with
+    # map-side combine — a page duplicated 10^6 times collapses to one
+    # id per upstream partition BEFORE the exchange, where a window
+    # partitioned by the raw text would ship 10^6 full payloads into
+    # one indivisible task. Winner re-attachment is an id-keyed join
+    # (uniform keys — ids are unique).
+    exact_winners = (
+        docs.groupBy(content_key(text_col).alias("__ck"))
+        .agg(F.min(idc).alias(id_col))
+        .select(id_col)
+        .withColumn("__exact_keep", F.lit(True))
     )
-    exact_kept = exact_w.where(idc == F.col("__exact_winner"))
+    exact_kept = docs.join(
+        exact_winners.select(id_col), id_col, "left_semi"
+    )
 
     # 2 — near-dup among exact survivors: pairs -> components -> roots
     pairs = near_dup_pairs_minhash(
@@ -78,9 +92,11 @@ def clean_corpus(
         .withColumn("__near_drop", F.lit(True))
     )
 
-    labeled = exact_w.join(near_drops, id_col, "left")
+    labeled = docs.join(exact_winners, id_col, "left").join(
+        near_drops, id_col, "left"
+    )
     status = (
-        F.when(idc != F.col("__exact_winner"), F.lit(STATUS_EXACT))
+        F.when(F.col("__exact_keep").isNull(), F.lit(STATUS_EXACT))
         .when(F.col("__near_drop"), F.lit(STATUS_NEAR))
         .when(
             quality_score(F.col(text_col)) < quality_threshold,
@@ -102,12 +118,13 @@ def kept_corpus(docs: DataFrame, **kwargs) -> DataFrame:
 # langid/quality filter → exact+near dedup → decontam → split
 # ---------------------------------------------------------------------------
 
+STATUS_INVALID = "dropped_invalid"
 STATUS_URL = "dropped_url_dup"
 STATUS_LANG = "dropped_lang"
 STATUS_CONTAM = "dropped_contaminated"
 LLM_PREP_STATUS_ORDER = (
-    STATUS_URL, STATUS_LANG, STATUS_QUALITY, STATUS_EXACT, STATUS_NEAR,
-    STATUS_CONTAM, STATUS_KEPT,
+    STATUS_INVALID, STATUS_URL, STATUS_LANG, STATUS_QUALITY, STATUS_EXACT,
+    STATUS_NEAR, STATUS_CONTAM, STATUS_KEPT,
 )
 
 
@@ -145,7 +162,7 @@ def llm_prep_corpus(
        tokenizes identical bytes.
     3. **langid then quality** — cheap per-doc scalar filters ahead of
        any pairwise work.
-    4. **exact dedup** (window-min per text) BEFORE LSH, so a page
+    4. **exact dedup** (digest-keyed group-min) BEFORE LSH, so a page
        duplicated 10^6 times dies before it can form a mega-band.
     5. **near-dup** — MinHash-LSH pairs → connected components → keep
        the min-id root.
@@ -155,10 +172,15 @@ def llm_prep_corpus(
        same way).
     7. **split** — deterministic hash-ticket 80/10/10 over survivors.
 
-    100 TB shape: two window shuffles (canonical URL, text), the LSH
-    band join (member-capped), one broadcast gram join (benchmark is
-    eval-set-sized), and id-keyed status joins; every filter is a
-    narrow whole-stage-codegen projection. Deterministic end to end
+    100 TB shape: one window shuffle (canonical URL — bounded
+    duplication per page by crawl construction), a map-side-combinable
+    digest group-min for exact dedup (hot 10^6-duplicate pages collapse
+    before the exchange; winner membership re-attaches by unique id),
+    the LSH band join (member-capped), one broadcast gram join
+    (benchmark is eval-set-sized), and id-keyed status joins; every
+    filter is a narrow whole-stage-codegen projection. NULL-id/url/html
+    rows get a leading ``dropped_invalid`` status and are excluded from
+    every stage including URL-group wins. Deterministic end to end
     (min-id winners, md5 tickets) — the driver query's DuckDB oracle
     recomputes every stage relationally.
     """
@@ -169,19 +191,34 @@ def llm_prep_corpus(
         quality_score,
     )
     from kinesis_vcr_spark.operators.components import connected_components
-    from kinesis_vcr_spark.operators.dedup import near_dup_pairs_minhash
+    from kinesis_vcr_spark.operators.dedup import (
+        content_key,
+        near_dup_pairs_minhash,
+    )
     from kinesis_vcr_spark.operators.decontam import ngram_contamination
     from kinesis_vcr_spark.operators.sampling import train_val_test_split
     from kinesis_vcr_spark.operators.urldedup import canonicalize_url
 
     idc = F.col(id_col)
+    # NULL id/url/html (hence NULL __text) rows are structurally
+    # invalid crawl rows: they must not win a URL group (silently
+    # swallowing the group's valid duplicate) or fall through the
+    # NULL-propagating status whens to 'kept' (r08 ADVICE) — they get
+    # an explicit leading dropped_invalid status and never enter the
+    # pipeline, so __url_winner is the min VALID id per canonical URL.
+    valid = (
+        idc.isNotNull()
+        & F.col(url_col).isNotNull()
+        & F.col(html_col).isNotNull()
+        & F.col("__text").isNotNull()
+    )
     base = docs.withColumn(
         "__canon_url", canonicalize_url(F.col(url_col))
     ).withColumn(
-        "__url_winner",
-        F.min(idc).over(Window.partitionBy("__canon_url")),
-    ).withColumn(
         "__text", canonicalize_text(html_to_text(F.col(html_col)))
+    ).withColumn(
+        "__url_winner",
+        F.min(F.when(valid, idc)).over(Window.partitionBy("__canon_url")),
     ).withColumn(
         "__pred_lang", predicted_lang(F.col("__text"))
     ).withColumn(
@@ -189,15 +226,25 @@ def llm_prep_corpus(
     )
 
     scalar_ok = (
-        (idc == F.col("__url_winner"))
+        valid
+        & (idc == F.col("__url_winner"))
         & (F.col("__pred_lang") == keep_lang)
         & (F.col("__q") >= quality_threshold)
     )
     s1 = base.where(scalar_ok).select(id_col, "__text")
-    exact_w = s1.withColumn(
-        "__exact_winner", F.min(idc).over(Window.partitionBy("__text"))
+    # Exact dedup: digest-keyed group-min instead of a window over the
+    # full text (r08 verdict) — the shuffle ships (32-byte digest, id)
+    # with map-side combine, so a page duplicated 10^6 times collapses
+    # per upstream partition BEFORE the exchange instead of hot-spotting
+    # one indivisible window task with 10^6 full-text rows. Winner
+    # membership re-attaches by id (unique → uniform join keys).
+    exact_winners = (
+        s1.groupBy(content_key(F.col("__text")).alias("__ck"))
+        .agg(F.min(idc).alias(id_col))
+        .select(id_col)
+        .withColumn("__exact_keep", F.lit(True))
     )
-    exact_kept = exact_w.where(idc == F.col("__exact_winner"))
+    exact_kept = s1.join(exact_winners.select(id_col), id_col, "left_semi")
 
     pairs = near_dup_pairs_minhash(
         exact_kept, id_col, "__text",
@@ -234,16 +281,20 @@ def llm_prep_corpus(
     ).select(id_col, "split")
 
     labeled = (
-        base.join(exact_w.select(id_col, "__exact_winner"), id_col, "left")
+        base.join(exact_winners, id_col, "left")
         .join(near_drops, id_col, "left")
         .join(contam, id_col, "left")
         .join(splits, id_col, "left")
     )
+    # __exact_keep is NULL for every row that did not win exact dedup —
+    # including rows dropped at earlier stages, which the earlier whens
+    # catch first (they are non-NULL for all valid rows).
     status = (
-        F.when(idc != F.col("__url_winner"), F.lit(STATUS_URL))
+        F.when(~valid, F.lit(STATUS_INVALID))
+        .when(idc != F.col("__url_winner"), F.lit(STATUS_URL))
         .when(F.col("__pred_lang") != keep_lang, F.lit(STATUS_LANG))
         .when(F.col("__q") < quality_threshold, F.lit(STATUS_QUALITY))
-        .when(idc != F.col("__exact_winner"), F.lit(STATUS_EXACT))
+        .when(F.col("__exact_keep").isNull(), F.lit(STATUS_EXACT))
         .when(F.col("__near_drop"), F.lit(STATUS_NEAR))
         .when(F.col("__contam"), F.lit(STATUS_CONTAM))
         .otherwise(F.lit(STATUS_KEPT))

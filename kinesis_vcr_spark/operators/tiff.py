@@ -79,9 +79,15 @@ def _lzw_decode(data: bytes) -> bytes:
         if code == _CLEAR:
             reset()
             code = get_code()
+            while code == _CLEAR:  # libtiff tolerates runs of clear codes
+                code = get_code()
             if code == _EOI:
                 break
-            if code >= len(table):
+            if code > 255:
+                # after a clear only a literal can follow — the fresh
+                # table's 256/257 slots are placeholders, and treating
+                # a second clear as data would emit b'' and corrupt
+                # every later entry built from it (r08 ADVICE)
                 raise ValueError("TIFF LZW: invalid code after clear")
             out += table[code]
             old = code

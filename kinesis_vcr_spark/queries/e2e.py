@@ -168,20 +168,27 @@ WITH RECURSIVE injected AS (
 ), extracted AS (
   SELECT doc_id, source,
          {txt} AS txt,
-         {canonicalize_url_sql('url')} AS canon_url
+         {canonicalize_url_sql('url')} AS canon_url,
+         (doc_id IS NOT NULL AND url IS NOT NULL AND html IS NOT NULL)
+           AS io_ok
   FROM injected
 ), url_w AS (
-  SELECT *, min(doc_id) OVER (PARTITION BY canon_url) AS url_winner
+  -- invalid rows (NULL id/url/html/text) never win a URL group and
+  -- never enter the pipeline (mirrors llm_prep_corpus's `valid`)
+  SELECT *, (io_ok AND txt IS NOT NULL) AS valid,
+         min(CASE WHEN io_ok AND txt IS NOT NULL THEN doc_id END)
+           OVER (PARTITION BY canon_url) AS url_winner
   FROM extracted
 ), scored AS (
-  SELECT doc_id, source, txt, url_winner, {hit_defs},
+  SELECT doc_id, source, txt, valid, url_winner, {hit_defs},
          {q} AS q
   FROM url_w
 ), pred AS (
   SELECT *, {lang_case} AS pred_lang FROM scored
 ), s1 AS (
   SELECT doc_id, txt FROM pred
-  WHERE doc_id = url_winner AND pred_lang = 'en' AND q >= {E2E_Q}
+  WHERE valid AND doc_id = url_winner AND pred_lang = 'en'
+        AND q >= {E2E_Q}
 ), exact_w AS (
   SELECT doc_id, txt, min(doc_id) OVER (PARTITION BY txt) AS exact_winner
   FROM s1
@@ -237,14 +244,16 @@ WITH RECURSIVE injected AS (
   FROM dg d JOIN bench_grams b USING (gram)
 ), labeled AS (
   SELECT p.source,
-         CASE WHEN p.doc_id <> p.url_winner THEN 'dropped_url_dup'
+         CASE WHEN NOT p.valid THEN 'dropped_invalid'
+              WHEN p.doc_id <> p.url_winner THEN 'dropped_url_dup'
               WHEN p.pred_lang <> 'en' THEN 'dropped_lang'
               WHEN p.q < {E2E_Q} THEN 'dropped_quality'
               WHEN p.doc_id <> ew.exact_winner THEN 'dropped_exact'
               WHEN nd.doc_id IS NOT NULL THEN 'dropped_near_dup'
               WHEN c.doc_id IS NOT NULL THEN 'dropped_contaminated'
               ELSE 'kept' END AS status,
-         CASE WHEN p.doc_id = p.url_winner AND p.pred_lang = 'en'
+         CASE WHEN p.valid AND p.doc_id = p.url_winner
+                   AND p.pred_lang = 'en'
                    AND p.q >= {E2E_Q} AND p.doc_id = ew.exact_winner
                    AND nd.doc_id IS NULL AND c.doc_id IS NULL
               THEN CASE WHEN {_ticket_sql(E2E_SEED, "p.doc_id")}

@@ -38,9 +38,12 @@ module is the Spark-idiomatic counterpart.
 from __future__ import annotations
 
 import json
+import logging
 from typing import Any
 
 from pyspark.sql import SparkSession
+
+_LOG = logging.getLogger(__name__)
 
 
 def _fs(spark: SparkSession, path: str):
@@ -140,13 +143,24 @@ def read_json_state(
     """JSON watermark contents, or ``default`` when the file is
     missing or torn (a torn file is only possible on stores without
     atomic rename, where the loops' replay idempotence covers it).
-    Non-not-found IO errors raise — see module docstring."""
+    Non-not-found IO errors raise — see module docstring.
+
+    A torn-file fallback is WARN-logged, never silent: replay
+    idempotence makes the re-ingested data correct, but any cumulative
+    monitoring counters in the watermark (``urls_seen``,
+    ``pairs_emitted``, ...) restart from the default and are
+    best-effort from that point on (r08 ADVICE)."""
     text = read_text(spark, path)
     if text is None:
         return dict(default)
     try:
         return json.loads(text)
     except ValueError:
+        _LOG.warning(
+            "torn watermark at %s: falling back to default state; "
+            "replay widens (idempotent) but cumulative counters reset",
+            path,
+        )
         return dict(default)
 
 

@@ -186,3 +186,35 @@ def test_noise_jaccard_estimate_on_fixture(spark, sf_dir):
     j2 = estimate_noise_jaccard(docs, "doc_id", "text", 4, char_ngrams=True)
     assert j1 == j2
     assert 0.30 <= j1 <= 0.55, j1
+
+
+def test_dedup_exact_null_and_empty_keys_stay_distinct(spark):
+    """content_key is null-safe: a NULL key and an empty-string key are
+    different groups (concat_ws alone would merge them)."""
+    df = spark.createDataFrame(
+        [Row(k=None, i=1), Row(k=None, i=2), Row(k="", i=3), Row(k="", i=4)],
+        "k string, i bigint",
+    )
+    kept = dedup_exact(df, ["k"], "i").collect()
+    assert {(r["k"], r["i"]) for r in kept} == {(None, 1), ("", 3)}
+
+
+def test_dedup_exact_collapses_full_row_duplicates(spark):
+    """Whole-row duplicates (replayed manifest rows: same key, same
+    tie) collapse to a single survivor."""
+    df = spark.createDataFrame(
+        [Row(k="a", i=1, v="x"), Row(k="a", i=1, v="x"), Row(k="b", i=2, v="y")]
+    )
+    kept = dedup_exact(df, ["k"], "i").collect()
+    assert sorted((r["k"], r["i"], r["v"]) for r in kept) == [
+        ("a", 1, "x"), ("b", 2, "y")
+    ]
+
+
+def test_dedup_exact_plan_shuffles_digest_not_payload(spark):
+    """The exchange key is the 32-byte content digest, not the raw key
+    column — no window over full payloads anywhere in the plan."""
+    df = spark.createDataFrame([Row(k="some very long document", i=1)])
+    plan = dedup_exact(df, ["k"], "i")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan  # map-side combine

@@ -75,3 +75,38 @@ def test_every_doc_gets_exactly_one_status(spark):
     out = clean_corpus(_corpus(spark))
     assert out.count() == 5
     assert out.groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
+
+
+def test_llm_prep_invalid_rows_labeled_and_quarantined(spark):
+    """NULL html/url rows get the leading dropped_invalid status (not a
+    NULL-propagated 'kept', r08 ADVICE), take no split ticket, and
+    never win a URL group — the group's valid duplicate survives."""
+    from kinesis_vcr_spark.operators.pipeline import (
+        STATUS_INVALID,
+        llm_prep_corpus,
+    )
+
+    wrap = "<p>" + GOOD + "</p>"
+    docs = spark.createDataFrame(
+        [
+            # invalid row is the MIN id of its URL group: it must not
+            # swallow the group (doc 1 is the valid copy and must win)
+            Row(doc_id=0, url="https://a.com/x", html=None),
+            Row(doc_id=1, url="https://a.com/x", html=wrap),
+            Row(doc_id=2, url=None, html=wrap),
+            Row(doc_id=3, url="https://b.com/y",
+                html="<p>" + GOOD.replace("fox", "wolf") + " entirely "
+                     "different closing words for this page</p>"),
+        ],
+        "doc_id bigint, url string, html string",
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=99, html="<p>benchmark page about nothing shared</p>")],
+        "doc_id bigint, html string",
+    )
+    out = llm_prep_corpus(docs, bench, jaccard_threshold=0.9)
+    got = {r["doc_id"]: (r["status"], r["split"]) for r in out.collect()}
+    assert got[0][0] == STATUS_INVALID and got[0][1] == "-"
+    assert got[2][0] == STATUS_INVALID and got[2][1] == "-"
+    assert got[1][0] == STATUS_KEPT and got[1][1] in ("train", "val", "test")
+    assert got[3][0] == STATUS_KEPT

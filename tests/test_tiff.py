@@ -307,3 +307,26 @@ def test_decode_image_dispatches_tiff():
     out = decode_image(write_tiff(px, compression=5))
     assert out["width"] == 7 and out["height"] == 5
     assert out["mean_value"] == pytest.approx(float(px.mean()))
+
+
+def _pack9(codes):
+    """MSB-first 9-bit code packer (enough for tiny clear-run streams)."""
+    bits = "".join(f"{c:09b}" for c in codes)
+    bits += "0" * (-len(bits) % 8)
+    return bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+
+
+def test_lzw_tolerates_runs_of_clear_codes():
+    """CLEAR CLEAR 'A' EOI decodes to b'A' — libtiff accepts clear runs;
+    treating the second clear as data would emit b'' and corrupt the
+    table (r08 ADVICE)."""
+    from kinesis_vcr_spark.operators.tiff import _lzw_decode
+
+    assert _lzw_decode(_pack9([256, 256, 256, ord("A"), 257])) == b"A"
+
+
+def test_lzw_rejects_high_code_after_clear():
+    from kinesis_vcr_spark.operators.tiff import _lzw_decode
+
+    with pytest.raises(ValueError, match="after clear"):
+        _lzw_decode(_pack9([256, 300, 257]))
