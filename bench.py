@@ -136,6 +136,94 @@ def bench_index_probe(spark, sf_dir: str, repeats: int) -> list[float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_persisted_index_probes(
+    spark, sf_dir: str, repeats: int, which: set[str]
+) -> dict[str, list[float]]:
+    """Probe-ONLY timings for the persisted search / phrase / span
+    indexes (VERDICT r08 item 2) — same rationale as
+    :func:`bench_index_probe`: the registry ``*_incremental`` queries
+    re-run the full index BUILD every sample (their correctness
+    contract), which buries the number each index exists to deliver —
+    the standing-query / batch-probe operation against an index that
+    already exists. Builds happen once, untimed, into a scratch dir;
+    each timed sample is open-index + probe + collect.
+    Registry-external (no oracle rows — the probes' VALUES are already
+    oracle-checked through the ``*_incremental`` rows; these entries
+    only isolate their cost for drift gating)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_vcr_spark.queries.dedup import IDX_NEW_MOD, SPAN_MIN_LEN
+    from kinesis_vcr_spark.queries.tfidf import BM25_TERMS, PHRASE
+    from kinesis_vcr_spark.tables import load_table, widen_small_scan
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % IDX_NEW_MOD != 0)
+    new = docs.where(F.col("doc_id") % IDX_NEW_MOD == 0)
+    out: dict[str, list[float]] = {}
+    tmp = tempfile.mkdtemp(prefix="kvs_idx_probe_bench_")
+    try:
+        probes: dict[str, callable] = {}
+        if "search_index_probe" in which:
+            from kinesis_vcr_spark.operators.searchindex import (
+                append_search_index,
+                build_search_index,
+                search_index_topk,
+            )
+
+            build_search_index(old, f"{tmp}/search")
+            append_search_index(new, f"{tmp}/search", ingest_label="batch")
+            probes["search_index_probe"] = lambda: search_index_topk(
+                spark, f"{tmp}/search", list(BM25_TERMS), k=20
+            )
+        if "phrase_index_probe" in which:
+            from kinesis_vcr_spark.operators.searchindex import (
+                append_position_index,
+                build_search_index,
+                phrase_probe_index,
+            )
+
+            build_search_index(old, f"{tmp}/phrase")
+            append_position_index(old, f"{tmp}/phrase", ingest_label="_base")
+            append_position_index(new, f"{tmp}/phrase", ingest_label="batch")
+            probes["phrase_index_probe"] = lambda: phrase_probe_index(
+                spark, f"{tmp}/phrase", list(PHRASE)
+            )
+        if "span_index_probe" in which:
+            from kinesis_vcr_spark.operators.spandedup import (
+                append_gram_index,
+                span_probe_index,
+            )
+
+            wdocs = widen_small_scan(
+                load_table(spark, sf_dir, "documents")
+            ).select("doc_id", "text")
+            wold = wdocs.where(F.col("doc_id") % IDX_NEW_MOD != 0)
+            wnew = wdocs.where(F.col("doc_id") % IDX_NEW_MOD == 0)
+            append_gram_index(
+                wold, f"{tmp}/span", min_len=SPAN_MIN_LEN,
+                ingest_label="_base",
+            )
+            append_gram_index(
+                wnew, f"{tmp}/span", min_len=SPAN_MIN_LEN,
+                ingest_label="batch",
+            )
+            probes["span_index_probe"] = lambda: span_probe_index(
+                wnew, f"{tmp}/span", min_len=SPAN_MIN_LEN
+            )
+        for name, make_probe in probes.items():
+            print(f"[bench] {name}", file=sys.stderr)
+            samples: list[float] = []
+            for _ in range(repeats):
+                t0 = time.time()
+                make_probe().collect()
+                samples.append(round(time.time() - t0, 3))
+                spark.catalog.clearCache()
+            out[name] = samples
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def detect_spark_contention() -> int:
     """Count FOREIGN JVMs already running a Spark driver/executor.
 
@@ -236,13 +324,23 @@ def main() -> None:
     warm_queries["q1_pricing_summary"].spark_fn(spark, "/root/testdata/sf0.001").collect()
     warm_queries["text_fingerprint"].spark_fn(spark, "/root/testdata/sf0.001").collect()
 
+    probe_entries = (
+        "dedup_index_probe", "search_index_probe",
+        "phrase_index_probe", "span_index_probe",
+    )
     selected = dict(all_queries())
-    want_probe = not args.queries and not args.top  # default: full run
+    # registry-external probe-only entries: all on a full run, the
+    # named ones under --queries, none under --top (the ranking file
+    # already carries them once measured, so --top re-selects them)
+    want_probes = (
+        set(probe_entries) if not args.queries and not args.top else set()
+    )
     if args.queries:
         names = [n.strip() for n in args.queries.split(",") if n.strip()]
-        if "dedup_index_probe" in names:  # registry-external entry
-            want_probe = True
-            names.remove("dedup_index_probe")
+        for p in probe_entries:
+            if p in names:
+                want_probes.add(p)
+                names.remove(p)
         missing = [n for n in names if n not in selected]
         if missing:
             raise SystemExit(f"unknown queries: {missing}")
@@ -254,9 +352,12 @@ def main() -> None:
         with open(detail_path) as f:
             prior = json.load(f)["queries"]
         ranked = sorted(
-            (n for n in prior if n in selected), key=lambda n: -prior[n]
+            (n for n in prior if n in selected or n in probe_entries),
+            key=lambda n: -prior[n],
         )
-        selected = {n: selected[n] for n in ranked[: args.top]}
+        top = ranked[: args.top]
+        want_probes = {n for n in top if n in probe_entries}
+        selected = {n: selected[n] for n in top if n in selected}
 
     # NOISE CONTROL (VERDICT r05 item 5): same-day host drift made
     # sub-second entries swing ±2× between rounds. Each query is timed
@@ -281,13 +382,20 @@ def main() -> None:
         timings[name] = samples[0]  # cold
         medians[name] = sorted(samples)[(len(samples) - 1) // 2]
 
-    if want_probe:
+    if "dedup_index_probe" in want_probes:
         print("[bench] dedup_index_probe", file=sys.stderr)
         probe_samples = bench_index_probe(spark, sf_dir, repeats)
         timings["dedup_index_probe"] = probe_samples[0]
         medians["dedup_index_probe"] = sorted(probe_samples)[
             (len(probe_samples) - 1) // 2
         ]
+    idx_probes = want_probes - {"dedup_index_probe"}
+    if idx_probes:
+        for name, samples in bench_persisted_index_probes(
+            spark, sf_dir, repeats, idx_probes
+        ).items():
+            timings[name] = samples[0]
+            medians[name] = sorted(samples)[(len(samples) - 1) // 2]
 
     if not args.skip_vcr_core:
         core_t = bench_vcr_core(spark, sf_dir)

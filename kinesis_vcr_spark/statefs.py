@@ -33,6 +33,13 @@ is an idempotent overwrite of its own ``ingest=b{id}`` scope.
 Reference anchor: the reference keeps the equivalent state (KCL lease
 table) in a remote store (…/kinesis/KinesisRecorder.java:27-28); this
 module is the Spark-idiomatic counterpart.
+
+Scheme portability is pinned by test on TWO schemes: ``file://``
+(tests/test_statefs.py::test_json_roundtrip_over_file_uri) and a
+``viewfs://`` mount
+(tests/test_statefs.py::test_watermark_contract_on_second_scheme_viewfs)
+— the full watermark contract (atomic overwrite, missing→default,
+torn→default, scope listing) on each.
 """
 
 from __future__ import annotations

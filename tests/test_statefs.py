@@ -107,3 +107,41 @@ def test_listing_failure_is_loud_not_empty(spark, tmp_path):
         statefs.list_ingest_scopes(
             spark, "nosuchscheme://bucket/state"
         )
+
+
+def test_watermark_contract_on_second_scheme_viewfs(spark, tmp_path):
+    """The whole watermark contract on a SECOND Hadoop scheme
+    (``viewfs://`` with a local mount), not just ``file://`` (r08
+    verdict item 7): FileContext resolution, atomic overwrite, missing
+    → default, torn JSON → default, and scope listing all behave
+    identically — pinning that nothing in statefs is LocalFileSystem-
+    specific (the ChecksumException trap the module docstring
+    describes)."""
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    hc.set(
+        "fs.viewfs.mounttable.statefstest.link./state",
+        f"file://{tmp_path}",
+    )
+    base = "viewfs://statefstest/state"
+    path = f"{base}/progress.json"
+    default = {"last_batch_id": -1, "n": 0}
+    # missing → default
+    assert statefs.read_json_state(spark, path, default) == default
+    # repeated atomic overwrite stays readable (rename(OVERWRITE) path)
+    for i in range(3):
+        statefs.write_json_state(spark, path, {"last_batch_id": i, "n": i})
+        assert statefs.read_json_state(spark, path, default) == {
+            "last_batch_id": i, "n": i,
+        }
+    assert not os.path.exists(f"{tmp_path}/progress.json.tmp")
+    # torn JSON → default (written THROUGH statefs so the checksum
+    # sidecar matches the torn bytes, as a torn object-store PUT would)
+    statefs.write_text_atomic(spark, path, '{"last_batch_id": 2, "n"')
+    assert statefs.read_json_state(spark, path, default) == default
+    # scope listing: missing root is None, present scopes are named
+    assert statefs.list_ingest_scopes(spark, f"{base}/seen") is None
+    os.makedirs(f"{tmp_path}/seen/ingest=b0")
+    os.makedirs(f"{tmp_path}/seen/ingest=b1")
+    assert sorted(statefs.list_ingest_scopes(spark, f"{base}/seen")) == [
+        "ingest=b0", "ingest=b1",
+    ]
