@@ -10,9 +10,10 @@ work on media without decoding.
 Decoding: real codecs with numpy + the stdlib only (no PIL/ffmpeg):
 PPM, uncompressed BMP, full static PNG (every color type incl.
 palette, bit depths 1-16, all five scanline filters, Adam7
-interlace), baseline AND progressive Huffman JPEG, plus PCM WAV
-audio; the remaining formats (arithmetic/lossless/12-bit JPEG,
-MP3/H.264) raise ``NotImplementedError`` slots where PIL/ffmpeg plug
+interlace), baseline AND progressive Huffman JPEG, GIF, baseline
+TIFF, lossless WebP (VP8L), plus PCM WAV audio; the remaining
+formats (arithmetic/lossless/12-bit JPEG, lossy WebP, MP3/H.264)
+raise ``NotImplementedError`` slots where PIL/ffmpeg plug
 in. ``fake_decode``
 remains the deterministic stand-in used by the oracle-checked driver
 queries, because its arithmetic is reproducible in SQL.
@@ -324,10 +325,15 @@ def decode_image(payload: bytes) -> dict[str, Any]:
 
         w, h, px = tiff_decode(payload)
         return {"width": w, "height": h, "mean_value": float(px.mean())}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from kinesis_vcr_spark.operators.webp import webp_decode  # noqa: PLC0415
+
+        w, h, px = webp_decode(payload)
+        return {"width": w, "height": h, "mean_value": float(px.mean())}
     raise NotImplementedError(
-        "unrecognized image container (PPM/BMP/PNG/JPEG/GIF/TIFF "
-        "supported); register a PIL-backed Decoder for other formats "
-        "(WebP is the remaining common-web slot)"
+        "unrecognized image container (PPM/BMP/PNG/JPEG/GIF/TIFF/"
+        "WebP-lossless supported); register a PIL-backed Decoder for "
+        "other formats"
     )
 
 

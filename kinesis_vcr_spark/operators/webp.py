@@ -1,0 +1,554 @@
+"""WebP lossless (VP8L) decoder — pure Python/numpy, no libwebp (the
+container has no imaging libs; same in-repo-codec discipline as
+png/jpeg/gif/tiff).
+
+Scope (r08 verdict item 5 — the most common web-corpus format still in
+the ``NotImplementedError`` slot): the complete VP8L lossless stream —
+LSB-first bit packing, simple and normal (canonical, DEFLATE-style)
+Huffman codes with the 19-symbol code-length code and 16/17/18 repeats,
+meta-Huffman entropy images, color cache, LZ77 backward references with
+the 120-entry 2D distance mapping, and all four inverse transforms
+(predictor with its 14 modes, cross-channel color transform,
+subtract-green, color-indexing with pixel bundling). Lossy WebP (VP8
+DCT) and animation (ANIM/ANMF) stay loud ``NotImplementedError`` slots
+— they need a DSP stack, not entropy coding.
+
+Every constant here is from the public "WebP Lossless Bitstream
+Specification". Two derivations worth noting, both verified by the
+independent spec-rule encoder in ``tests/test_webp.py`` (the codec
+discipline that landed GIF, progressive JPEG and TIFF first-try):
+
+- the 120-entry distance map is generated, not transcribed: offsets
+  ``(x, y)`` with ``y in 0..7`` (``x in 1..8`` on row 0, ``x in -7..8``
+  above) sorted by ``(x²+y², -y, |x| then +x before -x)`` — exactly
+  8 + 7·16 = 120 entries, reproducing the spec's table including its
+  distinctive equal-distance runs such as
+  ``(0,5),(3,4),(-3,4),(4,3),(-4,3),(5,0)``;
+- canonical Huffman decode is DEFLATE-convention: codes assigned in
+  (length, symbol) order, first bit read is the code's MSB (the
+  bit-reversed-table construction in every public decoder reduces to
+  this); a code whose alphabet has exactly one used symbol consumes
+  zero bits.
+
+Reference anchor: no counterpart in the reference (record/replay tool);
+SURVEY.md §2.5a multimodal family, long-tail slot formerly raising
+NotImplementedError in operators/multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- bits
+
+class _Bits:
+    """LSB-first bit reader over immutable bytes."""
+
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.nbits = len(data) * 8
+
+    def read(self, n: int) -> int:
+        p = self.pos
+        if p + n > self.nbits:
+            raise ValueError("VP8L bitstream truncated")
+        self.pos = p + n
+        chunk = int.from_bytes(self.data[p >> 3 : (p >> 3) + 4], "little")
+        return (chunk >> (p & 7)) & ((1 << n) - 1)
+
+
+# ------------------------------------------------------------- huffman
+
+class _Huff:
+    """Canonical prefix code: (length, code)→symbol, DEFLATE convention
+    (module docstring). ``single`` short-circuits to zero bits read."""
+
+    __slots__ = ("single", "table")
+
+    def __init__(self) -> None:
+        self.single: int | None = None
+        self.table: dict[tuple[int, int], int] = {}
+
+    @classmethod
+    def simple(cls, symbols: list[int]) -> "_Huff":
+        h = cls()
+        if len(symbols) == 1:
+            h.single = symbols[0]
+        else:  # two symbols: stream order ↔ bit 0 / bit 1
+            h.table = {(1, 0): symbols[0], (1, 1): symbols[1]}
+        return h
+
+    @classmethod
+    def from_lengths(cls, lengths: list[int]) -> "_Huff":
+        h = cls()
+        used = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+        if not used:
+            raise ValueError("VP8L huffman code with no symbols")
+        if len(used) == 1:
+            h.single = used[0][1]
+            return h
+        max_len = max(ln for ln, _ in used)
+        if max_len > 15:
+            raise ValueError("VP8L huffman code length > 15")
+        bl_count = [0] * (max_len + 1)
+        for ln, _ in used:
+            bl_count[ln] += 1
+        code = 0
+        next_code = [0] * (max_len + 1)
+        for ln in range(1, max_len + 1):
+            code = (code + bl_count[ln - 1]) << 1
+            next_code[ln] = code
+        kraft = sum(1 << (max_len - ln) for ln, _ in used)
+        if kraft != 1 << max_len:
+            raise ValueError("VP8L huffman code not complete")
+        for ln, sym in sorted(used):
+            h.table[(ln, next_code[ln])] = sym
+            next_code[ln] += 1
+        return h
+
+    def decode(self, br: _Bits) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        length = 0
+        table = self.table
+        while True:
+            code = (code << 1) | br.read(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+            if length > 15:
+                raise ValueError("VP8L invalid huffman code in stream")
+
+
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+
+def _read_huffman_code(br: _Bits, alphabet_size: int) -> _Huff:
+    if br.read(1):  # simple code: 1-2 symbols given literally
+        num_symbols = br.read(1) + 1
+        first_8bit = br.read(1)
+        symbols = [br.read(8 if first_8bit else 1)]
+        if num_symbols == 2:
+            symbols.append(br.read(8))
+        if any(s >= alphabet_size for s in symbols):
+            raise ValueError("VP8L simple-code symbol out of alphabet")
+        return _Huff.simple(symbols)
+    num_codes = 4 + br.read(4)
+    clc_lengths = [0] * 19
+    for i in range(num_codes):
+        clc_lengths[_CLC_ORDER[i]] = br.read(3)
+    clc = _Huff.from_lengths(clc_lengths)
+    lengths = [0] * alphabet_size
+    if br.read(1):  # explicit symbol-count cap
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+        if max_symbol > alphabet_size:
+            raise ValueError("VP8L max_symbol exceeds alphabet")
+    else:
+        max_symbol = alphabet_size
+    symbol = 0
+    prev_len = 8
+    while symbol < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        s = clc.decode(br)
+        if s < 16:
+            lengths[symbol] = s
+            symbol += 1
+            if s != 0:
+                prev_len = s
+        else:
+            if s == 16:
+                repeat, fill = 3 + br.read(2), prev_len
+            elif s == 17:
+                repeat, fill = 3 + br.read(3), 0
+            else:
+                repeat, fill = 11 + br.read(7), 0
+            if symbol + repeat > alphabet_size:
+                raise ValueError("VP8L code-length repeat overruns alphabet")
+            for _ in range(repeat):
+                lengths[symbol] = fill
+                symbol += 1
+    return _Huff.from_lengths(lengths)
+
+
+def _prefix_value(code: int, br: _Bits) -> int:
+    """LZ77 length/distance prefix coding (spec §4.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+# generated 2D distance map (module docstring); entry i ↔ dist code i+1
+_DIST_MAP = sorted(
+    [
+        (x, y)
+        for y in range(8)
+        for x in (range(1, 9) if y == 0 else range(-7, 9))
+    ],
+    key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], 2 * abs(p[0]) + (p[0] < 0)),
+)
+assert len(_DIST_MAP) == 120 and _DIST_MAP[0] == (0, 1)
+
+
+def _subsample(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+_HASH_MUL = 0x1E35A7BD
+
+
+# ------------------------------------------------------ image stream
+
+def _decode_image_stream(
+    br: _Bits, w: int, h: int, is_level0: bool
+) -> tuple[np.ndarray, list[tuple], int]:
+    """Decode one entropy-coded VP8L image → (flat ARGB uint32 array,
+    transforms-as-read (level 0 only), final stored width — differs
+    from ``w`` when a color-indexing transform bundles pixels)."""
+    transforms: list[tuple] = []
+    if is_level0:
+        seen: set[int] = set()
+        while br.read(1):
+            t = br.read(2)
+            if t in seen:
+                raise ValueError("VP8L duplicate transform")
+            seen.add(t)
+            if t in (0, 1):  # predictor / color: block-mode sub-image
+                bits = br.read(3) + 2
+                bw, bh = _subsample(w, bits), _subsample(h, bits)
+                sub, _, _ = _decode_image_stream(br, bw, bh, False)
+                transforms.append((t, bits, bw, sub))
+            elif t == 2:  # subtract green
+                transforms.append((2, None, None, None))
+            else:  # color indexing: delta-coded palette, bundled width
+                n_colors = br.read(8) + 1
+                pal, _, _ = _decode_image_stream(br, n_colors, 1, False)
+                if n_colors <= 2:
+                    width_bits = 3
+                elif n_colors <= 4:
+                    width_bits = 2
+                elif n_colors <= 16:
+                    width_bits = 1
+                else:
+                    width_bits = 0
+                transforms.append((3, (n_colors, width_bits, w), None, pal))
+                w = _subsample(w, width_bits)
+
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("VP8L color-cache bits out of range")
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+
+    entropy = None
+    hbits = ew = 0
+    num_groups = 1
+    if is_level0 and br.read(1):
+        hbits = br.read(3) + 2
+        ew, eh = _subsample(w, hbits), _subsample(h, hbits)
+        eimg, _, _ = _decode_image_stream(br, ew, eh, False)
+        entropy = ((eimg >> 8) & 0xFFFF).astype(np.int64)  # (r<<8)|g
+        num_groups = int(entropy.max()) + 1
+
+    green_size = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    groups = []
+    for _ in range(num_groups):  # read order: green, red, blue, alpha, dist
+        groups.append(
+            (
+                _read_huffman_code(br, green_size),
+                _read_huffman_code(br, 256),
+                _read_huffman_code(br, 256),
+                _read_huffman_code(br, 256),
+                _read_huffman_code(br, 40),
+            )
+        )
+
+    n = w * h
+    out = [0] * n
+    pos = x = y = 0
+    grp = groups[0]
+    while pos < n:
+        if entropy is not None:
+            grp = groups[int(entropy[(y >> hbits) * ew + (x >> hbits)])]
+        g_green, g_red, g_blue, g_alpha, g_dist = grp
+        s = g_green.decode(br)
+        if s < 256:  # literal: green first, then red, blue, alpha
+            r = g_red.decode(br)
+            b = g_blue.decode(br)
+            a = g_alpha.decode(br)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            out[pos] = px
+            if cache is not None:
+                cache[(_HASH_MUL * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+            pos += 1
+            x += 1
+            if x == w:
+                x, y = 0, y + 1
+        elif s < 280:  # LZ77 backward reference
+            length = _prefix_value(s - 256, br)
+            dcode = _prefix_value(g_dist.decode(br), br)
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _DIST_MAP[dcode - 1]
+                dist = max(dy * w + dx, 1)
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L backward reference out of range")
+            if cache is not None:
+                for _ in range(length):
+                    px = out[pos - dist]
+                    out[pos] = px
+                    cache[
+                        (_HASH_MUL * px & 0xFFFFFFFF) >> (32 - cache_bits)
+                    ] = px
+                    pos += 1
+            else:
+                for _ in range(length):
+                    out[pos] = out[pos - dist]
+                    pos += 1
+            x, y = pos % w, pos // w
+        else:  # color-cache hit
+            if cache is None:
+                raise ValueError("VP8L cache symbol without a color cache")
+            idx = s - 280
+            out[pos] = cache[idx]
+            pos += 1
+            x += 1
+            if x == w:
+                x, y = 0, y + 1
+    return np.array(out, dtype=np.uint32), transforms, w
+
+
+# --------------------------------------------------- inverse transforms
+
+def _sign8(v: np.ndarray | int):
+    """uint8 value reinterpreted as signed int8 (vector or scalar)."""
+    return ((v & 0xFF) ^ 0x80) - 0x80
+
+
+def _inv_subtract_green(argb: np.ndarray) -> np.ndarray:
+    g = (argb >> 8) & 0xFF
+    r = ((argb >> 16) + g) & 0xFF
+    b = (argb + g) & 0xFF
+    return (argb & 0xFF00FF00) | (r << 16) | b
+
+
+def _inv_color_transform(
+    argb: np.ndarray, w: int, h: int, bits: int, bw: int, sub: np.ndarray
+) -> np.ndarray:
+    """Per-block cross-channel deltas: green_to_red in blue channel,
+    green_to_blue in green, red_to_blue in red; delta = (int8·int8)>>5
+    arithmetic (numpy ``>>`` on signed is arithmetic, matching C)."""
+    cte = sub.reshape(-1, bw)[
+        np.ix_((np.arange(h) >> bits), (np.arange(w) >> bits))
+    ].ravel()
+    g2r = _sign8(cte).astype(np.int64)
+    g2b = _sign8(cte >> 8).astype(np.int64)
+    r2b = _sign8(cte >> 16).astype(np.int64)
+    a = argb.astype(np.int64)
+    g = _sign8(a >> 8)
+    r = ((a >> 16) + ((g2r * g) >> 5)) & 0xFF
+    b = (a + ((g2b * g) >> 5)) & 0xFF
+    b = (b + ((r2b * _sign8(r)) >> 5)) & 0xFF
+    return ((a & 0xFF00FF00) | (r << 16) | b).astype(np.uint32)
+
+
+def _avg2(a: int, b: int) -> int:
+    """Per-channel (x+y)>>1 on packed ARGB (carry-safe SIMD identity)."""
+    return (a & b) + (((a ^ b) & 0xFEFEFEFE) >> 1)
+
+
+def _add_px(a: int, b: int) -> int:
+    """Per-channel mod-256 add on packed ARGB (carries land in the
+    masked-off gaps between channels)."""
+    return (((a & 0xFF00FF00) + (b & 0xFF00FF00)) & 0xFF00FF00) | (
+        ((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF
+    )
+
+
+def _select(left: int, top: int, topleft: int) -> int:
+    p_l = p_t = 0
+    for sh in (24, 16, 8, 0):
+        lc = (left >> sh) & 0xFF
+        tc = (top >> sh) & 0xFF
+        tlc = (topleft >> sh) & 0xFF
+        pred = lc + tc - tlc
+        p_l += abs(pred - lc)
+        p_t += abs(pred - tc)
+    return left if p_l < p_t else top
+
+
+def _clamp_add_sub_full(left: int, top: int, topleft: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        v = ((left >> sh) & 0xFF) + ((top >> sh) & 0xFF) - ((topleft >> sh) & 0xFF)
+        out |= max(0, min(255, v)) << sh
+    return out
+
+
+def _clamp_add_sub_half(left: int, top: int, topleft: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        ave = (((left >> sh) & 0xFF) + ((top >> sh) & 0xFF)) >> 1
+        d = ave - ((topleft >> sh) & 0xFF)
+        # C integer division truncates toward zero — floor differs for
+        # negative deltas and desyncs the predictor
+        v = ave + (d // 2 if d >= 0 else -((-d) // 2))
+        out |= max(0, min(255, v)) << sh
+    return out
+
+
+def _inv_predictor(
+    argb: np.ndarray, w: int, h: int, bits: int, bw: int, sub: np.ndarray
+) -> np.ndarray:
+    """Sequential 14-mode spatial prediction. Edge rules: (0,0) predicts
+    black; row 0 is always L; column 0 is always T; top-right of the
+    rightmost column is the already-decoded leftmost pixel of the
+    CURRENT row — the flat-buffer identity ``top[x+1] == row[0]`` the
+    spec codifies, free here because ``out`` is flat."""
+    modes = [int(v >> 8) & 0xFF for v in sub]
+    out = [int(v) for v in argb]
+    avg2 = _avg2
+    idx = 0
+    for y in range(h):
+        mrow = (y >> bits) * bw
+        for x in range(w):
+            if y == 0:
+                pred = 0xFF000000 if x == 0 else out[idx - 1]
+            elif x == 0:
+                pred = out[idx - w]
+            else:
+                m = modes[mrow + (x >> bits)]
+                if m == 1:
+                    pred = out[idx - 1]
+                elif m == 2:
+                    pred = out[idx - w]
+                else:
+                    left = out[idx - 1]
+                    top = out[idx - w]
+                    if m == 0:
+                        pred = 0xFF000000
+                    elif m == 3:
+                        pred = out[idx - w + 1]
+                    elif m == 4:
+                        pred = out[idx - w - 1]
+                    elif m == 5:
+                        pred = avg2(avg2(left, out[idx - w + 1]), top)
+                    elif m == 6:
+                        pred = avg2(left, out[idx - w - 1])
+                    elif m == 7:
+                        pred = avg2(left, top)
+                    elif m == 8:
+                        pred = avg2(out[idx - w - 1], top)
+                    elif m == 9:
+                        pred = avg2(top, out[idx - w + 1])
+                    elif m == 10:
+                        pred = avg2(
+                            avg2(left, out[idx - w - 1]),
+                            avg2(top, out[idx - w + 1]),
+                        )
+                    elif m == 11:
+                        pred = _select(left, top, out[idx - w - 1])
+                    elif m == 12:
+                        pred = _clamp_add_sub_full(left, top, out[idx - w - 1])
+                    elif m == 13:
+                        pred = _clamp_add_sub_half(left, top, out[idx - w - 1])
+                    else:
+                        raise ValueError(f"VP8L predictor mode {m} invalid")
+            out[idx] = _add_px(out[idx], pred)
+            idx += 1
+    return np.array(out, dtype=np.uint32)
+
+
+def _inv_color_indexing(
+    argb: np.ndarray, h: int, params: tuple, pal_img: np.ndarray
+) -> tuple[np.ndarray, int]:
+    n_colors, width_bits, orig_w = params
+    pal = [0] * n_colors  # palette entries are per-channel deltas
+    acc = 0
+    for i in range(n_colors):
+        acc = _add_px(acc, int(pal_img[i]))
+        pal[i] = acc
+    lut = np.zeros(256, dtype=np.uint32)  # out-of-range index → 0x00000000
+    lut[:n_colors] = np.array(pal, dtype=np.uint32)
+    if width_bits == 0:
+        idx = (argb >> 8) & 0xFF
+        return lut[idx], orig_w
+    bpp = 8 >> width_bits  # bits per packed index
+    ppu = 1 << width_bits  # pixels per green byte, LSB-first
+    packed_w = _subsample(orig_w, width_bits)
+    greens = ((argb >> 8) & 0xFF).reshape(h, packed_w)
+    cols = np.empty((h, packed_w * ppu), dtype=np.uint32)
+    mask = (1 << bpp) - 1
+    for k in range(ppu):
+        cols[:, k::ppu] = (greens >> (k * bpp)) & mask
+    return lut[cols[:, :orig_w].ravel()], orig_w
+
+
+# ------------------------------------------------------------ toplevel
+
+def vp8l_decode(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a VP8L chunk payload → ``(width, height, pixels)`` where
+    pixels is ``(h, w, 4)`` RGBA when the header's alpha hint is set,
+    else ``(h, w, 3)`` RGB, dtype uint8."""
+    br = _Bits(data)
+    if br.read(8) != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    alpha_used = br.read(1)
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    argb, transforms, cur_w = _decode_image_stream(br, w, h, True)
+    for t, p1, p2, sub in reversed(transforms):
+        if t == 0:
+            argb = _inv_predictor(argb, cur_w, h, p1, p2, sub)
+        elif t == 1:
+            argb = _inv_color_transform(argb, cur_w, h, p1, p2, sub)
+        elif t == 2:
+            argb = _inv_subtract_green(argb)
+        else:
+            argb, cur_w = _inv_color_indexing(argb, h, p1, sub)
+    if cur_w != w:
+        raise ValueError("VP8L transform width bookkeeping mismatch")
+    a = (argb >> 24).astype(np.uint8)
+    r = ((argb >> 16) & 0xFF).astype(np.uint8)
+    g = ((argb >> 8) & 0xFF).astype(np.uint8)
+    b = (argb & 0xFF).astype(np.uint8)
+    chans = (r, g, b, a) if alpha_used else (r, g, b)
+    return w, h, np.stack(chans, axis=-1).reshape(h, w, len(chans))
+
+
+def webp_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a WebP container holding a lossless VP8L stream. VP8X
+    extended headers are skipped to find the VP8L chunk; lossy (VP8)
+    and animated (ANIM/ANMF) files raise ``NotImplementedError`` — the
+    documented DSP-stack slots, like CCITT in the TIFF decoder."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF/WEBP header)")
+    off = 12
+    while off + 8 <= len(payload):
+        tag = payload[off : off + 4]
+        (size,) = struct.unpack_from("<I", payload, off + 4)
+        if tag == b"VP8L":
+            return vp8l_decode(payload[off + 8 : off + 8 + size])
+        if tag == b"VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8 DCT) not supported — lossless VP8L only"
+            )
+        if tag in (b"ANIM", b"ANMF"):
+            raise NotImplementedError("animated WebP not supported")
+        off += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    raise ValueError("WebP container has no VP8L chunk")
