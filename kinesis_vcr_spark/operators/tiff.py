@@ -2,13 +2,16 @@
 has no imaging libs; same in-repo-codec discipline as png/jpeg/gif).
 
 Scope (the formats a web/document corpus actually contains, r07
-verdict item 4): strip-organized baseline TIFF, both byte orders,
-grayscale (bilevel 1-bit, 8/16-bit) and RGB (8/16-bit per sample),
-compressions 1 (none), 5 (LZW) and 32773 (PackBits), horizontal
-predictor (tag 317 = 2) for LZW. Palette-color (photometric 3) maps
-through the ColorMap to RGB. Out of scope → loud
+verdict item 4 + r08 item 8): strip-organized AND tiled baseline
+TIFF, both byte orders, grayscale (bilevel 1-bit, 8/16-bit) and RGB
+(8/16-bit per sample), compressions 1 (none), 5 (LZW) and 32773
+(PackBits), horizontal predictor (tag 317 = 2) for LZW. Tiles are
+full tile_w×tile_l segments (edge tiles encoder-padded, cropped on
+assembly) and each is an independent compression unit, so LZW state
+and the predictor reset per tile row. Palette-color (photometric 3)
+maps through the ColorMap to RGB. Out of scope → loud
 ``NotImplementedError`` (the multimodal quarantine contract):
-tiled TIFF, planar configuration 2, JPEG-in-TIFF, CCITT fax codings.
+planar configuration 2, JPEG-in-TIFF, CCITT fax codings.
 
 TIFF LZW (spec §13) differs from GIF LZW in two sync-critical ways,
 both verified empirically with an independent encoder before this
@@ -39,7 +42,7 @@ _WIDTH, _LENGTH = 256, 257
 _BITS, _COMPRESSION, _PHOTOMETRIC = 258, 259, 262
 _STRIP_OFFSETS, _SAMPLES_PER_PIXEL, _ROWS_PER_STRIP = 273, 277, 278
 _STRIP_BYTE_COUNTS, _PLANAR, _PREDICTOR, _COLORMAP = 279, 284, 317, 320
-_TILE_WIDTH, _TILE_LENGTH = 322, 323
+_TILE_WIDTH, _TILE_LENGTH, _TILE_OFFSETS, _TILE_BYTE_COUNTS = 322, 323, 324, 325
 
 _TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
 
@@ -168,15 +171,20 @@ def tiff_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
         tags = _read_ifd(payload, bo)
     except struct.error as exc:  # bogus offsets/truncation → ValueError
         raise ValueError(f"TIFF IFD truncated or invalid: {exc}") from exc
-    if _TILE_WIDTH in tags or _TILE_LENGTH in tags:
-        raise NotImplementedError("tiled TIFF not supported (strips only)")
     if tags.get(_PLANAR, [1])[0] != 1:
         raise NotImplementedError("planar configuration 2 not supported")
+    tiled = _TILE_WIDTH in tags or _TILE_LENGTH in tags
     try:
         width = tags[_WIDTH][0]
         height = tags[_LENGTH][0]
-        strip_offsets = tags[_STRIP_OFFSETS]
-        strip_counts = tags[_STRIP_BYTE_COUNTS]
+        if tiled:
+            tile_w = tags[_TILE_WIDTH][0]
+            tile_l = tags[_TILE_LENGTH][0]
+            seg_offsets = tags[_TILE_OFFSETS]
+            seg_counts = tags[_TILE_BYTE_COUNTS]
+        else:
+            seg_offsets = tags[_STRIP_OFFSETS]
+            seg_counts = tags[_STRIP_BYTE_COUNTS]
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag {exc}") from exc
     spp = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
@@ -199,57 +207,107 @@ def tiff_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     if photometric == 2 and spp < 3:
         raise ValueError("RGB photometric with fewer than 3 samples")
 
-    row_bytes = (width * spp * bits + 7) // 8
-    rows = []
-    for si, (off, cnt) in enumerate(zip(strip_offsets, strip_counts)):
-        n_rows = min(rows_per_strip, height - si * rows_per_strip)
-        if n_rows <= 0:
-            break
-        raw = payload[off : off + cnt]
+    def _decompress(raw: bytes, expected: int) -> bytes:
         if compression == 1:
-            decoded = raw
-        elif compression == 5:
-            decoded = _lzw_decode(raw)
-        elif compression == 32773:
-            decoded = _packbits_decode(raw, n_rows * row_bytes)
-        else:
-            raise NotImplementedError(
-                f"TIFF compression {compression} not supported "
-                "(1/LZW/PackBits only; JPEG-in-TIFF and CCITT are the "
-                "documented long-tail slots)"
-            )
-        if len(decoded) < n_rows * row_bytes:
-            raise ValueError("TIFF strip shorter than its row span")
-        rows.append(decoded[: n_rows * row_bytes])
-    data = b"".join(rows)
-    if len(data) < height * row_bytes:
-        raise ValueError("TIFF strips do not cover the image height")
+            return raw
+        if compression == 5:
+            return _lzw_decode(raw)
+        if compression == 32773:
+            return _packbits_decode(raw, expected)
+        raise NotImplementedError(
+            f"TIFF compression {compression} not supported "
+            "(1/LZW/PackBits only; JPEG-in-TIFF and CCITT are the "
+            "documented long-tail slots)"
+        )
 
-    if bits == 1:
-        arr = np.unpackbits(
-            np.frombuffer(data, dtype=np.uint8).reshape(height, row_bytes),
-            axis=1,
-        )[:, :width].astype(np.uint8)
-        # scale bilevel to full 8-bit so photometric handling below is
-        # uniform (0/255, then WhiteIsZero inversion applies)
-        px = arr * np.uint8(255)
-        maxval = 255
-    else:
-        dtype = np.uint8 if bits == 8 else np.dtype(bo + "u2")
-        px = np.frombuffer(data, dtype=dtype).reshape(height, width * spp)
-        maxval = (1 << bits) - 1
-        if predictor == 2:
-            # horizontal differencing: cumulative sum per sample channel
-            px = (
-                np.cumsum(
-                    px.reshape(height, width, spp).astype(np.uint32), axis=1
+    if tiled:
+        # tiles are always full tile_w×tile_l (edge tiles padded by the
+        # encoder, cropped here); each tile is an independent segment so
+        # the horizontal predictor resets per tile row, not image row
+        if tile_w <= 0 or tile_l <= 0:
+            raise ValueError("TIFF tile dimensions must be positive")
+        tiles_across = (width + tile_w - 1) // tile_w
+        tiles_down = (height + tile_l - 1) // tile_l
+        if len(seg_offsets) < tiles_across * tiles_down:
+            raise ValueError("TIFF tile table shorter than the tile grid")
+        tile_row_bytes = (tile_w * spp * bits + 7) // 8
+        maxval = 255 if bits == 1 else (1 << bits) - 1
+        dtype = np.uint8 if bits <= 8 else np.dtype(bo + "u2")
+        px = np.zeros((height, width, spp), dtype)
+        for ti in range(tiles_down):
+            for tj in range(tiles_across):
+                off = seg_offsets[ti * tiles_across + tj]
+                cnt = seg_counts[ti * tiles_across + tj]
+                decoded = _decompress(
+                    payload[off : off + cnt], tile_l * tile_row_bytes
                 )
-                % (maxval + 1)
-            ).astype(dtype).reshape(height, width * spp)
+                if len(decoded) < tile_l * tile_row_bytes:
+                    raise ValueError("TIFF tile shorter than its pixel span")
+                y0, x0 = ti * tile_l, tj * tile_w
+                nr = min(tile_l, height - y0)
+                nc = min(tile_w, width - x0)
+                if bits == 1:
+                    tile = np.unpackbits(
+                        np.frombuffer(
+                            decoded[: tile_l * tile_row_bytes], np.uint8
+                        ).reshape(tile_l, tile_row_bytes),
+                        axis=1,
+                    )[:, :tile_w].astype(np.uint8) * np.uint8(255)
+                    tile = tile[:, :, None]
+                else:
+                    tile = np.frombuffer(
+                        decoded[: tile_l * tile_row_bytes], dtype=dtype
+                    ).reshape(tile_l, tile_w, spp)
+                    if predictor == 2:
+                        tile = (
+                            np.cumsum(tile.astype(np.uint32), axis=1)
+                            % (maxval + 1)
+                        ).astype(dtype)
+                px[y0 : y0 + nr, x0 : x0 + nc] = tile[:nr, :nc]
         if bits == 16:
             px = px.astype(np.uint16)  # normalize to native byte order
-        if spp > 1:
-            px = px.reshape(height, width, spp)
+        if spp == 1:
+            px = px[:, :, 0]
+    else:
+        row_bytes = (width * spp * bits + 7) // 8
+        rows = []
+        for si, (off, cnt) in enumerate(zip(seg_offsets, seg_counts)):
+            n_rows = min(rows_per_strip, height - si * rows_per_strip)
+            if n_rows <= 0:
+                break
+            decoded = _decompress(payload[off : off + cnt], n_rows * row_bytes)
+            if len(decoded) < n_rows * row_bytes:
+                raise ValueError("TIFF strip shorter than its row span")
+            rows.append(decoded[: n_rows * row_bytes])
+        data = b"".join(rows)
+        if len(data) < height * row_bytes:
+            raise ValueError("TIFF strips do not cover the image height")
+
+        if bits == 1:
+            arr = np.unpackbits(
+                np.frombuffer(data, dtype=np.uint8).reshape(height, row_bytes),
+                axis=1,
+            )[:, :width].astype(np.uint8)
+            # scale bilevel to full 8-bit so photometric handling below is
+            # uniform (0/255, then WhiteIsZero inversion applies)
+            px = arr * np.uint8(255)
+            maxval = 255
+        else:
+            dtype = np.uint8 if bits == 8 else np.dtype(bo + "u2")
+            px = np.frombuffer(data, dtype=dtype).reshape(height, width * spp)
+            maxval = (1 << bits) - 1
+            if predictor == 2:
+                # horizontal differencing: cumulative sum per sample channel
+                px = (
+                    np.cumsum(
+                        px.reshape(height, width, spp).astype(np.uint32), axis=1
+                    )
+                    % (maxval + 1)
+                ).astype(dtype).reshape(height, width * spp)
+            if bits == 16:
+                px = px.astype(np.uint16)  # normalize to native byte order
+            if spp > 1:
+                px = px.reshape(height, width, spp)
     if photometric == 0:  # WhiteIsZero → intensity
         px = (maxval - px.astype(np.uint32)).astype(px.dtype)
     if photometric == 3:

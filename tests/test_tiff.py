@@ -290,7 +290,9 @@ def test_palette_maps_through_colormap():
 
 def test_unsupported_shapes_raise_loudly():
     px = _gray(4, 4)
-    with pytest.raises(NotImplementedError, match="tiled"):
+    # tiled TIFF is real now (write_tiled_tiff tests below); a strip
+    # file with a stray TileWidth tag is missing its tile table
+    with pytest.raises(ValueError, match="missing required tag"):
         tiff_decode(write_tiff(px, extra_tags={322: (4, [16])}))
     with pytest.raises(NotImplementedError, match="planar"):
         tiff_decode(write_tiff(px, extra_tags={284: (3, [2])}))
@@ -330,3 +332,143 @@ def test_lzw_rejects_high_code_after_clear():
 
     with pytest.raises(ValueError, match="after clear"):
         _lzw_decode(_pack9([256, 300, 257]))
+
+
+# ------------------------------------------------------------- tiling
+
+def write_tiled_tiff(
+    pixels: np.ndarray,
+    *,
+    bo: str = "<",
+    compression: int = 1,
+    predictor: int = 1,
+    tile_w: int = 16,
+    tile_l: int = 16,
+    bits: int | None = None,
+    photometric: int | None = None,
+) -> bytes:
+    """Minimal spec-following TILED TIFF writer: every tile is a full
+    tile_w×tile_l segment (edge tiles zero-padded), compressed
+    independently, with the predictor applied per tile row."""
+    h, w = pixels.shape[:2]
+    spp = 1 if pixels.ndim == 2 else pixels.shape[2]
+    if bits is None:
+        bits = 16 if pixels.dtype == np.uint16 else (8 if pixels.dtype == np.uint8 else 1)
+    if photometric is None:
+        photometric = 2 if spp >= 3 else 1
+    px3 = pixels.reshape(h, w, spp)
+    tiles = []
+    for y0 in range(0, h, tile_l):
+        for x0 in range(0, w, tile_w):
+            tile = np.zeros((tile_l, tile_w, spp), dtype=pixels.dtype)
+            src = px3[y0 : y0 + tile_l, x0 : x0 + tile_w]
+            tile[: src.shape[0], : src.shape[1]] = src
+            if predictor == 2:
+                d = tile.astype(np.int32)
+                diff = d.copy()
+                diff[:, 1:] = (d[:, 1:] - d[:, :-1]) % (1 << bits)
+                tile = diff.astype(pixels.dtype)
+            if bits == 1:
+                raw = b"".join(
+                    np.packbits(tile[r, :, 0].astype(np.uint8)).tobytes()
+                    for r in range(tile_l)
+                )
+            elif bits == 16:
+                raw = tile.astype(np.dtype(bo + "u2")).tobytes()
+            else:
+                raw = tile.astype(np.uint8).tobytes()
+            if compression == 5:
+                tiles.append(lzw_encode(raw))
+            elif compression == 32773:
+                tiles.append(packbits_encode(raw))
+            else:
+                tiles.append(raw)
+
+    tags: dict[int, tuple[int, list[int]]] = {
+        256: (4, [w]),
+        257: (4, [h]),
+        258: (3, [bits] * spp),
+        259: (3, [compression]),
+        262: (3, [photometric]),
+        277: (3, [spp]),
+        322: (4, [tile_w]),
+        323: (4, [tile_l]),
+    }
+    if predictor != 1:
+        tags[317] = (3, [predictor])
+    n_tags = len(tags) + 2  # + TileOffsets/TileByteCounts
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_tags + 4
+    overflow = bytearray()
+    overflow_base = ifd_off + ifd_size
+
+    def tag_value(typ: int, vals: list[int]) -> bytes:
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        size = struct.calcsize(fmt) * len(vals)
+        packed = struct.pack(bo + fmt * len(vals), *vals)
+        if size <= 4:
+            return packed + b"\x00" * (4 - size)
+        off = overflow_base + len(overflow)
+        overflow.extend(packed)
+        return struct.pack(bo + "I", off)
+
+    def build(data_base: int) -> bytes:
+        offs, pos = [], data_base
+        for t in tiles:
+            offs.append(pos)
+            pos += len(t)
+        all_tags = dict(tags)
+        all_tags[324] = (4, offs)
+        all_tags[325] = (4, [len(t) for t in tiles])
+        overflow.clear()
+        body = struct.pack(bo + "H", n_tags)
+        for tag in sorted(all_tags):
+            typ, vals = all_tags[tag]
+            body += struct.pack(bo + "HHI", tag, typ, len(vals))
+            body += tag_value(typ, vals)
+        body += struct.pack(bo + "I", 0)
+        return body
+
+    body = build(0)
+    tile_base = overflow_base + len(overflow)
+    body = build(tile_base)
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    return magic + struct.pack(bo + "I", ifd_off) + body + bytes(overflow) + b"".join(tiles)
+
+
+def test_tiled_uncompressed_rgb_edge_crop_both_byte_orders():
+    img = _rgb(21, 29, seed=8)  # 2x2 grid of 16px tiles, ragged edges
+    for bo in ("<", ">"):
+        w, h, out = tiff_decode(write_tiled_tiff(img, bo=bo))
+        assert (w, h) == (29, 21)
+        np.testing.assert_array_equal(out, img)
+
+
+def test_tiled_lzw_gray_with_predictor_resets_per_tile():
+    img = _gray(40, 40, seed=9)
+    data = write_tiled_tiff(img, compression=5, predictor=2, tile_w=16, tile_l=16)
+    w, h, out = tiff_decode(data)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_tiled_packbits_16bit_be():
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 1 << 16, size=(18, 20), dtype=np.uint16)
+    data = write_tiled_tiff(img, bo=">", compression=32773, tile_w=16, tile_l=16)
+    w, h, out = tiff_decode(data)
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, img)
+
+
+def test_tiled_bilevel_and_short_tile_table():
+    img = (_gray(20, 24, seed=11) > 127).astype(np.uint8)
+    data = write_tiled_tiff(img, bits=1, tile_w=16, tile_l=16)
+    w, h, out = tiff_decode(data)
+    np.testing.assert_array_equal(out, img * np.uint8(255))
+    # a tile table shorter than the grid fails loudly
+    import pytest as _pytest
+
+    bad = write_tiled_tiff(img, bits=1, tile_w=8, tile_l=8)
+    # corrupt: shrink the TileOffsets count in the IFD
+    with _pytest.raises(ValueError):
+        tiff_decode(bad[:200])
