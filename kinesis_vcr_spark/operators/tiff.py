@@ -8,10 +8,12 @@ TIFF, both byte orders, grayscale (bilevel 1-bit, 8/16-bit) and RGB
 (PackBits), horizontal predictor (tag 317 = 2) for LZW. Tiles are
 full tile_w×tile_l segments (edge tiles encoder-padded, cropped on
 assembly) and each is an independent compression unit, so LZW state
-and the predictor reset per tile row. Palette-color (photometric 3)
-maps through the ColorMap to RGB. Out of scope → loud
-``NotImplementedError`` (the multimodal quarantine contract):
-planar configuration 2, JPEG-in-TIFF, CCITT fax codings.
+and the predictor reset per tile row. Planar configuration 2 (strip
+organization: all strips of sample 0, then sample 1, ... — each strip
+one channel wide, predictor per plane) decodes for strips. Palette
+color (photometric 3) maps through the ColorMap to RGB. Out of scope
+→ loud ``NotImplementedError`` (the multimodal quarantine contract):
+tiled planar-2, JPEG-in-TIFF, CCITT fax codings.
 
 TIFF LZW (spec §13) differs from GIF LZW in two sync-critical ways,
 both verified empirically with an independent encoder before this
@@ -171,8 +173,9 @@ def tiff_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
         tags = _read_ifd(payload, bo)
     except struct.error as exc:  # bogus offsets/truncation → ValueError
         raise ValueError(f"TIFF IFD truncated or invalid: {exc}") from exc
-    if tags.get(_PLANAR, [1])[0] != 1:
-        raise NotImplementedError("planar configuration 2 not supported")
+    planar = tags.get(_PLANAR, [1])[0]
+    if planar not in (1, 2):
+        raise ValueError(f"TIFF planar configuration {planar} invalid")
     tiled = _TILE_WIDTH in tags or _TILE_LENGTH in tags
     try:
         width = tags[_WIDTH][0]
@@ -220,7 +223,49 @@ def tiff_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
             "documented long-tail slots)"
         )
 
-    if tiled:
+    if planar == 2 and spp > 1:
+        # channel-separated planes: the strip table holds all strips of
+        # sample 0, then sample 1, ... — each strip one channel wide
+        if tiled:
+            raise NotImplementedError(
+                "tiled planar-2 TIFF not supported (strips only)"
+            )
+        if bits == 1:
+            raise ValueError("1-bit data cannot be multi-sample planar")
+        spc = (height + rows_per_strip - 1) // rows_per_strip
+        if len(seg_offsets) < spc * spp:
+            raise ValueError(
+                "planar TIFF strip table shorter than channels × strips"
+            )
+        maxval = (1 << bits) - 1
+        dtype = np.uint8 if bits == 8 else np.dtype(bo + "u2")
+        chan_row_bytes = (width * bits + 7) // 8
+        planes = []
+        for c in range(spp):
+            rows = []
+            for si in range(spc):
+                n_rows = min(rows_per_strip, height - si * rows_per_strip)
+                off = seg_offsets[c * spc + si]
+                cnt = seg_counts[c * spc + si]
+                decoded = _decompress(
+                    payload[off : off + cnt], n_rows * chan_row_bytes
+                )
+                if len(decoded) < n_rows * chan_row_bytes:
+                    raise ValueError("TIFF strip shorter than its row span")
+                rows.append(decoded[: n_rows * chan_row_bytes])
+            plane = np.frombuffer(b"".join(rows), dtype=dtype).reshape(
+                height, width
+            )
+            if predictor == 2:
+                # horizontal differencing within each channel plane
+                plane = (
+                    np.cumsum(plane.astype(np.uint32), axis=1) % (maxval + 1)
+                ).astype(dtype)
+            planes.append(plane)
+        px = np.stack(planes, axis=-1)
+        if bits == 16:
+            px = px.astype(np.uint16)  # normalize to native byte order
+    elif tiled:
         # tiles are always full tile_w×tile_l (edge tiles padded by the
         # encoder, cropped here); each tile is an independent segment so
         # the horizontal predictor resets per tile row, not image row

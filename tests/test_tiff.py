@@ -294,8 +294,12 @@ def test_unsupported_shapes_raise_loudly():
     # file with a stray TileWidth tag is missing its tile table
     with pytest.raises(ValueError, match="missing required tag"):
         tiff_decode(write_tiff(px, extra_tags={322: (4, [16])}))
-    with pytest.raises(NotImplementedError, match="planar"):
-        tiff_decode(write_tiff(px, extra_tags={284: (3, [2])}))
+    # planar config 2 decodes now (write_planar_tiff tests below); on
+    # single-sample data it is equivalent to chunky
+    w, h, out = tiff_decode(write_tiff(px, extra_tags={284: (3, [2])}))
+    np.testing.assert_array_equal(out, px)
+    with pytest.raises(ValueError, match="planar configuration 3"):
+        tiff_decode(write_tiff(px, extra_tags={284: (3, [3])}))
     with pytest.raises(NotImplementedError, match="compression"):
         tiff_decode(write_tiff(px, extra_tags={259: (3, [7])}))
     with pytest.raises(ValueError, match="magic"):
@@ -472,3 +476,123 @@ def test_tiled_bilevel_and_short_tile_table():
     # corrupt: shrink the TileOffsets count in the IFD
     with _pytest.raises(ValueError):
         tiff_decode(bad[:200])
+
+
+# ------------------------------------------------------------ planar 2
+
+def write_planar_tiff(
+    pixels: np.ndarray,
+    *,
+    bo: str = "<",
+    compression: int = 1,
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Planar-configuration-2 writer: the strip table holds all strips
+    of sample 0, then sample 1, ... (TIFF6 §3, PlanarConfiguration)."""
+    h, w, spp = pixels.shape
+    bits = 16 if pixels.dtype == np.uint16 else 8
+    rps = rows_per_strip or h
+    strips = []
+    for c in range(spp):
+        plane = pixels[:, :, c]
+        for s0 in range(0, h, rps):
+            rows = plane[s0 : s0 + rps].astype(np.int32)
+            if predictor == 2:
+                diff = rows.copy()
+                diff[:, 1:] = (rows[:, 1:] - rows[:, :-1]) % (1 << bits)
+                rows = diff
+            if bits == 16:
+                raw = rows.astype(np.dtype(bo + "u2")).tobytes()
+            else:
+                raw = rows.astype(np.uint8).tobytes()
+            if compression == 5:
+                strips.append(lzw_encode(raw))
+            elif compression == 32773:
+                strips.append(packbits_encode(raw))
+            else:
+                strips.append(raw)
+
+    tags: dict[int, tuple[int, list[int]]] = {
+        256: (4, [w]),
+        257: (4, [h]),
+        258: (3, [bits] * spp),
+        259: (3, [compression]),
+        262: (3, [2]),
+        277: (3, [spp]),
+        278: (4, [rps]),
+        284: (3, [2]),
+    }
+    if predictor != 1:
+        tags[317] = (3, [predictor])
+    n_tags = len(tags) + 2
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_tags + 4
+    overflow = bytearray()
+    overflow_base = ifd_off + ifd_size
+
+    def tag_value(typ: int, vals: list[int]) -> bytes:
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        size = struct.calcsize(fmt) * len(vals)
+        packed = struct.pack(bo + fmt * len(vals), *vals)
+        if size <= 4:
+            return packed + b"\x00" * (4 - size)
+        off = overflow_base + len(overflow)
+        overflow.extend(packed)
+        return struct.pack(bo + "I", off)
+
+    def build(data_base: int) -> bytes:
+        offs, pos = [], data_base
+        for s in strips:
+            offs.append(pos)
+            pos += len(s)
+        all_tags = dict(tags)
+        all_tags[273] = (4, offs)
+        all_tags[279] = (4, [len(s) for s in strips])
+        overflow.clear()
+        body = struct.pack(bo + "H", n_tags)
+        for tag in sorted(all_tags):
+            typ, vals = all_tags[tag]
+            body += struct.pack(bo + "HHI", tag, typ, len(vals))
+            body += tag_value(typ, vals)
+        body += struct.pack(bo + "I", 0)
+        return body
+
+    body = build(0)
+    data_base = overflow_base + len(overflow)
+    body = build(data_base)
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    return magic + struct.pack(bo + "I", ifd_off) + body + bytes(overflow) + b"".join(strips)
+
+
+def test_planar_rgb_multi_strip_both_byte_orders():
+    img = _rgb(13, 9, seed=12)
+    for bo in ("<", ">"):
+        w, h, out = tiff_decode(write_planar_tiff(img, bo=bo, rows_per_strip=5))
+        assert (w, h) == (9, 13)
+        np.testing.assert_array_equal(out, img)
+
+
+def test_planar_lzw_predictor_per_plane():
+    img = _rgb(10, 17, seed=13)
+    data = write_planar_tiff(img, compression=5, predictor=2, rows_per_strip=4)
+    w, h, out = tiff_decode(data)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_planar_16bit_packbits():
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 1 << 16, size=(6, 7, 3), dtype=np.uint16)
+    data = write_planar_tiff(img, bo=">", compression=32773)
+    w, h, out = tiff_decode(data)
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, img)
+
+
+def test_planar_strip_table_too_short_fails_loudly():
+    img = _rgb(8, 8, seed=15)
+    data = write_planar_tiff(img)
+    # retag spp→4 without adding plane strips: table now too short
+    # (simpler: truncate the file at the IFD → offsets invalid)
+    with pytest.raises(ValueError):
+        tiff_decode(data[:40])
