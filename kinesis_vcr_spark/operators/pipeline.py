@@ -53,26 +53,25 @@ def clean_corpus(
     from kinesis_vcr_spark.functions.text import quality_score
     from kinesis_vcr_spark.operators.components import connected_components
     from kinesis_vcr_spark.operators.dedup import (
-        content_key,
+        dedup_exact,
         near_dup_pairs_minhash,
     )
 
-    idc = F.col(id_col)
     # 1 — exact: min id per identical text wins. Digest-keyed group-min
-    # (r08 verdict): the shuffle carries (32-byte digest, id) with
-    # map-side combine — a page duplicated 10^6 times collapses to one
-    # id per upstream partition BEFORE the exchange, where a window
-    # partitioned by the raw text would ship 10^6 full payloads into
-    # one indivisible task. Winner re-attachment is an id-keyed join
-    # (uniform keys — ids are unique).
-    exact_winners = (
-        docs.groupBy(content_key(text_col).alias("__ck"))
-        .agg(F.min(idc).alias(id_col))
-        .select(id_col)
-        .withColumn("__exact_keep", F.lit(True))
-    )
-    exact_kept = docs.join(
-        exact_winners.select(id_col), id_col, "left_semi"
+    # over the FULL-ROW struct (dedup_exact, r08 verdict + r09 fix):
+    # the shuffle key is the 32-byte digest and the aggregate is
+    # map-side combinable — a page duplicated 10^6 times collapses to
+    # one surviving row per upstream partition BEFORE the exchange,
+    # where a window partitioned by the raw text would ship 10^6 full
+    # payloads into one indivisible task. Carrying the winning row in
+    # the aggregate (instead of min(id) + a semi-join back) keeps
+    # exact_kept a SINGLE lineage branch: the r09 sf0.1 measurement of
+    # the semi-join shape re-executed the whole upstream once per join
+    # side in every downstream consumer (llm_prep_pipeline 5.2 s →
+    # 30 s median from that multiplicative recompute alone).
+    exact_kept = dedup_exact(docs, [text_col], id_col)
+    exact_winners = exact_kept.select(id_col).withColumn(
+        "__exact_keep", F.lit(True)
     )
 
     # 2 — near-dup among exact survivors: pairs -> components -> roots
@@ -192,7 +191,7 @@ def llm_prep_corpus(
     )
     from kinesis_vcr_spark.operators.components import connected_components
     from kinesis_vcr_spark.operators.dedup import (
-        content_key,
+        dedup_exact,
         near_dup_pairs_minhash,
     )
     from kinesis_vcr_spark.operators.decontam import ngram_contamination
@@ -232,19 +231,21 @@ def llm_prep_corpus(
         & (F.col("__q") >= quality_threshold)
     )
     s1 = base.where(scalar_ok).select(id_col, "__text")
-    # Exact dedup: digest-keyed group-min instead of a window over the
-    # full text (r08 verdict) — the shuffle ships (32-byte digest, id)
-    # with map-side combine, so a page duplicated 10^6 times collapses
-    # per upstream partition BEFORE the exchange instead of hot-spotting
-    # one indivisible window task with 10^6 full-text rows. Winner
-    # membership re-attaches by id (unique → uniform join keys).
-    exact_winners = (
-        s1.groupBy(content_key(F.col("__text")).alias("__ck"))
-        .agg(F.min(idc).alias(id_col))
-        .select(id_col)
-        .withColumn("__exact_keep", F.lit(True))
+    # Exact dedup: digest-keyed group-min over the full-row struct
+    # instead of a window over the full text (r08 verdict) — the
+    # shuffle key is the 32-byte digest and the aggregate is map-side
+    # combinable, so a page duplicated 10^6 times collapses per
+    # upstream partition BEFORE the exchange instead of hot-spotting
+    # one indivisible window task with 10^6 full-text rows. The winning
+    # row rides IN the aggregate (r09 fix): the earlier min(id) +
+    # semi-join-back shape re-executed s1's whole upstream (HTML
+    # extract, NFC, URL window) once per join side in every downstream
+    # branch — measured 5.2 s → 30 s median at sf0.1 from the
+    # multiplicative recompute alone.
+    exact_kept = dedup_exact(s1, ["__text"], id_col)
+    exact_winners = exact_kept.select(id_col).withColumn(
+        "__exact_keep", F.lit(True)
     )
-    exact_kept = s1.join(exact_winners.select(id_col), id_col, "left_semi")
 
     pairs = near_dup_pairs_minhash(
         exact_kept, id_col, "__text",
