@@ -206,6 +206,7 @@ def compact_scoped_state(
     path: str,
     partition_cols: tuple[str, ...] = (),
     target_files: int = 1,
+    aggregate_fn=None,
 ) -> None:
     """Compact an ``ingest=<scope>``-partitioned parquet state dir
     (the layout shared by streaming/graph.py edge state,
@@ -247,6 +248,12 @@ def compact_scoped_state(
     old = f"{path}__pre_compact"
     _recover_crashed_swap(fs, jvm, path, tmp, old)
     df = spark.read.parquet(path).drop("ingest")
+    if aggregate_fn is not None:
+        # semantic compaction: the caller's re-aggregation must leave
+        # every read path's RESULT unchanged (e.g. the gram index's
+        # per-gram capped totals — compact_gram_index); rows shrink,
+        # answers don't. Content-exact compaction stays the default.
+        df = aggregate_fn(df)
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
     fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
     out = df.repartition(*partition_cols) if partition_cols else df.coalesce(

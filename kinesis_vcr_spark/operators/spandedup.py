@@ -300,3 +300,36 @@ def span_probe_index(
     )
     covered = grams.join(dup, "gram").select(id_col, "p")
     return _merge_covered_to_spans(covered, id_col, min_len)
+
+
+def compact_gram_index(spark, index_path: str) -> None:
+    """Merge every ingest scope of the gram index into one
+    ``ingest=_compacted`` scope with per-gram totals re-capped at 2.
+
+    Semantic compaction, not content-exact: the ONLY question any read
+    path asks of this index is "has this gram been seen >= 2 times"
+    (:func:`span_probe_index` filters ``sum(n) >= 2``; per-scope ``n``
+    is already capped at 2 by :func:`append_gram_index`), so
+    ``least(sum(n), 2)`` preserves every probe answer — including after
+    FUTURE appends, since the compacted row still contributes its
+    saturated 2 to any later sum — while a gram ingested across k
+    scopes collapses from k rows to one. This is the probe-cost lever
+    the module contract names: the probe's stored side is one pass
+    over the accumulated gram rows, and a long-lived daily stream
+    multiplies rows per gram by its scope count until compacted.
+
+    Swap discipline, crash window and self-healing recovery are
+    :func:`kinesis_vcr_spark.operators.compaction.compact_scoped_state`'s
+    (rename-based, ``_SUCCESS``-gated, repair-on-next-invocation); run
+    against a drained or paused ingest, same as every other scoped
+    state in this repo.
+    """
+    from kinesis_vcr_spark.operators.compaction import compact_scoped_state
+
+    compact_scoped_state(
+        spark,
+        f"{index_path}/grams",
+        aggregate_fn=lambda df: df.groupBy("gram").agg(
+            F.least(F.sum("n"), F.lit(2)).cast("int").alias("n")
+        ),
+    )

@@ -66,12 +66,17 @@ def read_span_progress(
 
 def compact_span_state(spark, state_dir: str, spans_path: str) -> None:
     """Compact the gram-count scopes AND the spans sink of a DRAINED or
-    paused stream (one scope per micro-batch each). Row-preserving scope
-    collapse is sufficient for the index: the probe SUMS per-scope
-    capped counts, and compaction preserves the rows it sums."""
+    paused stream (one scope per micro-batch each). The gram index gets
+    SEMANTIC compaction (:func:`compact_gram_index`): per-gram totals
+    re-capped at 2 collapse a gram's k scope rows to one while
+    preserving every probe's ``sum(n) >= 2`` answer — the probe-cost
+    lever for a long-lived daily stream, whose stored-side scan
+    otherwise grows with rows-per-gram × scopes. The spans sink stays
+    row-preserving (its rows ARE the results)."""
     from kinesis_vcr_spark.operators.compaction import compact_scoped_state
+    from kinesis_vcr_spark.operators.spandedup import compact_gram_index
 
-    compact_scoped_state(spark, f"{state_dir}/index/grams")
+    compact_gram_index(spark, f"{state_dir}/index")
     compact_scoped_state(spark, spans_path)
 
 

@@ -146,3 +146,49 @@ def test_crash_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert spark.read.parquet(f"{state}/index/grams").count() == idx_rows
     assert _spans(spark.read.parquet(f"{spans_path}/ingest=b1")) == spans1
     assert read_span_progress(state) == progress1
+
+
+def test_semantic_gram_compaction_shrinks_rows_probe_identical(
+    spark, sf_dir, tmp_path
+):
+    """Cross-scope duplicate grams (count 1 in each of two scopes)
+    collapse to one saturated row; every probe answer — including one
+    that needs the CROSS-scope sum — survives, and later appends still
+    saturate correctly against the compacted row."""
+    from kinesis_vcr_spark.operators.spandedup import compact_gram_index
+
+    dup = "x" * L  # appears once per scope: only the cross-scope sum
+    docs0 = spark.createDataFrame(
+        [(1, dup + "alpha tail " + "a" * L)], "doc_id long, text string"
+    )
+    docs1 = spark.createDataFrame(
+        [(2, dup + "beta tail " + "b" * L)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "index")
+    append_gram_index(docs0, idx, min_len=L, ingest_label="b0")
+    append_gram_index(docs1, idx, min_len=L, ingest_label="b1")
+    probe_docs = docs0.unionByName(docs1)
+    before = _spans(span_probe_index(probe_docs, idx, min_len=L))
+    assert any(r[0] == 1 for r in before) and any(r[0] == 2 for r in before)
+    rows_before = spark.read.parquet(f"{idx}/grams").count()
+
+    compact_gram_index(spark, idx)
+    import os
+
+    scopes = [
+        d for d in os.listdir(f"{idx}/grams") if d.startswith("ingest=")
+    ]
+    assert scopes == ["ingest=_compacted"]
+    rows_after = spark.read.parquet(f"{idx}/grams").count()
+    assert rows_after < rows_before  # the shared gram rows collapsed
+    assert _spans(span_probe_index(probe_docs, idx, min_len=L)) == before
+
+    # a later append joins the compacted scope in the same sum
+    docs2 = spark.createDataFrame(
+        [(3, "gamma " + "c" * L)], "doc_id long, text string"
+    )
+    append_gram_index(docs2, idx, min_len=L, ingest_label="b2")
+    all_docs = probe_docs.unionByName(docs2)
+    got = _spans(span_probe_index(all_docs, idx, min_len=L))
+    expected = _spans(duplicated_spans(all_docs, min_len=L))
+    assert got == expected
