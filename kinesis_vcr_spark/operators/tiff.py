@@ -2,18 +2,22 @@
 has no imaging libs; same in-repo-codec discipline as png/jpeg/gif).
 
 Scope (the formats a web/document corpus actually contains, r07
-verdict item 4 + r08 item 8): strip-organized AND tiled baseline
+verdict item 4 + r08 item 8 + r09): strip-organized AND tiled baseline
 TIFF, both byte orders, grayscale (bilevel 1-bit, 8/16-bit) and RGB
-(8/16-bit per sample), compressions 1 (none), 5 (LZW) and 32773
-(PackBits), horizontal predictor (tag 317 = 2) for LZW. Tiles are
-full tile_w×tile_l segments (edge tiles encoder-padded, cropped on
-assembly) and each is an independent compression unit, so LZW state
-and the predictor reset per tile row. Planar configuration 2 (strip
-organization: all strips of sample 0, then sample 1, ... — each strip
-one channel wide, predictor per plane) decodes for strips. Palette
-color (photometric 3) maps through the ColorMap to RGB. Out of scope
-→ loud ``NotImplementedError`` (the multimodal quarantine contract):
-tiled planar-2, JPEG-in-TIFF, CCITT fax codings.
+(8/16-bit per sample), compressions 1 (none), 5 (LZW), 32773
+(PackBits) and 7 (new-style JPEG per TIFF TechNote 2 — each
+strip/tile a complete SOI..EOI stream decoded by the in-repo
+operators/jpeg.py, abbreviated streams spliced with the JPEGTables
+tag 347, grayscale or YCbCr→RGB), horizontal predictor (tag 317 = 2)
+for LZW. Tiles are full tile_w×tile_l segments (edge tiles
+encoder-padded, cropped on assembly) and each is an independent
+compression unit, so LZW state and the predictor reset per tile row.
+Planar configuration 2 (strip organization: all strips of sample 0,
+then sample 1, ... — each strip one channel wide, predictor per
+plane) decodes for strips. Palette color (photometric 3) maps through
+the ColorMap to RGB. Out of scope → loud ``NotImplementedError`` (the
+multimodal quarantine contract): tiled planar-2, old-style JPEG
+(compression 6, withdrawn by TechNote 2), CCITT fax codings.
 
 TIFF LZW (spec §13) differs from GIF LZW in two sync-critical ways,
 both verified empirically with an independent encoder before this
@@ -45,8 +49,9 @@ _BITS, _COMPRESSION, _PHOTOMETRIC = 258, 259, 262
 _STRIP_OFFSETS, _SAMPLES_PER_PIXEL, _ROWS_PER_STRIP = 273, 277, 278
 _STRIP_BYTE_COUNTS, _PLANAR, _PREDICTOR, _COLORMAP = 279, 284, 317, 320
 _TILE_WIDTH, _TILE_LENGTH, _TILE_OFFSETS, _TILE_BYTE_COUNTS = 322, 323, 324, 325
+_JPEG_TABLES = 347
 
-_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+_TYPE_SIZE = {1: 1, 3: 2, 4: 4, 7: 1}  # BYTE, SHORT, LONG, UNDEFINED
 
 
 def _lzw_decode(data: bytes) -> bytes:
@@ -145,7 +150,7 @@ def _read_ifd(payload: bytes, bo: str) -> dict[int, list[int]]:
         size = _TYPE_SIZE.get(typ)
         if size is None:
             continue  # RATIONAL/ASCII metadata — not needed for pixels
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
         if size * count <= 4:
             vals = list(
                 struct.unpack_from(bo + fmt * count, payload, base + 8)
@@ -203,24 +208,83 @@ def tiff_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise NotImplementedError(f"BitsPerSample {bits} not supported")
     if bits == 1 and spp != 1:
         raise NotImplementedError("1-bit data must be single-sample")
-    if photometric not in (0, 1, 2, 3):
+    if photometric not in (0, 1, 2, 3, 6):
         raise NotImplementedError(
-            f"photometric {photometric} not supported (gray/RGB/palette)"
+            f"photometric {photometric} not supported (gray/RGB/palette/"
+            "JPEG-YCbCr)"
         )
     if photometric == 2 and spp < 3:
         raise ValueError("RGB photometric with fewer than 3 samples")
 
-    def _decompress(raw: bytes, expected: int) -> bytes:
+    jpeg_tables: bytes | None = None
+    if compression == 6:
+        raise NotImplementedError(
+            "old-style JPEG-in-TIFF (compression 6, withdrawn by TIFF "
+            "TechNote 2) not supported — new-style (7) is"
+        )
+    if compression == 7:
+        # new-style JPEG (TIFF TechNote 2): each strip/tile is a
+        # complete SOI..EOI stream, abbreviated streams pull their
+        # DQT/DHT from the JPEGTables tag spliced in after SOI
+        if planar == 2:
+            raise NotImplementedError("planar-2 JPEG-in-TIFF not supported")
+        if bits != 8:
+            raise NotImplementedError("JPEG-in-TIFF requires 8-bit samples")
+        if predictor != 1:
+            raise ValueError("predictor is invalid with JPEG compression")
+        if photometric not in (1, 6) or (photometric == 6) != (spp == 3):
+            # the in-repo jpeg decoder emits gray for 1 component and
+            # YCbCr→RGB for 3 — photometric 2 would need the inverse
+            # transform suppressed (libtiff's RAW_RGB oddity; unseen in
+            # web corpora, left loud)
+            raise NotImplementedError(
+                "JPEG-in-TIFF supported as grayscale (photometric 1, "
+                "1 sample) or YCbCr (photometric 6, 3 samples)"
+            )
+        if _JPEG_TABLES in tags:
+            tb = bytes(tags[_JPEG_TABLES])
+            if len(tb) < 4 or tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
+                raise ValueError(
+                    "JPEGTables tag is not an SOI..EOI table stream"
+                )
+            jpeg_tables = tb[2:-2]
+    elif photometric == 6:
+        raise NotImplementedError(
+            "YCbCr TIFF only supported JPEG-compressed (compression 7)"
+        )
+
+    def _jpeg_segment(raw: bytes, seg_w: int) -> bytes:
+        """Decode one new-style JPEG strip/tile to raw interleaved
+        pixel bytes (rows may exceed the segment's span — the caller's
+        slice crops encoder MCU padding, same as every other codec)."""
+        from kinesis_vcr_spark.operators.jpeg import jpeg_decode
+
+        if raw[:2] != b"\xff\xd8":
+            raise ValueError("JPEG-in-TIFF segment missing SOI")
+        if jpeg_tables:
+            raw = raw[:2] + jpeg_tables + raw[2:]
+        jw, _jh, arr = jpeg_decode(raw)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if jw != seg_w or arr.shape[2] != spp:
+            raise ValueError(
+                "JPEG-in-TIFF segment dimensions disagree with the IFD"
+            )
+        return arr.tobytes()
+
+    def _decompress(raw: bytes, expected: int, seg_w: int = 0) -> bytes:
         if compression == 1:
             return raw
         if compression == 5:
             return _lzw_decode(raw)
+        if compression == 7:
+            return _jpeg_segment(raw, seg_w or width)
         if compression == 32773:
             return _packbits_decode(raw, expected)
         raise NotImplementedError(
             f"TIFF compression {compression} not supported "
-            "(1/LZW/PackBits only; JPEG-in-TIFF and CCITT are the "
-            "documented long-tail slots)"
+            "(1/LZW/PackBits/new-style-JPEG only; CCITT is the "
+            "documented long-tail slot)"
         )
 
     if planar == 2 and spp > 1:
@@ -284,7 +348,8 @@ def tiff_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
                 off = seg_offsets[ti * tiles_across + tj]
                 cnt = seg_counts[ti * tiles_across + tj]
                 decoded = _decompress(
-                    payload[off : off + cnt], tile_l * tile_row_bytes
+                    payload[off : off + cnt], tile_l * tile_row_bytes,
+                    seg_w=tile_w,
                 )
                 if len(decoded) < tile_l * tile_row_bytes:
                     raise ValueError("TIFF tile shorter than its pixel span")

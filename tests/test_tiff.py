@@ -97,8 +97,12 @@ def write_tiff(
     bits: int | None = None,
     colormap: list[int] | None = None,
     extra_tags: dict[int, tuple[int, list[int]]] | None = None,
+    strips_override: list[bytes] | None = None,
 ) -> bytes:
-    """Minimal spec-following TIFF writer (strips, chunky planar)."""
+    """Minimal spec-following TIFF writer (strips, chunky planar).
+    ``strips_override`` bypasses the raw-strip encoding with caller-
+    provided segment bytes (JPEG-in-TIFF: each strip its own stream);
+    ``pixels`` still supplies the IFD geometry."""
     h, w = pixels.shape[:2]
     spp = 1 if pixels.ndim == 2 else pixels.shape[2]
     if bits is None:
@@ -115,22 +119,25 @@ def write_tiff(
             return r.astype(np.dtype(bo + "u2")).tobytes()
         return r.astype(np.uint8).tobytes()
 
-    strips = []
-    for s0 in range(0, h, rps):
-        rows = pixels[s0 : s0 + rps]
-        if predictor == 2:
-            rr = rows.reshape(len(rows), w, spp).astype(np.int32)
-            diff = rr.copy()
-            diff[:, 1:] = (rr[:, 1:] - rr[:, :-1]) % (1 << bits)
-            rows = diff.reshape(rows.shape).astype(pixels.dtype)
-        raw = b"".join(row_bits(rows[i]) for i in range(len(rows)))
-        assert len(raw) == len(rows) * row_bytes
-        if compression == 5:
-            strips.append(lzw_encode(raw))
-        elif compression == 32773:
-            strips.append(packbits_encode(raw))
-        else:
-            strips.append(raw)
+    if strips_override is not None:
+        strips = list(strips_override)
+    else:
+        strips = []
+        for s0 in range(0, h, rps):
+            rows = pixels[s0 : s0 + rps]
+            if predictor == 2:
+                rr = rows.reshape(len(rows), w, spp).astype(np.int32)
+                diff = rr.copy()
+                diff[:, 1:] = (rr[:, 1:] - rr[:, :-1]) % (1 << bits)
+                rows = diff.reshape(rows.shape).astype(pixels.dtype)
+            raw = b"".join(row_bits(rows[i]) for i in range(len(rows)))
+            assert len(raw) == len(rows) * row_bytes
+            if compression == 5:
+                strips.append(lzw_encode(raw))
+            elif compression == 32773:
+                strips.append(packbits_encode(raw))
+            else:
+                strips.append(raw)
 
     tags: dict[int, tuple[int, list[int]]] = {
         256: (4, [w]),
@@ -156,7 +163,7 @@ def write_tiff(
     overflow_base = ifd_off + ifd_size
 
     def tag_value(typ: int, vals: list[int]) -> bytes:
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
         size = struct.calcsize(fmt) * len(vals)
         packed = struct.pack(bo + fmt * len(vals), *vals)
         if size <= 4:
@@ -300,8 +307,10 @@ def test_unsupported_shapes_raise_loudly():
     np.testing.assert_array_equal(out, px)
     with pytest.raises(ValueError, match="planar configuration 3"):
         tiff_decode(write_tiff(px, extra_tags={284: (3, [3])}))
+    # compression 7 is real now (JPEG-in-TIFF tests below); CCITT G4
+    # stays the documented long-tail slot
     with pytest.raises(NotImplementedError, match="compression"):
-        tiff_decode(write_tiff(px, extra_tags={259: (3, [7])}))
+        tiff_decode(write_tiff(px, extra_tags={259: (3, [4])}))
     with pytest.raises(ValueError, match="magic"):
         tiff_decode(b"NOPE" + bytes(16))
 
@@ -350,10 +359,13 @@ def write_tiled_tiff(
     tile_l: int = 16,
     bits: int | None = None,
     photometric: int | None = None,
+    tiles_override: list[bytes] | None = None,
 ) -> bytes:
     """Minimal spec-following TILED TIFF writer: every tile is a full
     tile_w×tile_l segment (edge tiles zero-padded), compressed
-    independently, with the predictor applied per tile row."""
+    independently, with the predictor applied per tile row.
+    ``tiles_override`` bypasses tile encoding with caller-provided
+    segment bytes (JPEG-in-TIFF)."""
     h, w = pixels.shape[:2]
     spp = 1 if pixels.ndim == 2 else pixels.shape[2]
     if bits is None:
@@ -361,32 +373,35 @@ def write_tiled_tiff(
     if photometric is None:
         photometric = 2 if spp >= 3 else 1
     px3 = pixels.reshape(h, w, spp)
-    tiles = []
-    for y0 in range(0, h, tile_l):
-        for x0 in range(0, w, tile_w):
-            tile = np.zeros((tile_l, tile_w, spp), dtype=pixels.dtype)
-            src = px3[y0 : y0 + tile_l, x0 : x0 + tile_w]
-            tile[: src.shape[0], : src.shape[1]] = src
-            if predictor == 2:
-                d = tile.astype(np.int32)
-                diff = d.copy()
-                diff[:, 1:] = (d[:, 1:] - d[:, :-1]) % (1 << bits)
-                tile = diff.astype(pixels.dtype)
-            if bits == 1:
-                raw = b"".join(
-                    np.packbits(tile[r, :, 0].astype(np.uint8)).tobytes()
-                    for r in range(tile_l)
-                )
-            elif bits == 16:
-                raw = tile.astype(np.dtype(bo + "u2")).tobytes()
-            else:
-                raw = tile.astype(np.uint8).tobytes()
-            if compression == 5:
-                tiles.append(lzw_encode(raw))
-            elif compression == 32773:
-                tiles.append(packbits_encode(raw))
-            else:
-                tiles.append(raw)
+    if tiles_override is not None:
+        tiles = list(tiles_override)
+    else:
+        tiles = []
+        for y0 in range(0, h, tile_l):
+            for x0 in range(0, w, tile_w):
+                tile = np.zeros((tile_l, tile_w, spp), dtype=pixels.dtype)
+                src = px3[y0 : y0 + tile_l, x0 : x0 + tile_w]
+                tile[: src.shape[0], : src.shape[1]] = src
+                if predictor == 2:
+                    d = tile.astype(np.int32)
+                    diff = d.copy()
+                    diff[:, 1:] = (d[:, 1:] - d[:, :-1]) % (1 << bits)
+                    tile = diff.astype(pixels.dtype)
+                if bits == 1:
+                    raw = b"".join(
+                        np.packbits(tile[r, :, 0].astype(np.uint8)).tobytes()
+                        for r in range(tile_l)
+                    )
+                elif bits == 16:
+                    raw = tile.astype(np.dtype(bo + "u2")).tobytes()
+                else:
+                    raw = tile.astype(np.uint8).tobytes()
+                if compression == 5:
+                    tiles.append(lzw_encode(raw))
+                elif compression == 32773:
+                    tiles.append(packbits_encode(raw))
+                else:
+                    tiles.append(raw)
 
     tags: dict[int, tuple[int, list[int]]] = {
         256: (4, [w]),
@@ -596,3 +611,169 @@ def test_planar_strip_table_too_short_fails_loudly():
     # (simpler: truncate the file at the IFD → offsets invalid)
     with pytest.raises(ValueError):
         tiff_decode(data[:40])
+
+
+# ------------------------------------------------- new-style JPEG (7)
+
+from tests.jpeg_ref import encode_jpeg  # noqa: E402  (independent encoder)
+
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a full JFIF stream into (JPEGTables stream, abbreviated
+    stream) per TIFF TechNote 2: DQT/DHT segments move into an
+    SOI..EOI tables stream; everything else (SOF/SOS/scan) stays, so
+    the abbreviated strip only decodes with the tables spliced back."""
+    assert stream[:2] == b"\xff\xd8"
+    tables = b""
+    rest = b""
+    pos = 2
+    while pos < len(stream):
+        marker = stream[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker in (0xDB, 0xC4):  # DQT / DHT -> tables stream
+            tables += seg
+        elif marker == 0xDA:  # SOS: the scan runs to EOI
+            rest += seg + stream[pos : len(stream) - 2]
+            pos = len(stream) - 2
+        else:
+            rest += seg
+    return (b"\xff\xd8" + tables + b"\xff\xd9",
+            b"\xff\xd8" + rest + b"\xff\xd9")
+
+
+def test_jpeg_in_tiff_gray_strips_exact():
+    """Two flat-gray JPEG strips decode EXACTLY (DC quantizes without
+    remainder at quality_divisor=8), both byte orders."""
+    img = np.vstack(
+        [np.full((8, 16), 100, np.uint8), np.full((8, 16), 164, np.uint8)]
+    )
+    strips = [
+        encode_jpeg(img[0:8], quality_divisor=8),
+        encode_jpeg(img[8:16], quality_divisor=8),
+    ]
+    for bo in ("<", ">"):
+        data = write_tiff(
+            img, bo=bo, compression=7, photometric=1,
+            rows_per_strip=8, strips_override=strips,
+        )
+        w, h, out = tiff_decode(data)
+        assert (w, h) == (16, 16)
+        np.testing.assert_array_equal(out, img)
+
+
+def test_jpeg_in_tiff_strip_mcu_padding_cropped():
+    """A 12-row image in one strip whose JPEG frame is 12 rows: the
+    decoder's row slice crops the frame's internal MCU padding."""
+    yy = np.linspace(60, 180, 12 * 24).reshape(12, 24)
+    img = (yy * 0.5 + 80).astype(np.uint8)
+    strips = [encode_jpeg(img, quality_divisor=4)]
+    data = write_tiff(
+        img, compression=7, photometric=1, strips_override=strips
+    )
+    w, h, out = tiff_decode(data)
+    assert (w, h) == (24, 12)
+    mse = np.mean((out.astype(float) - img.astype(float)) ** 2)
+    assert mse < 40.0
+
+
+def test_jpeg_in_tiff_ycbcr_tiles():
+    """Color tiles, photometric 6: each tile a full 16x16 YCbCr JPEG,
+    decoded to RGB and edge-cropped on assembly."""
+    yy, xx = np.mgrid[0:24, 0:20]
+    img = np.stack(
+        [
+            (80 + yy * 2).clip(0, 255),
+            (60 + xx * 3).clip(0, 255),
+            np.full_like(yy, 120),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    tiles = []
+    for y0 in range(0, 24, 16):
+        for x0 in range(0, 20, 16):
+            tile = np.zeros((16, 16, 3), np.uint8)
+            src = img[y0 : y0 + 16, x0 : x0 + 16]
+            tile[: src.shape[0], : src.shape[1]] = src
+            tiles.append(encode_jpeg(tile, quality_divisor=4))
+    data = write_tiled_tiff(
+        img, compression=7, photometric=6, tile_w=16, tile_l=16,
+        tiles_override=tiles,
+    )
+    w, h, out = tiff_decode(data)
+    assert (w, h) == (20, 24)
+    assert out.shape == (24, 20, 3)
+    mse = np.mean((out.astype(float) - img.astype(float)) ** 2)
+    assert mse < 60.0
+
+
+def test_jpeg_in_tiff_jpegtables_abbreviated_matches_full():
+    """Abbreviated strips + JPEGTables tag 347 (type UNDEFINED) decode
+    bit-identically to the same strips with inline tables."""
+    # identical strip content: the independent encoder emits
+    # content-adaptive Huffman tables, and ONE JPEGTables stream must
+    # serve every strip of the IFD (TechNote 2)
+    img = np.vstack(
+        [np.full((8, 16), 90, np.uint8), np.full((8, 16), 90, np.uint8)]
+    )
+    full = [
+        encode_jpeg(img[0:8], quality_divisor=8),
+        encode_jpeg(img[8:16], quality_divisor=8),
+    ]
+    tables0, abbrev0 = _split_jpeg_tables(full[0])
+    tables1, abbrev1 = _split_jpeg_tables(full[1])
+    assert tables0 == tables1
+    data_abbrev = write_tiff(
+        img, compression=7, photometric=1, rows_per_strip=8,
+        strips_override=[abbrev0, abbrev1],
+        extra_tags={347: (7, list(tables0))},
+    )
+    data_full = write_tiff(
+        img, compression=7, photometric=1, rows_per_strip=8,
+        strips_override=full,
+    )
+    wa, ha, out_a = tiff_decode(data_abbrev)
+    wf, hf, out_f = tiff_decode(data_full)
+    np.testing.assert_array_equal(out_a, out_f)
+    np.testing.assert_array_equal(out_a, img)
+
+
+def test_jpeg_in_tiff_guards():
+    img = np.full((8, 8), 77, np.uint8)
+    strip = encode_jpeg(img, quality_divisor=8)
+    # old-style JPEG (6) stays a loud slot
+    with pytest.raises(NotImplementedError, match="old-style"):
+        tiff_decode(
+            write_tiff(img, compression=6, strips_override=[strip])
+        )
+    # photometric 2 with JPEG needs the suppressed-transform oddity
+    with pytest.raises(NotImplementedError, match="photometric"):
+        tiff_decode(
+            write_tiff(
+                np.dstack([img] * 3), compression=7, photometric=2,
+                strips_override=[strip],
+            )
+        )
+    # YCbCr without JPEG compression is not a baseline layout
+    with pytest.raises(NotImplementedError, match="YCbCr"):
+        tiff_decode(write_tiff(np.dstack([img] * 3), photometric=6))
+    # frame dims must agree with the IFD
+    with pytest.raises(ValueError, match="disagree"):
+        tiff_decode(
+            write_tiff(
+                np.full((8, 12), 77, np.uint8), compression=7,
+                photometric=1, strips_override=[strip],
+            )
+        )
+    # a JPEGTables tag that is not SOI..EOI fails loudly
+    with pytest.raises(ValueError, match="JPEGTables"):
+        tiff_decode(
+            write_tiff(
+                img, compression=7, photometric=1,
+                strips_override=[strip],
+                extra_tags={347: (7, [1, 2, 3, 4, 5])},
+            )
+        )
