@@ -338,10 +338,12 @@ def decode_image(payload: bytes) -> dict[str, Any]:
 
 
 def decode_audio(payload: bytes) -> dict[str, Any]:
-    """Real audio decode for PCM WAV (stdlib ``wave`` + numpy):
-    width = sample frames, height = channels, mean_value = mean absolute
-    amplitude normalized to [0, 1]. Compressed audio (MP3/AAC) is the
-    soundfile/ffmpeg slot."""
+    """Real audio decode for PCM WAV (stdlib ``wave`` + numpy) and
+    IMA/MS ADPCM WAV (:mod:`kinesis_vcr_spark.operators.adpcm` — the
+    stdlib refuses non-PCM format tags, so those fall through to the
+    in-repo block decoder): width = sample frames, height = channels,
+    mean_value = mean absolute amplitude normalized to [0, 1].
+    Compressed audio (MP3/AAC) stays the soundfile/ffmpeg slot."""
     import io
     import wave
 
@@ -352,11 +354,22 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
             "non-WAV audio requires soundfile/ffmpeg; register a real "
             "Decoder for compressed formats"
         )
-    with wave.open(io.BytesIO(payload)) as wav:
-        n_channels = wav.getnchannels()
-        sample_width = wav.getsampwidth()
-        n_frames = wav.getnframes()
-        raw = wav.readframes(n_frames)
+    try:
+        with wave.open(io.BytesIO(payload)) as wav:
+            n_channels = wav.getnchannels()
+            sample_width = wav.getsampwidth()
+            n_frames = wav.getnframes()
+            raw = wav.readframes(n_frames)
+    except wave.Error:
+        from kinesis_vcr_spark.operators.adpcm import adpcm_wav_decode
+
+        n_frames, n_channels, samples = adpcm_wav_decode(payload)
+        mean = (
+            float(np.abs(samples.astype(np.float64)).mean() / 32768.0)
+            if samples.size
+            else 0.0
+        )
+        return {"width": n_frames, "height": n_channels, "mean_value": mean}
     dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sample_width)
     if dtype is None:
         raise NotImplementedError("only 8/16/32-bit PCM WAV supported")

@@ -1,0 +1,278 @@
+"""ADPCM WAV decode (operators/adpcm.py) against INDEPENDENT spec-rule
+encoders written in this file from the public IMA reference algorithm
+and the public Microsoft WAVE documentation — the same fixture
+discipline as the GIF/TIFF/WebP/JPEG suites: the encoder implements
+the spec's quantize-and-track rules on its own, so any state-tracking
+error in the decoder breaks the roundtrip, and ADPCM roundtrips are
+BIT-exact by construction (the encoder reconstructs the same predictor
+the decoder does)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from kinesis_vcr_spark.operators.adpcm import (
+    _IMA_INDEX,
+    _IMA_STEPS,
+    _MS_ADAPT,
+    _MS_COEFS,
+    adpcm_wav_decode,
+)
+from kinesis_vcr_spark.operators.multimodal import decode_audio
+
+
+# ------------------------------------------------------------ encoders
+
+def ima_encode_block(samples: np.ndarray, pred: int, idx: int) -> tuple[bytes, int, int]:
+    """Encode one channel-block: ``samples`` EXCLUDES the header
+    sample. Returns (nibble bytes, final pred, final idx)."""
+    nibs = []
+    for s in samples:
+        step = int(_IMA_STEPS[idx])
+        diff = int(s) - pred
+        nib = 0
+        if diff < 0:
+            nib = 8
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        # track the decoder's reconstruction exactly
+        d = step >> 3
+        if nib & 1:
+            d += step >> 2
+        if nib & 2:
+            d += step >> 1
+        if nib & 4:
+            d += step
+        pred = pred - d if nib & 8 else pred + d
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(_IMA_INDEX[nib & 7])))
+        nibs.append(nib)
+    packed = bytearray()
+    for i in range(0, len(nibs), 2):
+        packed.append(nibs[i] | (nibs[i + 1] << 4))
+    return bytes(packed), pred, idx
+
+
+def ima_encode_wav(pcm: np.ndarray, rate: int = 8000, spb: int = 9) -> tuple[bytes, np.ndarray]:
+    """Encode [frames, channels] int16 → IMA ADPCM WAV bytes + the
+    decoder-exact expected samples. ``spb`` = samples per block
+    (1 + 8·groups)."""
+    frames, ch = pcm.shape
+    groups = (spb - 1) // 8
+    align = 4 * ch + groups * 4 * ch
+    blocks = []
+    expected = []
+    pos = 0
+    while pos < frames:
+        blk = pcm[pos : pos + spb]
+        if len(blk) < spb:  # pad the tail block by holding the last value
+            pad = np.repeat(blk[-1:], spb - len(blk), axis=0)
+            blk = np.vstack([blk, pad])
+        hdr = b""
+        bodies = []
+        exp_cols = []
+        for c in range(ch):
+            pred, idx = int(blk[0, c]), 0
+            hdr += struct.pack("<hBB", pred, idx, 0)
+            nib_bytes, _, _ = ima_encode_block(blk[1:, c], pred, idx)
+            bodies.append(nib_bytes)
+            # decoder-exact reconstruction for the assertion
+            p, j = pred, 0
+            col = [p]
+            for s in blk[1:, c]:
+                step = int(_IMA_STEPS[j])
+                diff = int(s) - p
+                nib = 0
+                if diff < 0:
+                    nib = 8
+                    diff = -diff
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                d = step >> 3
+                if nib & 1:
+                    d += step >> 2
+                if nib & 2:
+                    d += step >> 1
+                if nib & 4:
+                    d += step
+                p = p - d if nib & 8 else p + d
+                p = max(-32768, min(32767, p))
+                j = max(0, min(88, j + int(_IMA_INDEX[nib & 7])))
+                col.append(p)
+            exp_cols.append(col)
+        body = b""
+        for g in range(groups):
+            for c in range(ch):
+                body += bodies[c][g * 4 : g * 4 + 4]
+        blocks.append(hdr + body)
+        expected.append(np.array(exp_cols, dtype=np.int16).T)
+        pos += spb
+    data = b"".join(blocks)
+    fmt = struct.pack("<HHIIHHHH", 0x11, ch, rate, rate * align // spb,
+                      align, 4, 2, spb)
+    riff = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return (b"RIFF" + struct.pack("<I", len(riff)) + riff,
+            np.vstack(expected))
+
+
+def ms_encode_wav(pcm: np.ndarray, rate: int = 8000,
+                  predictor: int = 0, delta0: int = 16) -> tuple[bytes, np.ndarray]:
+    """Encode [frames, channels] int16 → MS ADPCM WAV bytes + the
+    decoder-exact expected samples, one block, fixed predictor."""
+    frames, ch = pcm.shape
+    co1, co2 = _MS_COEFS[predictor]
+    hdr = bytes([predictor] * ch)
+    deltas = [delta0] * ch
+    s1 = [int(pcm[1, c]) for c in range(ch)]
+    s2 = [int(pcm[0, c]) for c in range(ch)]
+    hdr += b"".join(struct.pack("<h", d) for d in deltas)
+    hdr += b"".join(struct.pack("<h", v) for v in s1)
+    hdr += b"".join(struct.pack("<h", v) for v in s2)
+    codes = []
+    exp = [[s2[c], s1[c]] for c in range(ch)]
+    for f in range(2, frames):
+        for c in range(ch):
+            pred = (s1[c] * co1 + s2[c] * co2) >> 8
+            err = int(pcm[f, c]) - pred
+            code = max(-8, min(7, round(err / deltas[c]) if deltas[c] else 0))
+            code &= 0xF
+            signed = code - 16 if code & 8 else code
+            sample = max(-32768, min(32767, pred + signed * deltas[c]))
+            s2[c], s1[c] = s1[c], sample
+            deltas[c] = max(16, (int(_MS_ADAPT[code]) * deltas[c]) >> 8)
+            codes.append(code)
+            exp[c].append(sample)
+    body = bytearray()
+    for i in range(0, len(codes) - 1, 2):
+        body.append((codes[i] << 4) | codes[i + 1])  # high nibble first
+    if len(codes) & 1:
+        body.append(codes[-1] << 4)
+    block = hdr + bytes(body)
+    fmt = struct.pack("<HHIIHHHH", 0x02, ch, rate, rate, len(block), 4,
+                      2, frames)
+    riff = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(block)) + block)
+    return (b"RIFF" + struct.pack("<I", len(riff)) + riff,
+            np.array(exp, dtype=np.int16).T)
+
+
+def _sine(frames: int, ch: int, seed: int = 5) -> np.ndarray:
+    t = np.arange(frames, dtype=np.float64)
+    cols = [
+        (6000 * np.sin(2 * np.pi * t / (20 + 7 * c)) + 500 * c)
+        for c in range(ch)
+    ]
+    return np.stack(cols, axis=1).astype(np.int16)
+
+
+# --------------------------------------------------------------- tests
+
+def test_ima_mono_roundtrip_bit_exact():
+    pcm = _sine(1 + 8 * 12, 1)  # 12 whole nibble groups, one block
+    wav, expected = ima_encode_wav(pcm, spb=1 + 8 * 12)
+    n, ch, got = adpcm_wav_decode(wav)
+    assert (n, ch) == (expected.shape[0], 1)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_ima_stereo_multiblock_roundtrip_bit_exact():
+    pcm = _sine(3 * 17 + 5, 2)  # 3 full blocks + padded tail block
+    wav, expected = ima_encode_wav(pcm, spb=17)
+    n, ch, got = adpcm_wav_decode(wav)
+    assert ch == 2
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_ima_hand_computed_first_steps():
+    """Fully hand-computed: pred=0 idx=0 (step 7); nibble 0x3 →
+    diff=7>>3 + 7>>2 + 7>>1 = 0+1+3=4, pred=4, idx+= -1→0;
+    nibble 0x8 → diff=0 (step 7>>3), pred stays 4... sign bit with
+    zero magnitude: pred=4-0=4; idx stays 0."""
+    hdr = struct.pack("<hBB", 0, 0, 0)
+    body = bytes([0x83, 0x00, 0x00, 0x00])  # nibbles 3, 8, then zeros
+    data = hdr + body
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, len(data), 4, 2, 9)
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    n, ch, got = adpcm_wav_decode(wav)
+    assert got[0, 0] == 0      # header sample
+    assert got[1, 0] == 4      # nibble 3 from step 7
+    assert got[2, 0] == 4      # sign-only nibble: magnitude 0
+
+
+def test_ms_mono_roundtrip_bit_exact():
+    pcm = _sine(40, 1)
+    wav, expected = ms_encode_wav(pcm)
+    n, ch, got = adpcm_wav_decode(wav)
+    assert (n, ch) == (expected.shape[0], 1)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_ms_stereo_roundtrip_bit_exact():
+    pcm = _sine(30, 2)
+    wav, expected = ms_encode_wav(pcm, predictor=4)
+    n, ch, got = adpcm_wav_decode(wav)
+    assert ch == 2
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_adpcm_tracks_pcm_waveform():
+    """Lossy sanity: the decoded waveform follows the source within
+    ADPCM's step-quantization error."""
+    pcm = _sine(1 + 8 * 40, 1)
+    wav, _ = ima_encode_wav(pcm, spb=1 + 8 * 40)
+    _, _, got = adpcm_wav_decode(wav)
+    err = np.abs(got.astype(float) - pcm[: len(got)].astype(float))
+    assert np.median(err) < 600  # steps adapt within a few samples
+
+
+def test_decode_audio_dispatches_adpcm():
+    pcm = _sine(1 + 8 * 6, 2)
+    wav, expected = ima_encode_wav(pcm, spb=1 + 8 * 6)
+    out = decode_audio(wav)
+    assert out["width"] == expected.shape[0]
+    assert out["height"] == 2
+    ref = float(np.abs(expected.astype(np.float64)).mean() / 32768.0)
+    assert out["mean_value"] == pytest.approx(ref)
+
+
+def test_guards():
+    # unknown compressed tag stays a loud slot
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 8000, 1, 0)  # MP3 tag
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0))
+    wav = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(NotImplementedError, match="0x0055"):
+        adpcm_wav_decode(wav)
+    # bad step index fails loudly
+    hdr = struct.pack("<hBB", 0, 99, 0) + bytes(4)
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 8000, len(hdr), 4, 2, 9)
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(hdr)) + hdr)
+    wav = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(ValueError, match="step index"):
+        adpcm_wav_decode(wav)
+    # missing data chunk
+    riff = b"WAVE" + b"fmt " + struct.pack("<I", 16) + bytes(16)
+    with pytest.raises(ValueError, match="missing"):
+        adpcm_wav_decode(b"RIFF" + struct.pack("<I", len(riff)) + riff)
