@@ -78,19 +78,27 @@ from pyspark.sql import functions as F
 DEFAULT_MIN_SPAN = 30
 
 #: broadcast the dup-gram set into the position-tagging join only while
-#: it holds at most this many digests (16 B each → ~160 MB serialized,
-#: the same bounded-broadcast discipline as kcore's
-#: BROADCAST_REMOVED_MAX): under the gate the position table streams
-#: straight off the parquet scan with NO exchange — measured at sf10
-#: this removes ~60% of the query's shuffled bytes (6.3 GB → 2.5 GB),
-#: and it is what fits the sf100 batch run inside a single rig's spill
-#: budget. Over the gate (a truly dup-saturated 100 TB corpus) the join
-#: falls back to a plain shuffled hash join — correct, just costlier.
+#: it holds at most this many digests (the same bounded-broadcast
+#: discipline as kcore's BROADCAST_REMOVED_MAX): under the gate the
+#: position table streams straight off the parquet scan with NO
+#: exchange — measured at sf10 this removes ~60% of the query's
+#: shuffled bytes (6.3 GB → 2.5 GB). Over the gate (a truly
+#: dup-saturated corpus) the join falls back to a plain shuffled hash
+#: join — correct and linear, but it ships EVERY position row (28 B
+#: each), which is the disk bill the broadcast exists to avoid: at
+#: sf100 the fallback's ~35 GB position exchange on top of the ~28 GB
+#: digest-agg exchange is exactly what overran a 55 GB spill budget
+#: when this gate sat at 10 M and the measured sf100 dup set came in
+#: at 10.82 M. Sizing: 24 M × 16 B ≈ 384 MB serialized, ~3-4× that as
+#: the in-heap build map — needs ≥4 GB executors, the repo's working
+#: floor; the memory cost is per-executor and corpus-independent,
+#: while the fallback's cost grows with the corpus, so the gate sits
+#: as high as the executor floor allows.
 #: The gate needs the dup set counted, so it is persisted and the
 #: count doubles as its materialization; the caller owns the cache
 #: lifecycle (bench clears cache between samples — the same documented
 #: contract as the spans persist in queries/dedup.py).
-DUP_BROADCAST_MAX = 10_000_000
+DUP_BROADCAST_MAX = 24_000_000
 
 
 def _gram_positions(
