@@ -126,12 +126,17 @@ def _langid_case_sql(col: str) -> str:
     return defs, f"CASE {whens} ELSE '{LANGS[-1]}' END"
 
 
-def _e2e_sql() -> str:
+def _e2e_common_sql(html_suffix_sql: str = "''") -> str:
+    """The pipeline-recomputation CTE chain through ``contam`` —
+    shared by the stage-label oracle (:func:`_e2e_sql`) and the
+    span-removal oracle (:func:`_e2e_spans_sql`), so the two cannot
+    drift apart on any stage's semantics. ``html_suffix_sql`` is
+    appended to every injected page (the spans query's shared-footer
+    plant); the default empty suffix reproduces the r08 fixture
+    byte-identically."""
     from kinesis_vcr_spark.functions.html import html_to_text_sql
     from kinesis_vcr_spark.operators.urldedup import canonicalize_url_sql
-    from kinesis_vcr_spark.operators.sampling import ticket_threshold
     from kinesis_vcr_spark.queries.dedup import _quality_sql_expr
-    from kinesis_vcr_spark.queries.llmprep import _ticket_sql
 
     url_case = """CASE doc_id % 4
       WHEN 0 THEN 'https://site' || pg || '.com/Article' || pg
@@ -161,7 +166,7 @@ def _e2e_sql() -> str:
 WITH RECURSIVE injected AS (
   SELECT doc_id, source,
          {url_case} AS url,
-         {html_case} AS html
+         ({html_case}) || {html_suffix_sql} AS html
   FROM (SELECT *, CAST(CASE WHEN doc_id % 7 = 1 THEN doc_id - 1
                             ELSE doc_id END AS VARCHAR) AS pg
         FROM documents)
@@ -242,7 +247,14 @@ WITH RECURSIVE injected AS (
 ), contam AS (
   SELECT DISTINCT d.doc_id
   FROM dg d JOIN bench_grams b USING (gram)
-), labeled AS (
+)"""
+
+
+def _e2e_sql() -> str:
+    from kinesis_vcr_spark.operators.sampling import ticket_threshold
+    from kinesis_vcr_spark.queries.llmprep import _ticket_sql
+
+    return f"""{_e2e_common_sql()}, labeled AS (
   SELECT p.source,
          CASE WHEN NOT p.valid THEN 'dropped_invalid'
               WHEN p.doc_id <> p.url_winner THEN 'dropped_url_dup'
@@ -277,4 +289,188 @@ register(QuerySpec(
     "llm_prep_pipeline", llm_prep_pipeline, _e2e_sql(),
     "end-to-end LLM-prep: URL dedup → HTML extract → NFC → langid/"
     "quality → exact+near dedup → decontam → split, stage-labeled",
+))
+
+
+# ---------------------------------------------------------------------------
+# pipeline + exact duplicate-SPAN removal (the Lee et al. 2022
+# complement: doc-level dedup keeps one copy of a page, span removal
+# cuts the verbatim boilerplate the survivors still share)
+# ---------------------------------------------------------------------------
+
+#: span threshold for the composed query — BELOW the standalone
+#: doc_dup_span_stats' 40 because the pipeline's exact+near stages have
+#: already removed whole-document duplication, so what remains shared
+#: among kept docs is shorter boilerplate; 25 keeps the fixture
+#: non-vacuous at every sf (test-pinned).
+E2E_SPAN_L = 25
+
+#: the shared-boilerplate plant for the spans query (the crawl reality
+#: span removal exists for: every page of a site carries the same
+#: footer, and doc-level dedup keeps all of them because the BODIES
+#: differ). Appended to every injected page EXCEPT the benchmark rows
+#: (doc_id % E2E_BENCH_MOD == 0) — the eval set must not share the
+#: footer's word-5-grams or decontamination would drop every kept doc.
+E2E_FOOTER = (
+    "<p>All rights reserved worldwide. Subscribe to our newsletter "
+    "for weekly updates and exclusive offers.</p>"
+)
+
+
+def llm_prep_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production step AFTER :func:`llm_prep_pipeline` keeps a
+    corpus: exact duplicate-span removal (operators/spandedup.py)
+    across the KEPT documents' extracted text — per kept doc, its
+    split, maximal duplicated-span count, duplicated chars, and the
+    length + md5 of the stitched clean text. Composes the two big
+    machines (stage-labeled pipeline, ExactSubstr spans) end to end;
+    the oracle recomputes BOTH relationally from the shared CTE
+    prefix, so the kept-set and the span answers are value-checked
+    together.
+
+    The injected crawl additionally plants a shared site footer
+    (:data:`E2E_FOOTER`) on every non-benchmark page — the crawl
+    reality span removal exists for: doc-level dedup keeps one page
+    per distinct BODY, and every survivor still carries the same
+    boilerplate, which only span-level removal cuts. Benchmark rows
+    are excluded from the plant so decontamination stays footer-blind
+    (otherwise every kept doc would share the eval set's 5-grams)."""
+    from kinesis_vcr_spark.functions.html import html_to_text
+    from kinesis_vcr_spark.functions.text import canonicalize_text
+    from kinesis_vcr_spark.operators.pipeline import llm_prep_corpus
+    from kinesis_vcr_spark.operators.spandedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    injected = _injected(load_table(spark, sf_dir, "documents")).withColumn(
+        "html",
+        F.when(
+            F.pmod("doc_id", F.lit(E2E_BENCH_MOD)) == 0, F.col("html")
+        ).otherwise(F.concat(F.col("html"), F.lit(E2E_FOOTER))),
+    )
+    bench = injected.where(
+        F.pmod("doc_id", F.lit(E2E_BENCH_MOD)) == 0
+    ).select("doc_id", "html")
+    out = llm_prep_corpus(
+        injected, bench,
+        quality_threshold=E2E_Q, jaccard_threshold=E2E_J,
+        decontam_n=E2E_N, split_seed=E2E_SEED,
+    )
+    kept = out.where(F.col("status") == "kept").select(
+        "doc_id",
+        "split",
+        canonicalize_text(html_to_text(F.col("html"))).alias("__text"),
+    )
+    # one spans table, two consumers (stats + stitching): persist +
+    # materialize so the gram pipeline runs once (the documented
+    # lifecycle of queries/dedup.py's doc_dup_span_stats — bench
+    # clears cache between samples)
+    spans = duplicated_spans(
+        kept, "doc_id", "__text", min_len=E2E_SPAN_L
+    ).persist()
+    spans.count()
+    stats = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(
+            F.col("span_end") - F.col("span_start") + F.lit(1)
+        ).alias("dup_chars"),
+    )
+    cleaned = remove_duplicated_spans(
+        kept, "doc_id", "__text", min_len=E2E_SPAN_L, spans=spans
+    )
+    return (
+        cleaned.join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+            F.length("clean_text").alias("clean_len"),
+            F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _e2e_spans_sql() -> str:
+    from kinesis_vcr_spark.operators.sampling import ticket_threshold
+    from kinesis_vcr_spark.queries.llmprep import _ticket_sql
+
+    L = E2E_SPAN_L
+    suffix = (
+        f"CASE WHEN doc_id % {E2E_BENCH_MOD} = 0 THEN '' "
+        f"ELSE '{E2E_FOOTER}' END"
+    )
+    return f"""{_e2e_common_sql(suffix)}, kept AS (
+  SELECT p.doc_id, p.txt,
+         CASE WHEN {_ticket_sql(E2E_SEED, "p.doc_id")}
+                  < '{ticket_threshold(0.8)}' THEN 'train'
+              WHEN {_ticket_sql(E2E_SEED, "p.doc_id")}
+                  < '{ticket_threshold(0.9)}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM pred p
+  LEFT JOIN exact_w ew ON ew.doc_id = p.doc_id
+  LEFT JOIN near_drop nd ON nd.doc_id = p.doc_id
+  LEFT JOIN contam c ON c.doc_id = p.doc_id
+  WHERE p.valid AND p.doc_id = p.url_winner AND p.pred_lang = 'en'
+        AND p.q >= {E2E_Q} AND p.doc_id = ew.exact_winner
+        AND nd.doc_id IS NULL AND c.doc_id IS NULL
+), pos AS (
+  SELECT doc_id, CAST(p AS INT) AS p,
+         substr(txt, CAST(p AS INT), {L}) AS g
+  FROM kept,
+       unnest(range(1, length(txt) - {L - 1} + 1)) t(p)
+  WHERE length(txt) >= {L}
+), covered AS (
+  SELECT doc_id, p, p + {L - 1} AS e FROM (
+    SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS n FROM pos
+  ) WHERE n >= 2
+), flagged AS (
+  SELECT doc_id, p, e,
+         CASE WHEN p > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -1) + 1
+              THEN 1 ELSE 0 END AS newf
+  FROM covered
+), islands AS (
+  SELECT doc_id, p, e,
+         sum(newf) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS isl
+  FROM flagged
+), spans AS (
+  SELECT doc_id, min(p) AS s, max(e) AS e
+  FROM islands GROUP BY doc_id, isl
+), pieces AS (
+  SELECT doc_id, s, e,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+  FROM spans
+), stitched AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
+         string_agg(substr(k.txt, pe + 1, s - pe - 1), '' ORDER BY s)
+           || coalesce(substr(any_value(k.txt), CAST(max(e) AS INT) + 1),
+                       '')
+           AS clean_text
+  FROM pieces p JOIN kept k USING (doc_id)
+  GROUP BY p.doc_id
+)
+SELECT k.doc_id, k.split,
+       CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(st.dup_chars, 0) AS BIGINT) AS dup_chars,
+       length(coalesce(st.clean_text, k.txt)) AS clean_len,
+       md5(coalesce(st.clean_text, k.txt)) AS clean_md5
+FROM kept k LEFT JOIN stitched st USING (doc_id)
+ORDER BY k.doc_id
+"""
+
+
+register(QuerySpec(
+    "llm_prep_spans", llm_prep_spans, _e2e_spans_sql(),
+    "LLM-prep kept corpus → exact duplicate-span removal: per kept "
+    "doc its split, span count, duplicated chars and stitched-clean "
+    "md5, oracle-recomputed from the shared pipeline CTE prefix",
 ))
