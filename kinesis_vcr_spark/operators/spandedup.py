@@ -346,9 +346,16 @@ def span_probe_index(
     grams = _gram_positions(batch_df, id_col, text_col, min_len)
     stored = spark.read.parquet(f"{index_path}/grams").drop("ingest")
     # count only grams present in the batch: the semi-join prunes the
-    # aggregation's input to batch-relevant grams (broadcast of the
-    # batch's distinct grams when small — the daily case)
-    batch_grams = grams.select("gram").distinct()
+    # aggregation's input to batch-relevant grams. The batch side is
+    # broadcast EXPLICITLY — it is day-sized by this probe's O(batch)
+    # contract (16-byte digests, ~5 MB for a 1k-doc day) — because
+    # leaving it to AQE materializes the STORED side's exchange first
+    # (AQE builds both shuffle query stages before it can downgrade
+    # the join to broadcast), which at sf100 measurably shipped the
+    # whole 1.2e9-row index through a ~19 GB shuffle that the
+    # broadcast plan never creates: the index scan streams into the
+    # semi-join with no exchange at any index size.
+    batch_grams = F.broadcast(grams.select("gram").distinct())
     dup = (
         stored.join(batch_grams, "gram", "left_semi")
         .groupBy("gram")
