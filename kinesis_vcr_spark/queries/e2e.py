@@ -357,11 +357,17 @@ def llm_prep_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_threshold=E2E_Q, jaccard_threshold=E2E_J,
         decontam_n=E2E_N, split_seed=E2E_SEED,
     )
+    # kept is the small survivor table with the ENTIRE pipeline
+    # (LSH + components + windows) as lineage, and the span stage
+    # reads it three times (gate count, spans, stitch join) — persist
+    # it or every consumer re-executes the pipeline (measured 3x the
+    # query at sf0.1, the same multiplicative-recompute trap the
+    # pipeline's own exact-dedup stage documents)
     kept = out.where(F.col("status") == "kept").select(
         "doc_id",
         "split",
         canonicalize_text(html_to_text(F.col("html"))).alias("__text"),
-    )
+    ).persist()
     # one spans table, two consumers (stats + stitching): persist +
     # materialize so the gram pipeline runs once (the documented
     # lifecycle of queries/dedup.py's doc_dup_span_stats — bench
