@@ -9,9 +9,13 @@ Huffman codes with the 19-symbol code-length code and 16/17/18 repeats,
 meta-Huffman entropy images, color cache, LZ77 backward references with
 the 120-entry 2D distance mapping, and all four inverse transforms
 (predictor with its 14 modes, cross-channel color transform,
-subtract-green, color-indexing with pixel bundling). Lossy WebP (VP8
-DCT) and animation (ANIM/ANMF) stay loud ``NotImplementedError`` slots
-— they need a DSP stack, not entropy coding.
+subtract-green, color-indexing with pixel bundling), plus the
+ANIMATED container (r09): VP8X canvas + ANIM/ANMF demux via
+:func:`webp_frames` (per-frame placement, duration, blend/dispose
+flags, each frame its own VP8L stream) with first-frame compositing
+in :func:`webp_decode` — the same still-image stance as the GIF
+decoder. Lossy WebP (VP8 DCT) stays the loud ``NotImplementedError``
+slot — it needs a DSP stack, not entropy coding.
 
 Every constant here is from the public "WebP Lossless Bitstream
 Specification". Two derivations worth noting, both verified by the
@@ -531,11 +535,82 @@ def vp8l_decode(data: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, np.stack(chans, axis=-1).reshape(h, w, len(chans))
 
 
+def _u24(buf: bytes, off: int) -> int:
+    return buf[off] | (buf[off + 1] << 8) | (buf[off + 2] << 16)
+
+
+def webp_frames(payload: bytes):
+    """Demux an ANIMATED WebP (VP8X + ANIM + ANMF chunks, public
+    container spec) into ``(canvas_w, canvas_h, frames)`` where each
+    frame dict carries its canvas placement (``x``, ``y`` — stored
+    divided by 2 in the container), decoded lossless ``pixels``,
+    ``duration_ms``, and the compositing flags ``blend`` (False =
+    overwrite the rect, True = alpha-blend onto the canvas) and
+    ``dispose_to_background``. The GIF twin of ``gif_frames``: frames
+    whose image data is lossy VP8 raise ``NotImplementedError`` — the
+    same DSP slot as still lossy files."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF/WEBP header)")
+    canvas = None
+    frames = []
+    off = 12
+    while off + 8 <= len(payload):
+        tag = payload[off : off + 4]
+        (size,) = struct.unpack_from("<I", payload, off + 4)
+        body = payload[off + 8 : off + 8 + size]
+        if tag == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("VP8X chunk truncated")
+            canvas = (_u24(body, 4) + 1, _u24(body, 7) + 1)
+        elif tag == b"ANMF":
+            if len(body) < 16:
+                raise ValueError("ANMF chunk truncated")
+            fx, fy = _u24(body, 0) * 2, _u24(body, 3) * 2
+            fw, fh = _u24(body, 6) + 1, _u24(body, 9) + 1
+            dur = _u24(body, 12)
+            flags = body[15]
+            # frame image chunks follow the 16-byte frame header
+            px = None
+            sub = 16
+            while sub + 8 <= len(body):
+                stag = body[sub : sub + 4]
+                (ssize,) = struct.unpack_from("<I", body, sub + 4)
+                if stag == b"VP8L":
+                    w, h, px = vp8l_decode(body[sub + 8 : sub + 8 + ssize])
+                    if (w, h) != (fw, fh):
+                        raise ValueError(
+                            "ANMF frame dims disagree with its VP8L stream"
+                        )
+                    break
+                if stag == b"VP8 ":
+                    raise NotImplementedError(
+                        "lossy VP8 frame in animated WebP not supported"
+                    )
+                sub += 8 + ssize + (ssize & 1)
+            if px is None:
+                raise ValueError("ANMF frame has no image chunk")
+            frames.append({
+                "x": fx, "y": fy, "duration_ms": dur,
+                "blend": not (flags & 0x02),
+                "dispose_to_background": bool(flags & 0x01),
+                "pixels": px,
+            })
+        off += 8 + size + (size & 1)
+    if canvas is None:
+        raise ValueError("animated WebP is missing its VP8X header")
+    if not frames:
+        raise ValueError("animated WebP has no ANMF frames")
+    return canvas[0], canvas[1], frames
+
+
 def webp_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a WebP container holding a lossless VP8L stream. VP8X
-    extended headers are skipped to find the VP8L chunk; lossy (VP8)
-    and animated (ANIM/ANMF) files raise ``NotImplementedError`` — the
-    documented DSP-stack slots, like CCITT in the TIFF decoder."""
+    extended headers are skipped to find the VP8L chunk. Animated
+    lossless files (ANIM/ANMF) decode via :func:`webp_frames` with
+    first-frame compositing onto a transparent canvas — the same
+    still-image stance as the GIF decoder. Lossy (VP8) files raise
+    ``NotImplementedError`` — the documented DSP-stack slot, like
+    CCITT in the TIFF decoder."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP (bad RIFF/WEBP header)")
     off = 12
@@ -549,6 +624,22 @@ def webp_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
                 "lossy WebP (VP8 DCT) not supported — lossless VP8L only"
             )
         if tag in (b"ANIM", b"ANMF"):
-            raise NotImplementedError("animated WebP not supported")
+            cw, ch, frames = webp_frames(payload)
+            canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+            f = frames[0]
+            px = f["pixels"]
+            if px.shape[2] == 3:  # opaque frame
+                px = np.concatenate(
+                    [px, np.full(px.shape[:2] + (1,), 255, np.uint8)],
+                    axis=-1,
+                )
+            fh, fw = px.shape[:2]
+            y0, x0 = f["y"], f["x"]
+            if y0 + fh > ch or x0 + fw > cw:
+                raise ValueError("ANMF frame rect exceeds the canvas")
+            # first frame onto a transparent canvas: blend and
+            # overwrite coincide (src over transparent == src)
+            canvas[y0 : y0 + fh, x0 : x0 + fw] = px
+            return cw, ch, canvas
         off += 8 + size + (size & 1)  # chunks are 2-byte aligned
     raise ValueError("WebP container has no VP8L chunk")

@@ -658,8 +658,10 @@ def test_container_errors():
     lossy = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
     with pytest.raises(NotImplementedError, match="lossy"):
         webp_decode(lossy)
+    # a bare ANIM chunk with no VP8X header is a malformed animation
+    # (animated decode is real now — tests below)
     anim = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"ANIM" + struct.pack("<I", 0)
-    with pytest.raises(NotImplementedError, match="animated"):
+    with pytest.raises(ValueError, match="VP8X"):
         webp_decode(anim)
     empty = b"RIFF" + struct.pack("<I", 4) + b"WEBP"
     with pytest.raises(ValueError, match="no VP8L"):
@@ -694,3 +696,93 @@ def test_decode_image_dispatch():
     assert (meta["width"], meta["height"]) == (4, 3)
     expected = float(rgba(px, 4, 3).mean())
     assert abs(meta["mean_value"] - expected) < 1e-9
+
+
+# ------------------------------------------------- animated (VP8X/ANIM/ANMF)
+
+from kinesis_vcr_spark.operators.webp import webp_frames  # noqa: E402
+
+
+def u24(v: int) -> bytes:
+    return bytes([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF])
+
+
+def anim_container(canvas_w, canvas_h, frames) -> bytes:
+    """Independent spec-rule animation assembler: VP8X (animation bit)
+    + ANIM + one ANMF per (x, y, w, h, dur_ms, flags, vp8l_payload)."""
+    chunks = b""
+    vp8x = bytes([0x02, 0, 0, 0]) + u24(canvas_w - 1) + u24(canvas_h - 1)
+    chunks += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = struct.pack("<IH", 0, 0)  # background BGRA + loop count
+    chunks += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for x, y, fw, fh, dur, flags, payload in frames:
+        body = (u24(x // 2) + u24(y // 2) + u24(fw - 1) + u24(fh - 1)
+                + u24(dur) + bytes([flags]))
+        body += b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+        chunks += b"ANMF" + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def _solid(w, h, argb):
+    return vp8l_bytes(
+        w, h, 1, lambda wr: emit_body(wr, lits([argb] * (w * h)))
+    )
+
+
+def test_animated_two_frame_demux():
+    f1 = _solid(10, 8, 0xFFAA0000)
+    f2 = _solid(4, 2, 0xFF0000BB)
+    data = anim_container(10, 8, [
+        (0, 0, 10, 8, 40, 0x00, f1),      # blend, keep
+        (2, 4, 4, 2, 50, 0x03, f2),       # no-blend, dispose
+    ])
+    cw, ch, frames = webp_frames(data)
+    assert (cw, ch) == (10, 8)
+    assert len(frames) == 2
+    a, b = frames
+    assert (a["x"], a["y"], a["duration_ms"]) == (0, 0, 40)
+    assert a["blend"] and not a["dispose_to_background"]
+    assert (b["x"], b["y"], b["duration_ms"]) == (2, 4, 50)
+    assert not b["blend"] and b["dispose_to_background"]
+    np.testing.assert_array_equal(a["pixels"], rgba([0xFFAA0000] * 80, 10, 8))
+    np.testing.assert_array_equal(b["pixels"], rgba([0xFF0000BB] * 8, 4, 2))
+
+
+def test_animated_first_frame_composited_on_transparent_canvas():
+    f1 = _solid(3, 2, 0xFF102030)
+    data = anim_container(8, 6, [(2, 2, 3, 2, 100, 0x00, f1)])
+    w, h, out = webp_decode(data)
+    assert (w, h) == (8, 6)
+    assert out.shape == (6, 8, 4)
+    assert tuple(out[2, 2]) == (0x10, 0x20, 0x30, 0xFF)
+    assert tuple(out[3, 4]) == (0x10, 0x20, 0x30, 0xFF)
+    assert out[0, 0, 3] == 0 and out[5, 7, 3] == 0  # transparent outside
+
+
+def test_animated_guards():
+    f1 = _solid(4, 2, 0xFF0000BB)
+    # frame dims disagreeing with its VP8L stream
+    bad = anim_container(8, 6, [(0, 0, 6, 2, 10, 0x00, f1)])
+    with pytest.raises(ValueError, match="disagree"):
+        webp_frames(bad)
+    # ANMF with no VP8X header
+    body = (u24(0) + u24(0) + u24(3) + u24(1) + u24(10) + bytes([0])
+            + b"VP8L" + struct.pack("<I", len(f1)) + f1)
+    chunks = b"ANMF" + struct.pack("<I", len(body)) + body
+    headless = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+    with pytest.raises(ValueError, match="VP8X"):
+        webp_frames(headless)
+    # lossy frame stays the DSP slot
+    lossy_body = (u24(0) + u24(0) + u24(3) + u24(1) + u24(10) + bytes([0])
+                  + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00")
+    lossy = anim_container(8, 6, [])[:12]
+    vp8x = bytes([0x02, 0, 0, 0]) + u24(7) + u24(5)
+    lossy += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    lossy += b"ANMF" + struct.pack("<I", len(lossy_body)) + lossy_body
+    lossy = lossy[:4] + struct.pack("<I", len(lossy) - 8) + lossy[8:]
+    with pytest.raises(NotImplementedError, match="lossy"):
+        webp_frames(lossy)
