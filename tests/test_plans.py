@@ -386,3 +386,60 @@ def test_chi2_no_python_cells_tiny(spark, sf_dir):
     plan = _formatted_plan(source_lang_chi2(spark, sf_dir))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_span_dedup_positions_never_shuffled_under_gate(spark):
+    """The r09 span-dedup posture: with the dup set under
+    DUP_BROADCAST_MAX, the position-tagging join is a BroadcastHashJoin
+    — the position table streams off the scan, and the only hash
+    exchanges in the whole spans plan are the digest aggregation and
+    the per-doc islands window. A shuffled position join here is the
+    6.3-GB-at-sf10 / ENOSPC-at-sf100 shape the gate exists to prevent
+    (BASELINE round-9 addendum 2)."""
+    from kinesis_vcr_spark.operators.spandedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(i, ("shared boilerplate sentence here " * 3) + str(i))
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(docs, min_len=20)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        spans.explain()
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    # the gate's count already materialized the dup-set cache, so the
+    # live plan may shuffle ONLY for the per-doc islands window — any
+    # second hash exchange means the position table got shuffled.
+    # (the InMemoryRelation section re-renders the cached agg's own
+    # exchange; it already ran, so cut it before counting)
+    live = plan.split("InMemoryRelation")[0]
+    assert live.count("Exchange hashpartitioning") <= 1, plan
+    assert "BatchEvalPython" not in live and "ArrowEvalPython" not in live
+
+
+def test_span_probe_stored_side_never_shuffled(spark, tmp_path):
+    """The probe's stored-side semi-join must be broadcast (batch side
+    day-sized by contract): AQE alone materializes the stored exchange
+    before downgrading the join — measured as a ~19 GB index shuffle
+    at sf100 (BASELINE round-9 addendum 2)."""
+    from kinesis_vcr_spark.operators.spandedup import (
+        append_gram_index,
+        span_probe_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("shared boilerplate sentence here " * 3) + str(i))
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "gramidx")
+    append_gram_index(docs, idx, min_len=20)
+    plan = _formatted_plan(span_probe_index(docs, idx, min_len=20))
+    # the stored scan must feed a broadcast semi-join, not an exchange:
+    # every hashpartitioning exchange in the plan belongs to the
+    # batch-side aggregations/window, never to the index scan
+    assert "BroadcastHashJoin" in plan
+    scan_sections = plan.split("Scan parquet")
+    assert len(scan_sections) >= 2  # batch side is an in-memory relation
