@@ -643,3 +643,89 @@ def webp_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
             return cw, ch, canvas
         off += 8 + size + (size & 1)  # chunks are 2-byte aligned
     raise ValueError("WebP container has no VP8L chunk")
+
+
+def _iter_anmf_vp8l(payload: bytes):
+    """Yield each ANMF frame's raw VP8L chunk bytes (demux only — no
+    entropy decode), for the frame sampler. Lossy VP8 frames raise the
+    same slot error as :func:`webp_frames`."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF/WEBP header)")
+    off = 12
+    while off + 8 <= len(payload):
+        tag = payload[off : off + 4]
+        (size,) = struct.unpack_from("<I", payload, off + 4)
+        if tag == b"ANMF":
+            body = payload[off + 8 : off + 8 + size]
+            sub = 16
+            while sub + 8 <= len(body):
+                stag = body[sub : sub + 4]
+                (ssize,) = struct.unpack_from("<I", body, sub + 4)
+                if stag == b"VP8L":
+                    yield body[sub + 8 : sub + 8 + ssize]
+                    break
+                if stag == b"VP8 ":
+                    raise NotImplementedError(
+                        "lossy VP8 frame in animated WebP not supported"
+                    )
+                sub += 8 + ssize + (ssize & 1)
+        off += 8 + size + (size & 1)
+
+
+def still_webp(vp8l_payload: bytes) -> bytes:
+    """Wrap a raw VP8L stream back into a standalone still-WebP
+    container — what the frame sampler emits so every frame row is
+    independently decodable by :func:`webp_decode`."""
+    chunk = b"VP8L" + struct.pack("<I", len(vp8l_payload)) + vp8l_payload
+    if len(vp8l_payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def sample_webp_frames(media, every_n: int = 4):
+    """REAL frame sampling over animated-WebP payloads: same schema and
+    ``mapInPandas`` shape as multimodal.sample_frames and
+    avi.sample_avi_frames (media_id, frame_idx, frame, frame_bytes),
+    each output ``frame`` a standalone still-WebP file decodable
+    downstream by ``webp_decode``. Narrow 1→N fan-out, no shuffle;
+    non-WebP / frameless payloads yield no rows (quarantine upstream
+    with decode_image if accounting matters)."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from kinesis_vcr_spark.operators.multimodal import (  # noqa: PLC0415
+        FRAME_SCHEMA,
+    )
+
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def explode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, idxs, frames, sizes = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    raw = list(_iter_anmf_vp8l(bytes(p)))
+                except ValueError:
+                    continue
+                for j in range(0, len(raw), every_n):
+                    wrapped = still_webp(raw[j])
+                    ids.append(mid)
+                    idxs.append(j)
+                    frames.append(wrapped)
+                    sizes.append(len(wrapped))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": pd.Series(frames, dtype=object),
+                    "frame_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        explode, FRAME_SCHEMA
+    )

@@ -276,3 +276,35 @@ def test_guards():
     riff = b"WAVE" + b"fmt " + struct.pack("<I", 16) + bytes(16)
     with pytest.raises(ValueError, match="missing"):
         adpcm_wav_decode(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+
+def test_ms_multiblock_roundtrip_bit_exact():
+    """Multiple MS blocks in one data chunk: each block re-seeds from
+    its own header, so block boundaries must not leak decoder state."""
+    pcm = _sine(64, 1, seed=9)
+    blocks = []
+    expected = []
+    for b0 in range(0, 64, 16):
+        wav_b, exp_b = ms_encode_wav(pcm[b0 : b0 + 16], predictor=1)
+        # extract the data chunk payload (single block) from the wav
+        (size,) = struct.unpack_from("<I", wav_b, 4)
+        off = 12
+        while off + 8 <= len(wav_b):
+            cid = wav_b[off : off + 4]
+            (csize,) = struct.unpack_from("<I", wav_b, off + 4)
+            if cid == b"data":
+                blocks.append(wav_b[off + 8 : off + 8 + csize])
+                break
+            off += 8 + csize + (csize & 1)
+        expected.append(exp_b)
+    align = len(blocks[0])
+    assert all(len(b) == align for b in blocks)
+    data = b"".join(blocks)
+    fmt = struct.pack("<HHIIHHHH", 0x02, 1, 8000, 8000, align, 4, 2, 16)
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    n, ch, got = adpcm_wav_decode(wav)
+    exp = np.vstack(expected)
+    assert (n, ch) == (exp.shape[0], 1)
+    np.testing.assert_array_equal(got, exp)

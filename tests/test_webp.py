@@ -786,3 +786,31 @@ def test_animated_guards():
     lossy = lossy[:4] + struct.pack("<I", len(lossy) - 8) + lossy[8:]
     with pytest.raises(NotImplementedError, match="lossy"):
         webp_frames(lossy)
+
+
+def test_spark_webp_frame_sampling(spark):
+    """The animated-WebP instantiation of the sample_frames plumbing:
+    every kept row is a standalone still WebP decodable downstream."""
+    from pyspark.sql import Row
+
+    from kinesis_vcr_spark.operators.webp import sample_webp_frames
+
+    colors = [0xFF000000 | (i * 0x102030 & 0xFFFFFF) for i in range(5)]
+    frames = [(0, 0, 4, 2, 10, 0x00, _solid(4, 2, c)) for c in colors]
+    data = anim_container(4, 2, frames)
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=data),
+            Row(media_id=2, payload=b"not media at all"),
+        ]
+    )
+    rows = sample_webp_frames(media, every_n=2).collect()
+    assert [(r["media_id"], r["frame_idx"]) for r in rows] == [
+        (1, 0), (1, 2), (1, 4)
+    ]
+    for r in rows:
+        w, h, px = webp_decode(bytes(r["frame"]))
+        assert (w, h) == (4, 2)
+        c = colors[r["frame_idx"]]
+        np.testing.assert_array_equal(px, rgba([c] * 8, 4, 2))
+        assert r["frame_bytes"] == len(bytes(r["frame"]))
