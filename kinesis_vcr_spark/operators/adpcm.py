@@ -166,7 +166,14 @@ def _ms_decode_block(block: bytes, channels: int) -> np.ndarray:
         code = (byte >> 4) if (k & 1) == 0 else (byte & 0xF)  # high first
         c = k % channels
         signed = code - 16 if code & 8 else code
-        pred = (int(s1[c]) * int(co1[c]) + int(s2[c]) * int(co2[c])) >> 8
+        # the spec's C semantics truncate the /256 toward zero; a plain
+        # ``>> 8`` floors, which is off by one whenever the coefficient
+        # sum is negative and not a multiple of 256 (predictors with
+        # co2 != 0) — the error feeds back through s1/s2. delta
+        # adaptation below keeps ``>> 8``: delta stays positive, where
+        # floor and truncation agree.
+        t = int(s1[c]) * int(co1[c]) + int(s2[c]) * int(co2[c])
+        pred = -((-t) >> 8) if t < 0 else t >> 8
         sample = pred + signed * int(delta[c])
         sample = max(-32768, min(32767, sample))
         s2[c], s1[c] = s1[c], sample

@@ -71,6 +71,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
 
 #: default minimal duplicated-span length, in characters. Lee et al.
 #: use 50 BPE tokens; 30 chars keeps the synthetic fixtures non-empty
@@ -99,6 +100,50 @@ DEFAULT_MIN_SPAN = 30
 #: lifecycle (bench clears cache between samples — the same documented
 #: contract as the spans persist in queries/dedup.py).
 DUP_BROADCAST_MAX = 24_000_000
+
+#: persisted frames from the PREVIOUS duplicated_spans/span_probe_index
+#: call, unpersisted (non-blocking) at the start of the next one. The
+#: gate's count() materializes each call's dup/batch-gram caches, and a
+#: long-lived session (bench loops, streaming drivers) would otherwise
+#: accumulate one cached relation per call with no handle to free it
+#: (ADVICE r09): bounding liveness to "the latest call" keeps repeated
+#: probes at a constant cache footprint while the returned DataFrame —
+#: normally consumed before the next probe — still reads its own cache.
+#: A caller that interleaves two probes before consuming either only
+#: loses the speedup (the evicted plan recomputes), never correctness.
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for eviction by the NEXT tracked
+    call (see :data:`_TRACKED_CACHES`)."""
+    _TRACKED_CACHES.append(df.persist())
+    return df
+
+
+def _evict_tracked() -> None:
+    for cached in _TRACKED_CACHES:
+        try:
+            cached.unpersist(blocking=False)
+        except Exception:  # session already stopped — nothing to free
+            pass
+    _TRACKED_CACHES.clear()
+
+
+def _require_binary_grams(stored: DataFrame, index_path: str) -> None:
+    """Fail loudly on a pre-digest-format index (ADVICE r09): the gram
+    key changed from the raw L-gram string to its 16-byte md5 digest,
+    and a string-keyed artifact joined against binary batch digests
+    would silently match nothing — every probe would report zero
+    duplicated spans instead of erroring."""
+    if not isinstance(stored.schema["gram"].dataType, BinaryType):
+        raise ValueError(
+            f"gram index at {index_path} stores '{stored.schema['gram'].dataType.simpleString()}' gram keys; "
+            "this engine's format keys grams by 16-byte md5 digest "
+            "(binary). Rebuild the index with append_gram_index — "
+            "probing the old string-keyed format would silently "
+            "return no duplicated spans."
+        )
 
 
 def _gram_positions(
@@ -142,13 +187,13 @@ def duplicated_spans(
     ranges — exactly the union of all substrings of length ≥
     ``min_len`` occurring more than once in the corpus (see module
     docstring for the equivalence proof)."""
+    _evict_tracked()
     grams = _gram_positions(df, id_col, text_col, min_len)
-    dup_grams = (
+    dup_grams = _persist_tracked(
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") >= 2)
         .select("gram")
-        .persist()
     )
     covered = grams.join(
         _maybe_broadcast(dup_grams), "gram"
@@ -156,13 +201,14 @@ def duplicated_spans(
     return _merge_covered_to_spans(covered, id_col, min_len)
 
 
-def _maybe_broadcast(dup_grams: DataFrame) -> DataFrame:
-    """Broadcast the (persisted) dup-digest set when it is under
+def _maybe_broadcast(digests: DataFrame) -> DataFrame:
+    """Broadcast a (persisted) digest set when it is under
     :data:`DUP_BROADCAST_MAX` — the count materializes the cache, so
-    the gram aggregation runs exactly once either way. See the
+    the producing aggregation runs exactly once either way. Used for
+    both the dup set and the probe batch's gram set; see the
     constant's comment for the measured effect and the fallback."""
-    n = dup_grams.count()
-    return F.broadcast(dup_grams) if n <= DUP_BROADCAST_MAX else dup_grams
+    n = digests.count()
+    return F.broadcast(digests) if n <= DUP_BROADCAST_MAX else digests
 
 
 def _merge_covered_to_spans(
@@ -343,26 +389,33 @@ def span_probe_index(
     result is batch-restricted via a semi-join BEFORE the aggregation,
     so only grams the batch actually contains are counted."""
     spark = batch_df.sparkSession
+    _evict_tracked()
     grams = _gram_positions(batch_df, id_col, text_col, min_len)
     stored = spark.read.parquet(f"{index_path}/grams").drop("ingest")
+    _require_binary_grams(stored, index_path)
     # count only grams present in the batch: the semi-join prunes the
     # aggregation's input to batch-relevant grams. The batch side is
-    # broadcast EXPLICITLY — it is day-sized by this probe's O(batch)
+    # broadcast explicitly — it is day-sized by this probe's O(batch)
     # contract (16-byte digests, ~5 MB for a 1k-doc day) — because
     # leaving it to AQE materializes the STORED side's exchange first
     # (AQE builds both shuffle query stages before it can downgrade
     # the join to broadcast), which at sf100 measurably shipped the
     # whole 1.2e9-row index through a ~19 GB shuffle that the
     # broadcast plan never creates: the index scan streams into the
-    # semi-join with no exchange at any index size.
-    batch_grams = F.broadcast(grams.select("gram").distinct())
-    dup = (
-        stored.join(batch_grams, "gram", "left_semi")
+    # semi-join with no exchange at any index size. The broadcast is
+    # GATED on the same counted bound as the dup set (ADVICE r09): a
+    # caller that probes a corpus-sized "batch" degrades to a shuffled
+    # join instead of OOMing the driver on an unbounded broadcast; the
+    # count is batch-sized by contract, and persisting the digest set
+    # means the explode/md5 pipeline feeding both the count and the
+    # semi-join runs once.
+    batch_grams = _persist_tracked(grams.select("gram").distinct())
+    dup = _persist_tracked(
+        stored.join(_maybe_broadcast(batch_grams), "gram", "left_semi")
         .groupBy("gram")
         .agg(F.sum("n").alias("__total"))
         .where(F.col("__total") >= 2)
         .select("gram")
-        .persist()
     )
     covered = grams.join(
         _maybe_broadcast(dup), "gram"
@@ -394,6 +447,9 @@ def compact_gram_index(spark, index_path: str) -> None:
     """
     from kinesis_vcr_spark.operators.compaction import compact_scoped_state
 
+    _require_binary_grams(
+        spark.read.parquet(f"{index_path}/grams"), index_path
+    )
     compact_scoped_state(
         spark,
         f"{index_path}/grams",

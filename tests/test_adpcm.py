@@ -150,7 +150,8 @@ def ms_encode_wav(pcm: np.ndarray, rate: int = 8000,
     exp = [[s2[c], s1[c]] for c in range(ch)]
     for f in range(2, frames):
         for c in range(ch):
-            pred = (s1[c] * co1 + s2[c] * co2) >> 8
+            t = s1[c] * co1 + s2[c] * co2
+            pred = -((-t) >> 8) if t < 0 else t >> 8  # trunc toward 0
             err = int(pcm[f, c]) - pred
             code = max(-8, min(7, round(err / deltas[c]) if deltas[c] else 0))
             code &= 0xF
@@ -276,6 +277,55 @@ def test_guards():
     riff = b"WAVE" + b"fmt " + struct.pack("<I", 16) + bytes(16)
     with pytest.raises(ValueError, match="missing"):
         adpcm_wav_decode(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+
+
+def test_ms_negative_predictor_truncates_toward_zero():
+    """Spec pin (ADVICE r09): the MS predictor divides the coefficient
+    sum by 256 with C semantics — truncation toward zero, NOT the
+    arithmetic-shift floor. Predictor 3 (co1=192, co2=64) with negative
+    seeds makes the sum negative and not a multiple of 256, where the
+    two conventions differ by 1 and the error feeds back through
+    s1/s2. Expected samples come from an independent reference using
+    int(t / 256) (Python int() truncates); the fixture is asserted to
+    actually discriminate (the floor decode diverges)."""
+    ch, predictor = 1, 3
+    co1, co2 = _MS_COEFS[predictor]
+    s1_seed, s2_seed = -3, -1  # t = 192*-3 + 64*-1 = -640: trunc -2, floor -3
+    delta0 = 16
+    codes = [1, 15, 2, 14, 3, 13]  # mix of positive/negative nibbles
+    hdr = bytes([predictor])
+    hdr += struct.pack("<h", delta0)
+    hdr += struct.pack("<h", s1_seed)
+    hdr += struct.pack("<h", s2_seed)
+    body = bytearray()
+    for i in range(0, len(codes), 2):
+        body.append((codes[i] << 4) | codes[i + 1])
+    block = hdr + bytes(body)
+    frames = 2 + len(codes)
+    fmt = struct.pack("<HHIIHHHH", 0x02, ch, 8000, 8000, len(block), 4,
+                      2, frames)
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(block)) + block)
+    wav = b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    def reference(divide):
+        s1, s2, delta = s1_seed, s2_seed, delta0
+        out = [s2, s1]
+        for code in codes:
+            signed = code - 16 if code & 8 else code
+            pred = divide(s1 * co1 + s2 * co2)
+            sample = max(-32768, min(32767, pred + signed * delta))
+            s2, s1 = s1, sample
+            delta = max(16, (int(_MS_ADAPT[code]) * delta) >> 8)
+            out.append(sample)
+        return np.array(out, dtype=np.int16).reshape(-1, 1)
+
+    exp_trunc = reference(lambda t: int(t / 256))
+    exp_floor = reference(lambda t: t >> 8)
+    assert not np.array_equal(exp_trunc, exp_floor)  # fixture discriminates
+    n, got_ch, got = adpcm_wav_decode(wav)
+    assert (n, got_ch) == (frames, 1)
+    np.testing.assert_array_equal(got, exp_trunc)
 
 
 def test_ms_multiblock_roundtrip_bit_exact():

@@ -192,3 +192,47 @@ def test_semantic_gram_compaction_shrinks_rows_probe_identical(
     got = _spans(span_probe_index(all_docs, idx, min_len=L))
     expected = _spans(duplicated_spans(all_docs, min_len=L))
     assert got == expected
+
+
+def test_string_keyed_legacy_index_fails_loudly(spark, tmp_path):
+    """ADVICE r09: a pre-digest (string-keyed) gram index must raise a
+    migration error on probe/compact open — a silent binary-vs-string
+    join would return zero spans instead of failing."""
+    import pytest
+
+    from kinesis_vcr_spark.operators.spandedup import compact_gram_index
+
+    idx = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [("x" * L, 2)], "gram string, n int"
+    ).write.parquet(f"{idx}/grams/ingest=_base")
+    docs = spark.createDataFrame(
+        [(1, "y" * (L + 5))], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="md5 digest"):
+        span_probe_index(docs, idx, min_len=L)
+    with pytest.raises(ValueError, match="md5 digest"):
+        compact_gram_index(spark, idx)
+
+
+def test_probe_cache_footprint_stays_bounded(spark, sf_dir, tmp_path):
+    """ADVICE r09: repeated probes in one session must not accumulate
+    persisted dup/batch-gram relations — each call evicts the previous
+    call's tracked caches, and results stay correct."""
+    from kinesis_vcr_spark.operators import spandedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "index")
+    append_gram_index(docs, idx, min_len=L)
+    expected = _spans(duplicated_spans(docs, min_len=L))
+    for _ in range(3):
+        assert _spans(span_probe_index(docs, idx, min_len=L)) == expected
+        # at most one call's caches are live at any time
+        assert len(spandedup._TRACKED_CACHES) <= 2
+    jsc = spark.sparkContext._jsc.sc()
+    live = [
+        info for info in jsc.getRDDStorageInfo() if info.isCached()
+    ]
+    # 3 probe calls + 1 batch call each persisted 1-2 frames; eviction
+    # keeps only the LAST call's alive
+    assert len(live) <= 2
