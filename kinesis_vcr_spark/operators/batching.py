@@ -5,17 +5,27 @@ as a pure-Python generator used inside ``mapPartitions`` /
 ``foreachPartition`` writers — there is no Catalyst surface here; batching
 to sink API limits is procedural by nature (SURVEY.md §4).
 
-Exact rules preserved:
+Rules:
 
 - flush when the batch reaches ``max_count`` records
   (KinesisPlayer.java:50 → 500);
 - flush *before* adding a record that would push the byte total past
   ``max_bytes`` (KinesisPlayer.java:51 → 1,000,000) — the partial batch
-  is emitted and the record starts a fresh one
-  (OperatorBufferKinesisBatch.java:75-92);
+  is emitted and the record starts a fresh one;
 - a single record larger than ``max_bytes`` is dropped with a warning
   (OperatorBufferKinesisBatch.java:78-81);
 - the remainder flushes on completion (:103-114).
+
+KNOWING DIVERGENCE (SURVEY.md §4 quirk 9): the reference SILENTLY
+LOSES the record that trips the size limit when the buffer is
+non-empty — ``OperatorBufferKinesisBatch.java:83-92`` adds the record
+only under ``!reachedSizeLimit`` and then flushes, so the triggering
+record is in neither the emitted batch nor the next one. This port
+starts the fresh batch WITH that record: no record is ever lost except
+the documented oversize drop (property-pinned in
+tests/test_batching.py). Replaying an archive must not quietly shed
+arbitrary records at 1 MB boundaries, so the data-loss bug is fixed,
+not replicated.
 """
 
 from __future__ import annotations

@@ -109,18 +109,22 @@ def _module_rank(spec: QuerySpec) -> int:
 # is therefore now LEAST-RECENTLY-CHECKED-FIRST, computed from the
 # committed CORRECTNESS_r{N}.json artifacts themselves:
 #
-#   1. Order all oracle-paired queries canonically (module rank, then
-#      in-module registration order); rows-only queries sort dead last
-#      and never occupy a window slot.
-#   2. Stable-sort the oracle-paired list by the LAST driver round in
-#      which the query had a correctness row (never-checked → -1, so
-#      the whole backlog sorts first), ties broken by canonical order.
+#   1. Order all queries canonically (module rank, then in-module
+#      registration order).
+#   2. Stable-sort by the LAST driver round in which the query had a
+#      correctness row (never-checked → -1, so the whole backlog sorts
+#      first), ties broken oracle-paired-before-rows-only (the exact
+#      check outranks the weaker rows-only check at equal staleness),
+#      then canonical order.
 #
-# The window is always the 50 stalest checks, so every oracle-paired
-# query earns a driver row within ceil(N / 50) consecutive rounds
-# (currently 3), new queries join at the FRONT of the queue instead of
-# shifting everyone else's slot, and the schedule is deterministic
-# from committed files — no round arithmetic to drift.
+# The window is always the 50 stalest checks, so EVERY registry entry —
+# including rows-only ones, which the driver records with its weaker
+# rows-only check (VERDICT r09 item 6: sorting them dead last left two
+# entries with zero driver history forever) — earns a driver row within
+# ceil(N / 50) consecutive rounds (currently 3), new queries join at
+# the FRONT of the queue instead of shifting everyone else's slot, and
+# the schedule is deterministic from committed files — no round
+# arithmetic to drift.
 DRIVER_WINDOW = 50
 
 
@@ -187,8 +191,9 @@ def _current_round() -> int:
 
 def all_queries(round_num: int | None = None) -> dict[str, QuerySpec]:
     """The registry in DRIVER order — least-recently-driver-checked
-    oracle-paired queries first (see the rotation comment above),
-    rows-only queries dead last.
+    queries first (see the rotation comment above); rows-only entries
+    participate in the same LRU, losing only staleness TIES to
+    oracle-paired peers.
 
     ``REGISTRY``'s raw insertion order is fragile: any direct import of
     a query module (a test, a notebook) before ``_load_all()`` would
@@ -198,25 +203,25 @@ def all_queries(round_num: int | None = None) -> dict[str, QuerySpec]:
     ``round_num`` (tests only) SIMULATES a future round: the schedule
     is rolled forward assuming each intervening round checked its
     50-query window — proving the union of ceil(N/50) consecutive
-    windows covers every oracle-paired query."""
+    windows covers every registry entry."""
     _load_all()
     items = list(REGISTRY.items())  # dict = insertion-ordered
     ordered = sorted(
         items,
         key=lambda kv: (kv[1].oracle is None, _module_rank(kv[1])),
     )  # sort is stable → insertion order preserved within a module
-    paired = [kv for kv in ordered if kv[1].oracle is not None]
-    rows_only = [kv for kv in ordered if kv[1].oracle is None]
 
     last = _last_checked()
-    canon = {name: i for i, (name, _) in enumerate(paired)}
+    canon = {name: i for i, (name, _) in enumerate(ordered)}
 
     def lru(kvs: list, state: dict[str, tuple[int, bool]]) -> list:
         # FAIL-AWARE (VERDICT r05 item 1): a query whose LATEST driver
         # row failed sorts as round -2 — ahead of never-checked (-1)
         # and of every same-round pass — so a red row is always
         # re-checked the very next round instead of waiting out its
-        # LRU peers.
+        # LRU peers. canon already places rows-only entries after every
+        # equally-stale oracle-paired one (they sorted last in
+        # ``ordered``), so the exact check wins staleness ties.
         def key(kv: tuple) -> tuple:
             rnd, ok = state.get(kv[0], (-1, True))
             return (rnd if ok else -2, canon[kv[0]])
@@ -229,7 +234,7 @@ def all_queries(round_num: int | None = None) -> dict[str, QuerySpec]:
         # (and thereby re-timestamps, as a PASS) its first-50 window
         state = dict(last)
         for r in range(cur, round_num):
-            for name, _ in lru(paired, state)[:DRIVER_WINDOW]:
+            for name, _ in lru(ordered, state)[:DRIVER_WINDOW]:
                 state[name] = (r, True)
         last = state
-    return dict(lru(paired, last) + rows_only)
+    return dict(lru(ordered, last))

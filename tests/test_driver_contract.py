@@ -39,10 +39,12 @@ def test_driver_window_rotation_schedule():
     round (VERDICT r02: the 12 registered last got no row). Rotation is
     least-recently-checked-first from committed CORRECTNESS artifacts
     (the r04 cohort cycle silently rotated the promised window away
-    when registering one more query changed the cohort count): every
-    oracle-paired query must earn a driver row within ceil(N/50) ≤ 3
-    consecutive rounds, never-checked queries always come first,
-    rows-only queries never occupy a window slot, and the current
+    when registering one more query changed the cohort count): EVERY
+    registry entry — rows-only included since r10 (VERDICT r09 item 6:
+    sorting them dead last left two entries with zero driver history
+    forever) — must earn a driver row within ceil(N_total/50) ≤ 3
+    consecutive rounds, never-checked queries always come first with
+    oracle-paired entries winning staleness ties, and the current
     window must contain the 8 promotions the r04 verdict named."""
     import json
     import math
@@ -58,22 +60,33 @@ def test_driver_window_rotation_schedule():
     paired = set(oracles)
     cur = _current_round()
 
-    # (a) union of windows over ceil(N/50) consecutive rounds (the
-    # current one + simulated successors) covers ALL oracle-paired
-    # queries — the whole point of the rotation
-    ncoh = math.ceil(len(paired) / DRIVER_WINDOW)
+    # (a) union of windows over ceil(N_total/50) consecutive rounds
+    # (the current one + simulated successors) covers the ENTIRE
+    # registry, rows-only entries included — the whole point of the
+    # rotation
+    every = set(all_queries())
+    ncoh = math.ceil(len(every) / DRIVER_WINDOW)
     assert ncoh <= 3, "rotation must reach every query within 3 rounds"
     union = set()
     for r in range(cur, cur + ncoh):
         union |= set(list(all_queries(r))[:DRIVER_WINDOW])
-    missing = paired - union
+    missing = every - union
     assert not missing, f"never reach driver window: {missing}"
 
-    # (b) no round wastes a window slot on a rows-only query
-    for r in range(cur, cur + 3):
-        window = list(all_queries(r))[:DRIVER_WINDOW]
-        unpaired = [n for n in window if n not in paired]
-        assert not unpaired, f"rows-only queries inside r{r} window: {unpaired}"
+    # (b) oracle-paired entries win staleness TIES against rows-only
+    # peers: simulate a fully-drained state where everything was
+    # checked in the same round — the window must then be all-paired
+    # (rows-only only enter ahead of a paired entry when genuinely
+    # staler, never at equal staleness)
+    from unittest import mock
+
+    from kinesis_vcr_spark import queries as qmod
+
+    drained = dict.fromkeys(every, (cur - 1, True))
+    with mock.patch.object(qmod, "_last_checked", lambda: dict(drained)):
+        window = list(qmod.all_queries())[:DRIVER_WINDOW]
+    unpaired = [n for n in window if n not in paired]
+    assert not unpaired, f"rows-only beat equally-stale paired: {unpaired}"
 
     # (c) never-driver-checked queries sort FIRST: anything absent from
     # every committed CORRECTNESS file must be in the current window
