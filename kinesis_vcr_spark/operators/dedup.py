@@ -596,20 +596,23 @@ def simhash64_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sums.select(F.col(id_col), sim.alias("simhash"))
 
 
-def near_dup_pairs_simhash(
-    df: DataFrame,
+def near_dup_pairs_hash64(
+    hashes: DataFrame,
     id_col: str,
-    text_col: str,
+    hash_col: str,
     max_hamming: int = 3,
     blocks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
+    """Near-dup pairs at Hamming distance ≤ ``max_hamming`` over ANY
+    precomputed 64-bit signature column — the pigeonhole engine shared
+    by SimHash text dedup and perceptual image dedup
+    (operators/phash.py).
 
-    Pigeonhole blocking: split the 64-bit simhash into ``blocks``
+    Pigeonhole blocking: split the 64-bit hash into ``blocks``
     equal-width blocks; any pair within distance ``blocks - 1`` must
     agree exactly on ≥1 block, so candidates come from an equi-join on
     (block index, block value) — never all-pairs. ``max_hamming`` must
-    be < ``blocks`` for exact recall (the default 3 < 4).
+    be < ``blocks`` for exact recall.
 
     Returns ``(id_a, id_b, hamming)``.
     """
@@ -617,16 +620,15 @@ def near_dup_pairs_simhash(
         raise ValueError("max_hamming must be < blocks for exact recall")
     width = SIMHASH_BITS // blocks
     mask = (1 << width) - 1
-    sims = simhash64_agg(df, id_col, text_col)
-    blocked = sims.select(
+    blocked = hashes.select(
         id_col,
-        "simhash",
+        F.col(hash_col).alias("__h64"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("block_idx"),
-                        F.shiftright(F.col("simhash"), b * width)
+                        F.shiftright(F.col(hash_col), b * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("block_val"),
                     )
@@ -634,7 +636,7 @@ def near_dup_pairs_simhash(
                 ]
             )
         ).alias("blk"),
-    ).select(id_col, "simhash", "blk.block_idx", "blk.block_val")
+    ).select(id_col, "__h64", "blk.block_idx", "blk.block_val")
     left = blocked.alias("l")
     right = blocked.alias("r")
     pairs = (
@@ -647,8 +649,8 @@ def near_dup_pairs_simhash(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("sim_a"),
-            F.col("r.simhash").alias("sim_b"),
+            F.col("l.__h64").alias("sim_a"),
+            F.col("r.__h64").alias("sim_b"),
         )
         .distinct()
     )
@@ -657,6 +659,26 @@ def near_dup_pairs_simhash(
         "id_b",
         hamming64(F.col("sim_a"), F.col("sim_b")).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def near_dup_pairs_simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``
+    (the text instantiation of :func:`near_dup_pairs_hash64`; plan and
+    results unchanged by the r10 refactor — the block explode/join is
+    the same expression tree).
+
+    Returns ``(id_a, id_b, hamming)``.
+    """
+    sims = simhash64_agg(df, id_col, text_col)
+    return near_dup_pairs_hash64(
+        sims, id_col, "simhash", max_hamming, blocks
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,241 @@
+"""Perceptual image hashing (pHash / dHash) + Hamming near-dup pairs —
+image-level near-duplicate detection composed from the in-repo decoders
+(operators/multimodal.py E13 family) and the pigeonhole-blocked Hamming
+engine (operators/dedup.py ``near_dup_pairs_hash64``).
+
+Text near-dup catches re-posted articles; CRAWLED IMAGE corpora need
+the pixel-level analogue: the same photo re-encoded (PNG → JPEG),
+re-scaled, or brightness-shifted has a different byte digest but the
+same *perceptual* content. The two classic hashes, both public
+algorithms (Zauner 2010, "Implementation and Benchmarking of
+Perceptual Image Hash Functions"; the widely-replicated ImageHash
+formulation):
+
+- **pHash (DCT)**: grayscale → area-resize to 32×32 → orthonormal 2-D
+  DCT-II → keep the 8×8 low-frequency block → bit i = coefficient i >
+  median of the 64 kept coefficients. Robust to re-scaling and
+  re-encoding (high-frequency detail never enters the hash).
+- **dHash (gradient)**: grayscale → area-resize to 9×8 → bit = left
+  pixel > right neighbor (row-major). Cheaper, robust to uniform
+  brightness/contrast shifts (only the gradient SIGN is kept).
+
+Everything is deterministic integer/float math pinned by fixture
+tests (spec-rule style, like the ADPCM/VP8L work): the resize is exact
+area-weighted averaging (interval-overlap matrices — no library
+resampler to drift against), grayscale is Rec.601, the DCT basis is
+the orthonormal closed form. The Spark surface is one Arrow-batched
+``mapInPandas`` producing ``(media_id, phash, dhash)`` — numpy per
+batch, never per-row Python — and near-dup pairs reuse the EXACT
+pigeonhole machinery already pinned for SimHash, so the same
+recall-guarantee argument applies: any pair within Hamming
+``blocks − 1`` shares a block and becomes a candidate with certainty.
+
+100 TB posture: hashing is embarrassingly parallel over payloads (one
+decode per image, Arrow-batched); the pair stage joins 8-byte hashes
+on 16-bit block values — Θ(n·blocks) candidate rows against hot-block
+caps, the measured SimHash shape, never all-pairs on pixels.
+
+Reference anchor: the reference engine has no image surface
+(SURVEY.md §2.5a E-series extension).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from kinesis_vcr_spark.operators.dedup import near_dup_pairs_hash64
+
+#: pHash DCT input size and kept low-frequency block (the standard
+#: 32→8 shape: 64 hash bits).
+PHASH_DCT_SIZE = 32
+PHASH_BLOCK = 8
+
+#: dHash grid — 9 columns × 8 rows of gradients = 64 bits.
+DHASH_W, DHASH_H = 9, 8
+
+HASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), True),
+        StructField("dhash", LongType(), True),
+    ]
+)
+
+#: ``pixel_fn(payload) -> np.ndarray`` — [h, w] grayscale or
+#: [h, w, channels] uint8/float pixels.
+PixelFn = Callable[[bytes], np.ndarray]
+
+
+def to_grayscale(px: np.ndarray) -> np.ndarray:
+    """Rec.601 luma as float64 [h, w]; alpha (channel 4) is ignored,
+    2-D input passes through."""
+    px = np.asarray(px, dtype=np.float64)
+    if px.ndim == 2:
+        return px
+    if px.ndim == 3 and px.shape[2] >= 3:
+        return (
+            0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        )
+    if px.ndim == 3 and px.shape[2] == 1:
+        return px[:, :, 0]
+    raise ValueError(f"unsupported pixel shape {px.shape}")
+
+
+def _overlap_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] exact area-average weights: output bin i covers
+    the input interval [i·n_in/n_out, (i+1)·n_in/n_out); each input
+    pixel contributes its overlap fraction. Rows sum to 1. Works in
+    both directions (down- and up-sampling) — this is the
+    deterministic resampler the module contract pins."""
+    scale = n_in / n_out
+    w = np.zeros((n_out, n_in), dtype=np.float64)
+    for i in range(n_out):
+        lo, hi = i * scale, (i + 1) * scale
+        j0, j1 = int(np.floor(lo)), int(np.ceil(hi))
+        for j in range(j0, min(j1, n_in)):
+            w[i, j] = min(hi, j + 1) - max(lo, j)
+    return w / scale
+
+
+def area_resize(gray: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Exact area-weighted resize of a [h, w] float image."""
+    h, w = gray.shape
+    return _overlap_matrix(h, out_h) @ gray @ _overlap_matrix(w, out_w).T
+
+
+def _dct_basis(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis: C[k, m] = s_k·cos(π(2m+1)k / 2n)."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    c = np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    c[0] *= np.sqrt(1.0 / n)
+    c[1:] *= np.sqrt(2.0 / n)
+    return c
+
+
+_DCT32 = _dct_basis(PHASH_DCT_SIZE)
+
+
+def _bits_to_int64(bits: np.ndarray) -> int:
+    """Row-major bit i → hash bit i, as a SIGNED 64-bit int (Spark
+    LongType; bit 63 lands in the sign bit)."""
+    v = 0
+    for i, b in enumerate(bits.ravel()):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def phash64(px: np.ndarray) -> int:
+    """DCT perceptual hash of a pixel array (module docstring rules)."""
+    small = area_resize(to_grayscale(px), PHASH_DCT_SIZE, PHASH_DCT_SIZE)
+    coefs = _DCT32 @ small @ _DCT32.T
+    block = coefs[:PHASH_BLOCK, :PHASH_BLOCK]
+    return _bits_to_int64(block > np.median(block))
+
+
+def dhash64(px: np.ndarray) -> int:
+    """Gradient perceptual hash: 9×8 grid, bit = px[y,x] > px[y,x+1]."""
+    small = area_resize(to_grayscale(px), DHASH_W, DHASH_H)
+    return _bits_to_int64(small[:, :-1] > small[:, 1:])
+
+
+def real_pixels(payload: bytes) -> np.ndarray:
+    """Decode an image payload to its pixel array via the in-repo
+    codecs (PPM/BMP/PNG/JPEG/GIF/TIFF/WebP-lossless — the
+    :func:`~kinesis_vcr_spark.operators.multimodal.decode_image`
+    dispatch, returning pixels instead of summary stats)."""
+    from kinesis_vcr_spark.operators import multimodal as mm
+
+    if payload[:2] == b"P6":
+        return mm._ppm_parse(payload)[2]
+    if payload[:2] == b"BM":
+        return mm._bmp_parse(payload)[2]
+    if payload[:8] == mm.PNG_SIGNATURE:
+        return mm._png_parse(payload)[2]
+    if payload[:2] == b"\xff\xd8":
+        from kinesis_vcr_spark.operators.jpeg import jpeg_decode
+
+        return jpeg_decode(payload)[2]
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from kinesis_vcr_spark.operators.gif import gif_decode
+
+        return gif_decode(payload)[2]
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from kinesis_vcr_spark.operators.tiff import tiff_decode
+
+        return tiff_decode(payload)[2]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from kinesis_vcr_spark.operators.webp import webp_decode
+
+        return webp_decode(payload)[2]
+    raise NotImplementedError(
+        "unrecognized image container for perceptual hashing "
+        "(PPM/BMP/PNG/JPEG/GIF/TIFF/WebP supported)"
+    )
+
+
+def fake_pixels(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in: reshape the payload bytes to the same
+    floor-sqrt grid as multimodal.fake_decode — exercises the full
+    hash/near-dup pipeline on the text-only test corpus with
+    reproducible hashes (identical payloads → identical pixels →
+    identical hashes; the planted driver query's invariant)."""
+    n = len(payload)
+    if n == 0:
+        return np.zeros((1, 1), dtype=np.float64)
+    w = max(int(n**0.5), 1)
+    h = max(n // w, 1)
+    return (
+        np.frombuffer(payload[: w * h], dtype=np.uint8)
+        .reshape(h, w)
+        .astype(np.float64)
+    )
+
+
+def perceptual_hashes(
+    media: DataFrame, pixel_fn: PixelFn = real_pixels
+) -> DataFrame:
+    """``(media_id, phash, dhash)`` for a MEDIA_SCHEMA frame — one
+    Arrow-batched ``mapInPandas`` pass, numpy per payload. Undecodable
+    payloads fail loudly (the codec family's contract); pre-filter or
+    wrap ``pixel_fn`` to quarantine."""
+
+    def hash_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ph, dh = [], []
+            for p in pdf["payload"]:
+                px = pixel_fn(bytes(p) if p is not None else b"")
+                ph.append(phash64(px))
+                dh.append(dhash64(px))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": ph, "dhash": dh}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        hash_batches, HASH_SCHEMA
+    )
+
+
+def near_dup_pairs_phash(
+    media: DataFrame,
+    pixel_fn: PixelFn = real_pixels,
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Perceptual near-dup image pairs ``(id_a, id_b, hamming)`` at
+    Hamming ≤ ``max_hamming`` over pHash (or dHash via ``hash_col``) —
+    decode → hash → the SimHash-pinned pigeonhole block join."""
+    hashes = perceptual_hashes(media, pixel_fn)
+    return near_dup_pairs_hash64(
+        hashes, "media_id", hash_col, max_hamming, blocks
+    )

@@ -158,3 +158,59 @@ register(
         "1→N frame sampling via mapInPandas, geometry oracle-verified",
     )
 )
+
+
+# --- perceptual image dedup (operators/phash.py, VERDICT r09 item 4):
+# planted byte-identical payload twins — identical payload → identical
+# pixels (fake decoder is a pure function of bytes) → identical pHash →
+# Hamming 0 and a guaranteed pigeonhole candidate, so the expected pair
+# set is exact SQL even though the searcher is approximate. Same
+# pattern as dedup_simhash_planted / the ANN planted companions. ---
+
+PHASH_PLANT_MOD = 10
+PHASH_PLANT_OFFSET = 10_000_000
+
+
+def image_phash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup recall proof: every 10th document's
+    payload gets a byte-identical twin at ``doc_id + 1e7``; the
+    pHash pigeonhole pipeline (decode → DCT hash → block join →
+    Hamming verify) must find exactly the (original, twin) pairs at
+    Hamming 0. Restricting output to ``id_b == id_a + offset`` at
+    Hamming 0 admits ONLY those pairs (a non-twin collision would need
+    a natural doc_id above the offset, which no table has)."""
+    from kinesis_vcr_spark.operators.phash import (
+        fake_pixels,
+        near_dup_pairs_phash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    twins = docs.where(F.col("doc_id") % PHASH_PLANT_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(PHASH_PLANT_OFFSET)
+    )
+    media = documents_as_media(docs.unionByName(twins))
+    pairs = near_dup_pairs_phash(media, pixel_fn=fake_pixels, max_hamming=3)
+    return (
+        pairs.where(
+            (F.col("id_b") == F.col("id_a") + F.lit(PHASH_PLANT_OFFSET))
+            & (F.col("hamming") == 0)
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a")
+    )
+
+
+PHASH_PLANTED_SQL = f"""
+SELECT doc_id AS id_a, doc_id + {PHASH_PLANT_OFFSET} AS id_b
+FROM documents WHERE doc_id % {PHASH_PLANT_MOD} = 0 ORDER BY id_a
+"""
+
+register(
+    QuerySpec(
+        "image_phash_planted",
+        image_phash_planted,
+        PHASH_PLANTED_SQL,
+        "perceptual image dedup (DCT pHash + pigeonhole Hamming join): "
+        "planted payload-twin recall, exact oracle",
+    )
+)
