@@ -239,3 +239,194 @@ def near_dup_pairs_phash(
     return near_dup_pairs_hash64(
         hashes, "media_id", hash_col, max_hamming, blocks
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted perceptual-hash index (incremental / streaming image dedup)
+# ---------------------------------------------------------------------------
+#
+# The daily-ingest member of the E95 family, completing the triple
+# every retrieval family in this engine carries (batch operator +
+# persisted index + streaming loop — near-dup, ANN, exact-span,
+# search). A crawl ingests a daily batch of images; re-hashing the
+# accumulated corpus to find "which new images are perceptual dups of
+# anything seen" is O(corpus) decode work for an O(batch) question.
+# Instead the corpus's pigeonhole BLOCK rows are persisted once:
+#
+#   {path}/blocks/ingest=<label>/block_idx=<b> — one row per
+#   (media_id, block): ``(media_id, h64, block_val)``. The full 64-bit
+#   hash is DENORMALIZED into every block row, so a probe verifies
+#   Hamming distance from the join output alone — no second fetch
+#   stage against a hash table (the pHash analogue of the BM25
+#   postings carrying dl).
+#   {path}/meta — ``blocks`` and the hash column name; probes must
+#   reuse the stamped layout (block rows from a different split are
+#   incomparable).
+#
+# A probe LSHes only the batch (one Arrow-batched decode+hash pass),
+# equi-joins the batch's block rows against the stored ones for
+# new×old candidates, self-joins for new×new, and filters by exact
+# Hamming — identical math to near_dup_pairs_hash64 over the union,
+# restricted to pairs touching the batch (parity test-pinned).
+# Appends are O(batch) and overwrite their own ingest scope
+# (orchestrator-replay idempotent, the engine-wide scoped-state
+# contract). 100 TB: the stored side is ~blocks rows × 20 B per image
+# — for 10⁹ images ≈ 80 GB, shuffled once per probe by the candidate
+# equi-join; batch-side rows are day-sized. media_id uniqueness across
+# scopes is the caller's ingest key, as everywhere in the family.
+
+_PHASH_META_SCHEMA = "blocks int, hash_col string"
+
+
+def _block_rows(hashes: DataFrame, hash_col: str, blocks: int) -> DataFrame:
+    """``(media_id, h64, block_idx, block_val)`` pigeonhole rows — the
+    same split expression near_dup_pairs_hash64 joins on."""
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    return hashes.select(
+        "media_id",
+        F.col(hash_col).alias("h64"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.shiftright(F.col(hash_col), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select("media_id", "h64", "blk.block_idx", "blk.block_val")
+
+
+def append_phash_index(
+    media: DataFrame,
+    index_path: str,
+    *,
+    pixel_fn: PixelFn = real_pixels,
+    hash_col: str = "phash",
+    blocks: int = 4,
+    ingest_label: str = "_base",
+) -> None:
+    """Hash one batch and write its block rows as their own ``ingest``
+    scope (overwrite-idempotent). The first append stamps the layout
+    (``blocks``, ``hash_col``) in ``/meta``; later appends verify it —
+    silently mixing block splits or hash kinds would corrupt every
+    later probe."""
+    spark = media.sparkSession
+    stamped = _load_phash_meta(spark, index_path)
+    if stamped is None:
+        spark.createDataFrame(
+            [(blocks, hash_col)], _PHASH_META_SCHEMA
+        ).write.mode("overwrite").parquet(f"{index_path}/meta")
+    elif stamped != (blocks, hash_col):
+        raise ValueError(
+            f"phash index at {index_path} was built with (blocks, "
+            f"hash_col)={stamped}; append requested {(blocks, hash_col)}"
+        )
+    rows = _block_rows(perceptual_hashes(media, pixel_fn), hash_col, blocks)
+    (
+        rows.repartition("block_idx")
+        .write.mode("overwrite")
+        .partitionBy("block_idx")
+        .parquet(f"{index_path}/blocks/ingest={ingest_label}")
+    )
+
+
+def _load_phash_meta(spark, index_path: str) -> tuple[int, str] | None:
+    try:
+        m = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    except Exception:
+        return None
+    return (m["blocks"], m["hash_col"])
+
+
+def phash_probe_index(
+    media: DataFrame,
+    index_path: str,
+    *,
+    pixel_fn: PixelFn = real_pixels,
+    max_hamming: int = 3,
+    exclude_ingest: str | None = None,
+) -> DataFrame:
+    """Perceptual near-dup pairs ``(id_a, id_b, hamming)`` touching the
+    new batch — new×stored plus new×new, ``id_a < id_b``, Hamming ≤
+    ``max_hamming`` — WITHOUT re-hashing the indexed corpus. Equals
+    :func:`near_dup_pairs_hash64` over (stored ∪ batch) hashes
+    restricted to pairs touching the batch (test-pinned); requires
+    ``max_hamming < blocks`` exactly like the batch operator.
+
+    ``exclude_ingest`` drops one scope partition-pruned — the
+    crash-replay discipline shared with every index in the family.
+    The batch's hashes are persisted (they cost a decode per image);
+    liveness is bounded by cacheutil's latest-call eviction."""
+    from kinesis_vcr_spark.cacheutil import evict_tracked, persist_tracked
+
+    spark = media.sparkSession
+    meta = _load_phash_meta(spark, index_path)
+    if meta is None:
+        raise ValueError(f"no phash index at {index_path}")
+    blocks, hash_col = meta
+    if max_hamming >= blocks:
+        raise ValueError("max_hamming must be < blocks for exact recall")
+    evict_tracked("phash_index")
+    new_hashes = persist_tracked(
+        "phash_index", perceptual_hashes(media, pixel_fn)
+    )
+    new_rows = _block_rows(new_hashes, hash_col, blocks)
+    stored = spark.read.parquet(f"{index_path}/blocks")
+    if exclude_ingest is not None:
+        stored = stored.where(F.col("ingest") != exclude_ingest)
+    stored = stored.select("media_id", "h64", "block_idx", "block_val")
+    left = new_rows.alias("l")
+    cand_old = left.join(
+        stored.alias("r"),
+        (F.col("l.block_idx") == F.col("r.block_idx"))
+        & (F.col("l.block_val") == F.col("r.block_val"))
+        & (F.col("l.media_id") != F.col("r.media_id")),
+    ).select(
+        F.least("l.media_id", "r.media_id").alias("id_a"),
+        F.greatest("l.media_id", "r.media_id").alias("id_b"),
+        F.when(F.col("l.media_id") < F.col("r.media_id"), F.col("l.h64"))
+        .otherwise(F.col("r.h64"))
+        .alias("h_a"),
+        F.when(F.col("l.media_id") < F.col("r.media_id"), F.col("r.h64"))
+        .otherwise(F.col("l.h64"))
+        .alias("h_b"),
+    )
+    cand_new = left.join(
+        new_rows.alias("r2"),
+        (F.col("l.block_idx") == F.col("r2.block_idx"))
+        & (F.col("l.block_val") == F.col("r2.block_val"))
+        & (F.col("l.media_id") < F.col("r2.media_id")),
+    ).select(
+        F.col("l.media_id").alias("id_a"),
+        F.col("r2.media_id").alias("id_b"),
+        F.col("l.h64").alias("h_a"),
+        F.col("r2.h64").alias("h_b"),
+    )
+    from kinesis_vcr_spark.operators.dedup import hamming64
+
+    return (
+        cand_old.unionByName(cand_new)
+        .distinct()
+        .select(
+            "id_a", "id_b", hamming64(F.col("h_a"), F.col("h_b")).alias(
+                "hamming"
+            )
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def compact_phash_index(spark, index_path: str) -> None:
+    """Collapse per-ingest block scopes into one ``ingest=_compacted``
+    scope, preserving the ``block_idx`` physical partitioning — probe
+    results identical before/after (the content-exact
+    compact_scoped_state contract); drained/paused streams only."""
+    from kinesis_vcr_spark.operators.compaction import compact_scoped_state
+
+    compact_scoped_state(spark, f"{index_path}/blocks", ("block_idx",))

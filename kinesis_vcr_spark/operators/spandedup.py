@@ -101,33 +101,22 @@ DEFAULT_MIN_SPAN = 30
 #: contract as the spans persist in queries/dedup.py).
 DUP_BROADCAST_MAX = 24_000_000
 
-#: persisted frames from the PREVIOUS duplicated_spans/span_probe_index
-#: call, unpersisted (non-blocking) at the start of the next one. The
-#: gate's count() materializes each call's dup/batch-gram caches, and a
-#: long-lived session (bench loops, streaming drivers) would otherwise
-#: accumulate one cached relation per call with no handle to free it
-#: (ADVICE r09): bounding liveness to "the latest call" keeps repeated
-#: probes at a constant cache footprint while the returned DataFrame —
-#: normally consumed before the next probe — still reads its own cache.
-#: A caller that interleaves two probes before consuming either only
-#: loses the speedup (the evicted plan recomputes), never correctness.
-_TRACKED_CACHES: list[DataFrame] = []
+# bounded-liveness cache tracking for the dup-gram persist (ADVICE
+# r09): each duplicated_spans call evicts the previous call's cached
+# dup set — see kinesis_vcr_spark/cacheutil.py for the contract.
+_CACHE_SCOPE = "spandedup"
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
-    """Persist ``df`` and register it for eviction by the NEXT tracked
-    call (see :data:`_TRACKED_CACHES`)."""
-    _TRACKED_CACHES.append(df.persist())
-    return df
+    from kinesis_vcr_spark.cacheutil import persist_tracked
+
+    return persist_tracked(_CACHE_SCOPE, df)
 
 
 def _evict_tracked() -> None:
-    for cached in _TRACKED_CACHES:
-        try:
-            cached.unpersist(blocking=False)
-        except Exception:  # session already stopped — nothing to free
-            pass
-    _TRACKED_CACHES.clear()
+    from kinesis_vcr_spark.cacheutil import evict_tracked
+
+    evict_tracked(_CACHE_SCOPE)
 
 
 def _require_binary_grams(stored: DataFrame, index_path: str) -> None:

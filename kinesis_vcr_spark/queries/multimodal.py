@@ -214,3 +214,56 @@ register(
         "planted payload-twin recall, exact oracle",
     )
 )
+
+
+def image_phash_index_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental perceptual dedup through the persisted block index
+    (operators/phash.py): the corpus is indexed once, a batch of
+    payload-twins (every 10th document re-planted under ``id + 1e7``)
+    is probed against it — each twin must pair with exactly its
+    original at Hamming 0, recovered WITHOUT re-hashing the corpus.
+    Same planted-exactness argument as :func:`image_phash_planted`;
+    the index path adds the new×stored join and the ingest-scope
+    machinery to the driver-checked surface."""
+    import tempfile
+
+    from kinesis_vcr_spark.operators.phash import (
+        append_phash_index,
+        fake_pixels,
+        phash_probe_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    twins = docs.where(F.col("doc_id") % PHASH_PLANT_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(PHASH_PLANT_OFFSET)
+    )
+    idx = f"{tempfile.mkdtemp(prefix='phash_idx_')}/index"
+    append_phash_index(
+        documents_as_media(docs), idx,
+        pixel_fn=fake_pixels, ingest_label="_base",
+    )
+    pairs = phash_probe_index(
+        documents_as_media(twins), idx,
+        pixel_fn=fake_pixels, max_hamming=3,
+    )
+    return (
+        pairs.where(
+            (F.col("id_b") == F.col("id_a") + F.lit(PHASH_PLANT_OFFSET))
+            & (F.col("hamming") == 0)
+        )
+        .select("id_a", "id_b")
+        .orderBy("id_a")
+    )
+
+
+register(
+    QuerySpec(
+        "image_phash_index_incremental",
+        image_phash_index_incremental,
+        PHASH_PLANTED_SQL,
+        "persisted perceptual-hash index: corpus indexed once, planted "
+        "payload-twin batch probed without re-hashing — exact oracle",
+    )
+)

@@ -219,7 +219,7 @@ def test_probe_cache_footprint_stays_bounded(spark, sf_dir, tmp_path):
     """ADVICE r09: repeated probes in one session must not accumulate
     persisted dup/batch-gram relations — each call evicts the previous
     call's tracked caches, and results stay correct."""
-    from kinesis_vcr_spark.operators import spandedup
+    from kinesis_vcr_spark import cacheutil
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     idx = str(tmp_path / "index")
@@ -227,12 +227,11 @@ def test_probe_cache_footprint_stays_bounded(spark, sf_dir, tmp_path):
     expected = _spans(duplicated_spans(docs, min_len=L))
     for _ in range(3):
         assert _spans(span_probe_index(docs, idx, min_len=L)) == expected
-        # at most one call's caches are live at any time
-        assert len(spandedup._TRACKED_CACHES) <= 2
+        # probes persist nothing; duplicated_spans tracks ≤1 dup set
+        assert len(cacheutil._TRACKED.get("spandedup", [])) <= 1
     jsc = spark.sparkContext._jsc.sc()
     live = [
         info for info in jsc.getRDDStorageInfo() if info.isCached()
     ]
-    # 3 probe calls + 1 batch call each persisted 1-2 frames; eviction
-    # keeps only the LAST call's alive
-    assert len(live) <= 2
+    # only the LAST duplicated_spans call's dup set may still be live
+    assert len(live) <= 1
