@@ -603,6 +603,45 @@ def webp_frames(payload: bytes):
     return canvas[0], canvas[1], frames
 
 
+def vp8_key_frame_dimensions(chunk: bytes) -> tuple[int, int]:
+    """Parse a lossy VP8 chunk's UNCOMPRESSED key-frame header (RFC
+    6386 §9.1) and return ``(width, height)`` — the one part of the
+    lossy stream that is plain bit-packing rather than boolean-coded
+    DSP, so it is verifiable in this container and lets metadata
+    surfaces (payload stats, media profiling) type lossy files without
+    decoding them.
+
+    Layout: a 3-byte little-endian tag (bit 0 = frame type, 0 for key
+    frames; bits 1-3 version; bit 4 show_frame; bits 5-23 first
+    partition size), then the 3-byte start code ``9D 01 2A``, then two
+    little-endian 16-bit fields holding a 14-bit dimension plus a
+    2-bit upscale code each.
+
+    WHY full lossy decode stays the loud slot: past the header, VP8 is
+    a boolean-arithmetic-coded DSP stack whose correctness rests on
+    ~3k baked spec constants (the 4·8·3·11 default coefficient
+    probabilities and their update-probability twin, two 128-entry
+    quantizer lookup tables, the 10×10×9 key-frame B-mode
+    probabilities). This container has no libwebp/ffmpeg to produce
+    golden vectors, and a round-trip against an in-repo encoder
+    sharing the same transcribed tables cannot detect a
+    mistranscription (the ADPCM ``>> 8`` lesson, ADVICE r09) — every
+    constant would be unverifiable. A decoder built on unverifiable
+    tables is worse than the explicit ``NotImplementedError``; the
+    VP8L/JPEG/GIF decoders never had this problem because their
+    entropy tables arrive IN the stream."""
+    if len(chunk) < 10:
+        raise ValueError("VP8 chunk too short for a frame header")
+    tag = chunk[0] | (chunk[1] << 8) | (chunk[2] << 16)
+    if tag & 0x1:
+        raise ValueError("VP8 interframe has no dimensions header")
+    if chunk[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("VP8 key frame start code missing")
+    w = chunk[6] | (chunk[7] << 8)
+    h = chunk[8] | (chunk[9] << 8)
+    return w & 0x3FFF, h & 0x3FFF
+
+
 def webp_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a WebP container holding a lossless VP8L stream. VP8X
     extended headers are skipped to find the VP8L chunk. Animated
@@ -620,8 +659,16 @@ def webp_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
         if tag == b"VP8L":
             return vp8l_decode(payload[off + 8 : off + 8 + size])
         if tag == b"VP8 ":
+            try:
+                dims = "%dx%d" % vp8_key_frame_dimensions(
+                    payload[off + 8 : off + 8 + size]
+                )
+            except ValueError:
+                dims = "unparseable header"
             raise NotImplementedError(
-                "lossy WebP (VP8 DCT) not supported — lossless VP8L only"
+                f"lossy WebP (VP8 DCT, {dims}) not supported — "
+                "lossless VP8L only; see vp8_key_frame_dimensions for "
+                "why the DSP stack stays the documented slot"
             )
         if tag in (b"ANIM", b"ANMF"):
             cw, ch, frames = webp_frames(payload)

@@ -814,3 +814,40 @@ def test_spark_webp_frame_sampling(spark):
         c = colors[r["frame_idx"]]
         np.testing.assert_array_equal(px, rgba([c] * 8, 4, 2))
         assert r["frame_bytes"] == len(bytes(r["frame"]))
+
+
+def test_vp8_lossy_key_frame_dimensions_parse():
+    """The lossy VP8 chunk's uncompressed key-frame header (RFC 6386
+    §9.1) parses to (width, height); interframes and corrupt start
+    codes fail loudly; the container dispatch surfaces the parsed
+    dimensions in its documented-slot error."""
+    import pytest
+
+    from kinesis_vcr_spark.operators.webp import (
+        vp8_key_frame_dimensions,
+        webp_decode,
+    )
+
+    def vp8_chunk(w, h, wscale=0, hscale=2, keyframe=True):
+        tag = (0 if keyframe else 1) | (3 << 1) | (1 << 4) | (100 << 5)
+        return (
+            bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF])
+            + b"\x9d\x01\x2a"
+            + bytes([(w | (wscale << 14)) & 0xFF, (w | (wscale << 14)) >> 8])
+            + bytes([(h | (hscale << 14)) & 0xFF, (h | (hscale << 14)) >> 8])
+        )
+
+    assert vp8_key_frame_dimensions(vp8_chunk(640, 480)) == (640, 480)
+    assert vp8_key_frame_dimensions(vp8_chunk(16383, 1)) == (16383, 1)
+    with pytest.raises(ValueError, match="interframe"):
+        vp8_key_frame_dimensions(vp8_chunk(64, 64, keyframe=False))
+    with pytest.raises(ValueError, match="start code"):
+        vp8_key_frame_dimensions(b"\x00\x00\x00" + b"\xff\x01\x2a" + bytes(4))
+    with pytest.raises(ValueError, match="too short"):
+        vp8_key_frame_dimensions(b"\x00\x00")
+
+    chunk = vp8_chunk(320, 240)
+    riff = b"WEBPVP8 " + struct.pack("<I", len(chunk)) + chunk
+    payload = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(NotImplementedError, match="320x240"):
+        webp_decode(payload)
