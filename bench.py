@@ -231,6 +231,29 @@ def bench_persisted_index_probes(
             probes["span_index_probe"] = lambda: span_probe_index(
                 wnew, f"{tmp}/span", min_len=SPAN_MIN_LEN
             )
+        if "phash_index_probe" in which:
+            from kinesis_vcr_spark.operators.phash import (
+                append_phash_index,
+                fake_pixels,
+                phash_probe_index,
+            )
+
+            def as_media(frame):
+                return frame.select(
+                    F.col("doc_id").alias("media_id"),
+                    F.encode("text", "utf-8").alias("payload"),
+                )
+
+            pold = as_media(old)
+            # day-sized probe batch, like the span/dedup probes
+            pnew = as_media(new.where(F.col("doc_id") < PROBE_BATCH_CAP))
+            append_phash_index(
+                pold, f"{tmp}/phash", pixel_fn=fake_pixels,
+                ingest_label="_base",
+            )
+            probes["phash_index_probe"] = lambda: phash_probe_index(
+                pnew, f"{tmp}/phash", pixel_fn=fake_pixels
+            )
         for name, make_probe in probes.items():
             print(f"[bench] {name}", file=sys.stderr)
             samples: list[float] = []
@@ -347,7 +370,7 @@ def main() -> None:
 
     probe_entries = (
         "dedup_index_probe", "search_index_probe",
-        "phrase_index_probe", "span_index_probe",
+        "phrase_index_probe", "span_index_probe", "phash_index_probe",
     )
     selected = dict(all_queries())
     # registry-external probe-only entries: all on a full run, the

@@ -350,6 +350,28 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        if payload[:3] == b"ID3" or payload[:2] in (b"\xff\xfb", b"\xff\xfa",
+                                                    b"\xff\xf3", b"\xff\xf2",
+                                                    b"\xff\xe3", b"\xff\xe2"):
+            # MPEG audio: the frame headers parse (operators/mp3.py —
+            # version/bitrate/duration for metadata surfaces) but the
+            # DSP decode stays the documented slot; surface the parsed
+            # shape in the error like the lossy-WebP dispatch
+            from kinesis_vcr_spark.operators.mp3 import mp3_frame_info
+
+            try:
+                info = mp3_frame_info(payload)
+                shape = (
+                    f"{info['version']} layer {info['layer']}, "
+                    f"{info['sample_rate']} Hz, {info['n_frames']} frames, "
+                    f"~{info['duration_s']}s"
+                )
+            except ValueError:
+                shape = "unparseable frames"
+            raise NotImplementedError(
+                f"MPEG audio ({shape}) decode requires soundfile/ffmpeg; "
+                "mp3_frame_info covers the metadata tier"
+            )
         raise NotImplementedError(
             "non-WAV audio requires soundfile/ffmpeg; register a real "
             "Decoder for compressed formats"
