@@ -872,3 +872,45 @@ register(QuerySpec("span_index_incremental", span_index_incremental,
                    "incremental exact span dedup: gram-count index over "
                    "the corpus, batch appended then probed; spans == "
                    "union-corpus spans restricted to the batch"))
+
+
+def dedup_components_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-twin exactness proof for the verification-free LSH
+    component path (operators/dedup.py ``lsh_band_components`` — the
+    Θ(n·bands) posture for boilerplate-saturated corpora where the
+    verified pair path goes super-linear, BASELINE r10 addendum 2):
+    every 10th document gets an identical-TEXT twin at ``doc_id +
+    1e7``; identical text ⇒ identical signature ⇒ the twin shares all
+    bands with its original, lands in the original's component with
+    certainty, and — the original always carrying the smaller id —
+    can never be its own root. Output: the planted (original, twin)
+    relation read back off the component labels; exact SQL even
+    though the searcher is verification-free."""
+    from kinesis_vcr_spark.operators.dedup import lsh_band_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    twins = docs.where(F.col("doc_id") % PLANT_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(SIMHASH_PLANT_OFFSET)
+    )
+    comp = lsh_band_components(
+        docs.unionByName(twins), "doc_id", "text"
+    )
+    return (
+        comp.where(
+            (F.col("node") >= F.lit(SIMHASH_PLANT_OFFSET))
+            & (F.col("node") != F.col("component"))
+        )
+        .select(
+            (F.col("node") - F.lit(SIMHASH_PLANT_OFFSET)).alias("id_a"),
+            F.col("node").alias("id_b"),
+        )
+        .orderBy("id_a")
+    )
+
+
+register(QuerySpec("dedup_components_lsh_planted",
+                   dedup_components_lsh_planted,
+                   SIMHASH_PLANTED_SQL,
+                   "verification-free LSH band components "
+                   "(anchor edges, no pair table): planted-twin "
+                   "recall, exact oracle"))

@@ -221,6 +221,9 @@ def test_probe_cache_footprint_stays_bounded(spark, sf_dir, tmp_path):
     call's tracked caches, and results stay correct."""
     from kinesis_vcr_spark import cacheutil
 
+    # hermetic storage accounting: other suites' leftover caches in the
+    # shared session must not count against this test's bound
+    spark.catalog.clearCache()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     idx = str(tmp_path / "index")
     append_gram_index(docs, idx, min_len=L)
