@@ -798,6 +798,18 @@ def lsh_band_components(
     J ≥ t, precision 1.0"; use this when the contract is "drop
     near-dup clusters at corpus scale".
 
+    PERCOLATION WARNING (measured, BASELINE r10 addendum 5): because
+    merges chain without verification, collision DENSITY compounds
+    with corpus size — on the footer-saturated spans corpus the kept
+    fraction vs the verified pipeline collapsed 95% (sf0.01) → 35%
+    (sf10) → 0.02% (sf100): one giant component swallowed the corpus.
+    This path is sound AFTER boilerplate stripping (dedup_lines /
+    html boilerplate removal — the C4 ordering, which also restores
+    the VERIFIED path's candidate volume to sub-plain-corpus levels:
+    320 vs 404 candidates at sf1), or with (num_hashes, bands) sized
+    so expected band-group degree stays below the giant-component
+    threshold. Do not point it at a raw crawl and trust the roots.
+
     Determinism: signatures, band hashes, anchors and component roots
     (min id) are all deterministic — two runs agree bit-for-bit, and
     the planted-twin driver query (identical text ⇒ identical

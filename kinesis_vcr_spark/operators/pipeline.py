@@ -141,6 +141,7 @@ def llm_prep_corpus(
     min_hits: int = 1,
     split_seed: str = "e2e",
     checkpoint_dir: str | None = None,
+    near_dup: str = "verified",
 ) -> DataFrame:
     """The whole training-data preparation flow in one call — the
     integration the pillar operators exist for (r07 verdict item 5).
@@ -163,8 +164,18 @@ def llm_prep_corpus(
        any pairwise work.
     4. **exact dedup** (digest-keyed group-min) BEFORE LSH, so a page
        duplicated 10^6 times dies before it can form a mega-band.
-    5. **near-dup** — MinHash-LSH pairs → connected components → keep
-       the min-id root.
+    5. **near-dup** — ``near_dup="verified"`` (default): MinHash-LSH
+       pairs → exact-Jaccard verification → connected components →
+       keep the min-id root (precision 1.0 at ``jaccard_threshold``).
+       ``near_dup="lsh_components"``: components DIRECTLY from band
+       groups via anchor edges (:func:`~kinesis_vcr_spark.operators.
+       dedup.lsh_band_components`) — Θ(n·bands) rows with NO pair
+       table, the posture for boilerplate-saturated corpora where the
+       verified path's candidate×shingle exchange goes super-linear
+       (measured ~300 GB at the sf100 footer corpus, BASELINE r10
+       addendum 2; ``jaccard_threshold`` is then unused — the dup
+       decision is band co-membership, precision documented on the
+       operator).
     6. **decontamination** — word-``decontam_n``-gram overlap against
        the benchmark's EXTRACTED text (the eval set is external data:
        it does not run through the pipeline, it is only normalized the
@@ -247,13 +258,26 @@ def llm_prep_corpus(
         "__exact_keep", F.lit(True)
     )
 
-    pairs = near_dup_pairs_minhash(
-        exact_kept, id_col, "__text",
-        shingle_size=shingle_size, threshold=jaccard_threshold,
-    )
-    comp = connected_components(
-        pairs, "id_a", "id_b", checkpoint_dir=checkpoint_dir
-    )
+    if near_dup == "verified":
+        pairs = near_dup_pairs_minhash(
+            exact_kept, id_col, "__text",
+            shingle_size=shingle_size, threshold=jaccard_threshold,
+        )
+        comp = connected_components(
+            pairs, "id_a", "id_b", checkpoint_dir=checkpoint_dir
+        )
+    elif near_dup == "lsh_components":
+        from kinesis_vcr_spark.operators.dedup import lsh_band_components
+
+        comp = lsh_band_components(
+            exact_kept, id_col, "__text",
+            shingle_size=shingle_size, checkpoint_dir=checkpoint_dir,
+        )
+    else:
+        raise ValueError(
+            f"near_dup must be 'verified' or 'lsh_components', got "
+            f"{near_dup!r}"
+        )
     near_drops = (
         comp.where(F.col("node") != F.col("component"))
         .select(F.col("node").alias(id_col))

@@ -317,7 +317,9 @@ E2E_FOOTER = (
 )
 
 
-def llm_prep_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_prep_spans(
+    spark: SparkSession, sf_dir: str, near_dup: str = "verified"
+) -> DataFrame:
     """The production step AFTER :func:`llm_prep_pipeline` keeps a
     corpus: exact duplicate-span removal (operators/spandedup.py)
     across the KEPT documents' extracted text — per kept doc, its
@@ -355,7 +357,7 @@ def llm_prep_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = llm_prep_corpus(
         injected, bench,
         quality_threshold=E2E_Q, jaccard_threshold=E2E_J,
-        decontam_n=E2E_N, split_seed=E2E_SEED,
+        decontam_n=E2E_N, split_seed=E2E_SEED, near_dup=near_dup,
     )
     # kept is the small survivor table with the ENTIRE pipeline
     # (LSH + components + windows) as lineage, and the span stage
@@ -479,4 +481,42 @@ register(QuerySpec(
     "LLM-prep kept corpus → exact duplicate-span removal: per kept "
     "doc its split, span count, duplicated chars and stitched-clean "
     "md5, oracle-recomputed from the shared pipeline CTE prefix",
+))
+
+
+def llm_prep_spans_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`llm_prep_spans` with the pipeline's near-dup stage in
+    ``lsh_components`` mode (operators/dedup.py
+    ``lsh_band_components``) — the Θ(n·bands) posture that makes the
+    footer-saturated corpus tractable at sf100 where the verified pair
+    path's candidate×shingle exchange cannot fit a single rig
+    (BASELINE r10 addendum 2).
+
+    ROWS-ONLY BY DESIGN, with the divergence measured rather than
+    asserted away: at sf0.01 this keeps 168 docs where the verified
+    pipeline keeps 177 — the ~5% extra drops are noise band
+    collisions merging sub-threshold pairs, exactly the union-bounded
+    precision trade the operator's docstring states (P = J^rows per
+    band) — and on the footer corpus the divergence COMPOUNDS with
+    scale into percolation (kept fraction 95% → 35% → 0.02% across
+    sf0.01/sf10/sf100; the operator docstring's warning, BASELINE r10
+    addendum 5). This query therefore exists as the measured exhibit
+    of both sides of the trade: the sf100 rung that the verified mode
+    cannot fit a single rig COMPLETES here (1111 s staged), and the
+    result shows why the production answer is boilerplate-stripping
+    BEFORE doc-level LSH rather than dropping verification. Exactness
+    guarantees are pinned where they hold — the planted-twin query
+    ``dedup_components_lsh_planted`` (identical text ⇒ certain
+    co-membership, exact oracle) and the bimodal parity test in
+    tests/test_lsh_components.py. The driver records the weaker
+    rows-only check; the verified twin ``llm_prep_spans`` stays the
+    hash-checked row."""
+    return llm_prep_spans(spark, sf_dir, near_dup="lsh_components")
+
+
+register(QuerySpec(
+    "llm_prep_spans_lsh", llm_prep_spans_lsh, None,
+    "llm_prep_spans through the verification-free LSH component path "
+    "(rows-only: ~5% more drops than verified from documented noise "
+    "merges; exactness pinned by dedup_components_lsh_planted)",
 ))

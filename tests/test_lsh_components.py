@@ -70,3 +70,39 @@ def test_deterministic_across_runs(spark):
     a = sorted(map(tuple, lsh_band_components(docs, "doc_id", "text").collect()))
     b = sorted(map(tuple, lsh_band_components(docs, "doc_id", "text").collect()))
     assert a == b
+
+
+def test_pipeline_lsh_mode_drops_superset_of_verified(spark, sf_dir):
+    """clean-corpus contract of the lsh_components mode: every verified
+    band-co-member pair is an lsh edge, so lsh components are COARSER —
+    a verified non-root stays a non-root, hence kept(lsh) ⊆
+    kept(verified), with equality exactly when no sub-threshold band
+    collision exists. Pinned on the e2e fixture where the two modes
+    measurably diverge (r10: 168 vs 177 kept at sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from kinesis_vcr_spark.queries.e2e import llm_prep_spans
+
+    kept_v = {
+        r["doc_id"] for r in llm_prep_spans(spark, sf_dir).collect()
+    }
+    kept_l = {
+        r["doc_id"]
+        for r in llm_prep_spans(
+            spark, sf_dir, near_dup="lsh_components"
+        ).collect()
+    }
+    assert kept_l <= kept_v
+    assert kept_v, "fixture degenerated: verified pipeline kept nothing"
+
+
+def test_pipeline_rejects_unknown_near_dup_mode(spark):
+    import pytest
+
+    from kinesis_vcr_spark.operators.pipeline import llm_prep_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "http://a", "<p>x</p>")], "doc_id long, url string, html string"
+    )
+    with pytest.raises(ValueError, match="near_dup"):
+        llm_prep_corpus(docs, docs, near_dup="nope").collect()

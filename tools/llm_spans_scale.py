@@ -18,8 +18,14 @@ query's work split at the persist the query itself already performs
 materializes that same frame to parquet instead of cache).
 
 Usage:
-  python tools/llm_spans_scale.py <sf_dir> <work_dir> kept
+  python tools/llm_spans_scale.py <sf_dir> <work_dir> kept [near_dup]
   python tools/llm_spans_scale.py <sf_dir> <work_dir> spans
+
+``near_dup`` (default ``verified``) selects the pipeline's near-dup
+mode; ``lsh_components`` is the Θ(n·bands) path — the verified mode's
+candidate×shingle verification exchange needs ~300 GB at the sf100
+footer corpus and cannot fit one rig (BASELINE r10 addendum 2), so the
+sf100 rung of this query is measurable only through the lsh mode.
 """
 
 from __future__ import annotations
@@ -54,6 +60,7 @@ def main() -> None:
     sf_dir, work_dir, mode = sys.argv[1], sys.argv[2], sys.argv[3]
     spark = get_spark("llm_spans_scale")
     if mode == "kept":
+        near_dup = sys.argv[4] if len(sys.argv) > 4 else "verified"
         t0 = time.time()
         injected = _injected(
             load_table(spark, sf_dir, "documents")
@@ -69,7 +76,7 @@ def main() -> None:
         out = llm_prep_corpus(
             injected, bench,
             quality_threshold=E2E_Q, jaccard_threshold=E2E_J,
-            decontam_n=E2E_N, split_seed=E2E_SEED,
+            decontam_n=E2E_N, split_seed=E2E_SEED, near_dup=near_dup,
         )
         kept = out.where(F.col("status") == "kept").select(
             "doc_id",
@@ -77,7 +84,10 @@ def main() -> None:
             canonicalize_text(html_to_text(F.col("html"))).alias("__text"),
         )
         kept.write.mode("overwrite").parquet(f"{work_dir}/kept")
-        print(f"stage kept: {round(time.time() - t0, 3)}s", flush=True)
+        print(
+            f"stage kept ({near_dup}): {round(time.time() - t0, 3)}s",
+            flush=True,
+        )
     elif mode == "spans":
         t0 = time.time()
         kept = spark.read.parquet(f"{work_dir}/kept")
