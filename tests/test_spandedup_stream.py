@@ -221,20 +221,22 @@ def test_probe_cache_footprint_stays_bounded(spark, sf_dir, tmp_path):
     call's tracked caches, and results stay correct."""
     from kinesis_vcr_spark import cacheutil
 
-    # hermetic storage accounting: other suites' leftover caches in the
-    # shared session must not count against this test's bound
-    spark.catalog.clearCache()
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     idx = str(tmp_path / "index")
     append_gram_index(docs, idx, min_len=L)
     expected = _spans(duplicated_spans(docs, min_len=L))
+    first_dup = cacheutil._TRACKED.get("spandedup", [None])[0]
+    assert first_dup is not None and first_dup.storageLevel.useMemory
     for _ in range(3):
         assert _spans(span_probe_index(docs, idx, min_len=L)) == expected
         # probes persist nothing; duplicated_spans tracks ≤1 dup set
         assert len(cacheutil._TRACKED.get("spandedup", [])) <= 1
-    jsc = spark.sparkContext._jsc.sc()
-    live = [
-        info for info in jsc.getRDDStorageInfo() if info.isCached()
-    ]
-    # only the LAST duplicated_spans call's dup set may still be live
-    assert len(live) <= 1
+    # another duplicated_spans call evicts the first call's dup set —
+    # handle-level check, immune to other suites' localCheckpoint RDDs
+    # in the shared session (which getRDDStorageInfo would count).
+    # Different min_len: DataFrame.storageLevel is LOGICAL-PLAN-keyed,
+    # so an identical second call would re-cache the same plan and make
+    # the eviction invisible to the handle.
+    _spans(duplicated_spans(docs, min_len=L + 5))
+    assert not first_dup.storageLevel.useMemory  # evicted
+    assert len(cacheutil._TRACKED["spandedup"]) == 1
