@@ -343,35 +343,51 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
     stdlib refuses non-PCM format tags, so those fall through to the
     in-repo block decoder): width = sample frames, height = channels,
     mean_value = mean absolute amplitude normalized to [0, 1].
-    Compressed audio (MP3/AAC) stays the soundfile/ffmpeg slot."""
+    MPEG-1 Layer I/II decodes for real (operators/mp3.py polyphase
+    synthesis); Layer III / MPEG-2 LSF / AAC stay the soundfile/ffmpeg
+    slot with the parsed stream shape in the error."""
     import io
     import wave
 
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        if payload[:3] == b"ID3" or payload[:2] in (b"\xff\xfb", b"\xff\xfa",
-                                                    b"\xff\xf3", b"\xff\xf2",
-                                                    b"\xff\xe3", b"\xff\xe2"):
-            # MPEG audio: the frame headers parse (operators/mp3.py —
-            # version/bitrate/duration for metadata surfaces) but the
-            # DSP decode stays the documented slot; surface the parsed
-            # shape in the error like the lossy-WebP dispatch
-            from kinesis_vcr_spark.operators.mp3 import mp3_frame_info
+        if payload[:3] == b"ID3" or (len(payload) > 1
+                                     and payload[0] == 0xFF
+                                     and payload[1] & 0xE0 == 0xE0):
+            from kinesis_vcr_spark.operators.mp3 import (
+                mp3_frame_info,
+                mpeg_audio_decode,
+            )
 
             try:
-                info = mp3_frame_info(payload)
-                shape = (
-                    f"{info['version']} layer {info['layer']}, "
-                    f"{info['sample_rate']} Hz, {info['n_frames']} frames, "
-                    f"~{info['duration_s']}s"
-                )
-            except ValueError:
-                shape = "unparseable frames"
-            raise NotImplementedError(
-                f"MPEG audio ({shape}) decode requires soundfile/ffmpeg; "
-                "mp3_frame_info covers the metadata tier"
+                n_frames, n_channels, samples = mpeg_audio_decode(payload)
+            except NotImplementedError:
+                # Layer III / LSF: the frame headers parse (version/
+                # bitrate/duration for metadata surfaces) but the DSP
+                # decode stays the documented slot; surface the parsed
+                # shape in the error like the lossy-WebP dispatch
+                try:
+                    info = mp3_frame_info(payload)
+                    shape = (
+                        f"{info['version']} layer {info['layer']}, "
+                        f"{info['sample_rate']} Hz, "
+                        f"{info['n_frames']} frames, "
+                        f"~{info['duration_s']}s"
+                    )
+                except ValueError:
+                    shape = "unparseable frames"
+                raise NotImplementedError(
+                    f"MPEG audio ({shape}) decode requires soundfile/"
+                    "ffmpeg; mp3_frame_info covers the metadata tier"
+                ) from None
+            mean = (
+                float(np.abs(samples.astype(np.float64)).mean() / 32768.0)
+                if samples.size
+                else 0.0
             )
+            return {"width": n_frames, "height": n_channels,
+                    "mean_value": mean}
         raise NotImplementedError(
             "non-WAV audio requires soundfile/ffmpeg; register a real "
             "Decoder for compressed formats"
