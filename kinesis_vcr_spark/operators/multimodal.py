@@ -11,8 +11,10 @@ Decoding: real codecs with numpy + the stdlib only (no PIL/ffmpeg):
 PPM, uncompressed BMP, full static PNG (every color type incl.
 palette, bit depths 1-16, all five scanline filters, Adam7
 interlace), baseline AND progressive Huffman JPEG, GIF, baseline
-TIFF, lossless WebP (VP8L), plus PCM WAV audio; the remaining
-formats (arithmetic/lossless/12-bit JPEG, lossy WebP, MP3/H.264)
+TIFF, BOTH WebP codecs (lossless VP8L and lossy VP8 key frames —
+the latter pinned bit-exact against the reference decoder), PCM +
+IMA/MS ADPCM WAV audio, and MPEG-1 Layer I/II audio; the remaining
+formats (arithmetic/lossless/12-bit JPEG, MP3 Layer III/AAC, H.264)
 raise ``NotImplementedError`` slots where PIL/ffmpeg plug
 in. ``fake_decode``
 remains the deterministic stand-in used by the oracle-checked driver
@@ -332,7 +334,7 @@ def decode_image(payload: bytes) -> dict[str, Any]:
         return {"width": w, "height": h, "mean_value": float(px.mean())}
     raise NotImplementedError(
         "unrecognized image container (PPM/BMP/PNG/JPEG/GIF/TIFF/"
-        "WebP-lossless supported); register a PIL-backed Decoder for "
+        "WebP supported); register a PIL-backed Decoder for "
         "other formats"
     )
 

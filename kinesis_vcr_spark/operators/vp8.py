@@ -1,0 +1,975 @@
+"""Lossy VP8 key-frame decoder (RFC 6386) — pure Python/numpy, no
+libwebp/PIL/ffmpeg in the decode path. Closes the last image-format
+slot in the multimodal family (VERDICT r09 item 3): still lossy WebP,
+which is most real-web WebP, now decodes in-repo like PNG/JPEG/GIF/
+TIFF/VP8L before it.
+
+Scope: intra-only KEY frames — the only frame type a still WebP (or
+the first frame of an animation) can carry: boolean arithmetic
+decoder, keyframe header, segmentation + per-segment quantizers, all
+intra prediction modes (16x16 DC/V/H/TM, the ten 4x4 B_PRED modes,
+8x8 chroma), token/coefficient decode across multiple token
+partitions, dequantization, the exact integer 4x4 IDCT and Walsh
+transform, and the NORMAL in-loop deblocking filter. Inter frames
+(golden/altref reference buffers, motion compensation) cannot occur in
+still images and raise ``NotImplementedError``; the SIMPLE loop filter
+variant is implemented from the spec but real encoders emit the normal
+filter (libwebp always does), so only the normal path is
+conformance-pinned.
+
+Validation story — this decoder is pinned BIT-EXACTLY against a real
+reference decoder, the strongest fixture tier in the repo
+(tests/test_vp8.py): the system libwebp encodes synthetic images at
+several sizes/qualities and the YUV planes this module produces must
+equal ``WebPDecodeYUV``'s output byte for byte; committed fixture
+bytes + golden digests keep the pin alive when libwebp is absent. The
+~3 KB of default entropy tables (token probabilities, update flags,
+keyframe B-mode probabilities, quantizer lookups) are PUBLIC SPEC
+CONSTANTS (RFC 6386 §13/§11.5/§14.1) materialized in
+``vp8_tables.py`` by tools/extract_vp8_tables.py — bit-exact
+conformance is unattainable with any corrupted table, so the tests
+validate the data as well as the code.
+
+The YUV 4:2:0 → RGB step for ``webp_decode``'s (h, w, 3) contract is
+OUR documented choice (BT.601 limited-range, nearest-neighbor chroma
+upsampling) — conformance is pinned in the YUV domain, where VP8
+decoding is deterministic across every conformant implementation.
+
+Scale shape: pure-Python token loops make this the slowest in-repo
+codec (~ms per 16x16 MB); like the other codecs it runs inside
+Arrow-batched ``mapInPandas`` workers, so throughput scales with
+cores × executors, not driver speed.
+
+Reference anchor: no counterpart in the reference (record/replay
+tool); SURVEY.md §2.5a E13 multimodal family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kinesis_vcr_spark.operators.vp8_tables import (
+    AC_Q,
+    COEFF_PROBS,
+    COEFF_UPDATE_PROBS,
+    DC_Q,
+    KF_BMODE_PROBS,
+)
+
+# ---------------------------------------------------------- constants
+
+ZIGZAG = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+BANDS = (0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+
+# DCT token extra-bit probabilities and bases (RFC 6386 §13.2)
+CAT_PROBS = (
+    (159,),
+    (165, 145),
+    (173, 148, 140),
+    (176, 155, 140, 135),
+    (180, 157, 141, 134, 130),
+    (254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129),
+)
+
+# intra mode numbering (RFC 6386 §11.2): DC, V, H, TM, B_PRED
+DC_PRED, V_PRED, H_PRED, TM_PRED, B_PRED = range(5)
+# 4x4 modes: DC, TM, VE, HE, RD, VR, LD, VL, HD, HU — numbered to match
+# the kf_bmode probability table's index space (libwebp/RFC order)
+B_DC, B_TM, B_VE, B_HE, B_RD, B_VR, B_LD, B_VL, B_HD, B_HU = range(10)
+
+# 16x16 mode -> implied 4x4 subblock mode for B-mode contexts
+IMPLIED_B = {DC_PRED: B_DC, V_PRED: B_VE, H_PRED: B_HE, TM_PRED: B_TM}
+
+
+class BoolDecoder:
+    """RFC 6386 §7 boolean arithmetic decoder (reads past the end of
+    the partition as zero bytes, as the spec's reference does)."""
+
+    __slots__ = ("buf", "pos", "value", "range", "bit_count")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.value = (
+            (buf[0] << 8 if len(buf) > 0 else 0)
+            | (buf[1] if len(buf) > 1 else 0)
+        )
+        self.pos = 2
+        self.range = 255
+        self.bit_count = 0
+
+    def get(self, prob: int) -> int:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        big = split << 8
+        if self.value >= big:
+            ret = 1
+            self.range -= split
+            self.value -= big
+        else:
+            ret = 0
+            self.range = split
+        while self.range < 128:
+            self.value <<= 1
+            self.range <<= 1
+            self.bit_count += 1
+            if self.bit_count == 8:
+                self.bit_count = 0
+                if self.pos < len(self.buf):
+                    self.value |= self.buf[self.pos]
+                self.pos += 1
+        return ret
+
+    def literal(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get(128)
+        return v
+
+    def signed_literal(self, n: int) -> int:
+        v = self.literal(n)
+        return -v if self.get(128) else v
+
+    def tree(self, tree: tuple, probs) -> int:
+        i = 0
+        while True:
+            i = tree[i + self.get(probs[i >> 1])]
+            if i <= 0:
+                return -i
+
+
+KF_YMODE_TREE = (-B_PRED, 2, 4, 6, -DC_PRED, -V_PRED, -H_PRED, -TM_PRED)
+KF_YMODE_PROBS = (145, 156, 163, 128)
+UV_MODE_TREE = (-DC_PRED, 2, -V_PRED, 4, -H_PRED, -TM_PRED)
+KF_UV_MODE_PROBS = (142, 114, 183)
+BMODE_TREE = (
+    -B_DC, 2, -B_TM, 4, -B_VE, 6, 8, 12, -B_HE, 10, -B_RD, -B_VR,
+    -B_LD, 14, -B_VL, 16, -B_HD, -B_HU,
+)
+SEGMENT_TREE = (2, 4, -0, -1, -2, -3)
+
+
+def _clip7(v: int, hi: int = 127) -> int:
+    return 0 if v < 0 else hi if v > hi else v
+
+
+# --------------------------------------------------------- transforms
+
+def idct4x4(block: np.ndarray) -> np.ndarray:
+    """Exact integer 4x4 inverse DCT (RFC 6386 §14.3): two passes with
+    the 20091/35468 multiplier pair, final (x + 4) >> 3."""
+    ip = block.astype(np.int64).reshape(4, 4)
+    tmp = np.empty((4, 4), np.int64)
+    for i in range(4):  # columns
+        a1 = ip[0, i] + ip[2, i]
+        b1 = ip[0, i] - ip[2, i]
+        t1 = (ip[1, i] * 35468) >> 16
+        t2 = ip[3, i] + ((ip[3, i] * 20091) >> 16)
+        c1 = t1 - t2
+        t1 = ip[1, i] + ((ip[1, i] * 20091) >> 16)
+        t2 = (ip[3, i] * 35468) >> 16
+        d1 = t1 + t2
+        tmp[0, i] = a1 + d1
+        tmp[3, i] = a1 - d1
+        tmp[1, i] = b1 + c1
+        tmp[2, i] = b1 - c1
+    out = np.empty((4, 4), np.int64)
+    for i in range(4):  # rows
+        a1 = tmp[i, 0] + tmp[i, 2]
+        b1 = tmp[i, 0] - tmp[i, 2]
+        t1 = (tmp[i, 1] * 35468) >> 16
+        t2 = tmp[i, 3] + ((tmp[i, 3] * 20091) >> 16)
+        c1 = t1 - t2
+        t1 = tmp[i, 1] + ((tmp[i, 1] * 20091) >> 16)
+        t2 = (tmp[i, 3] * 35468) >> 16
+        d1 = t1 + t2
+        out[i, 0] = (a1 + d1 + 4) >> 3
+        out[i, 3] = (a1 - d1 + 4) >> 3
+        out[i, 1] = (b1 + c1 + 4) >> 3
+        out[i, 2] = (b1 - c1 + 4) >> 3
+    return out
+
+
+def iwht4x4(block: np.ndarray) -> np.ndarray:
+    """Inverse Walsh-Hadamard for the Y2 DC block (RFC 6386 §14.3)."""
+    ip = block.astype(np.int64).reshape(4, 4)
+    tmp = np.empty((4, 4), np.int64)
+    for i in range(4):  # columns
+        a1 = ip[0, i] + ip[3, i]
+        b1 = ip[1, i] + ip[2, i]
+        c1 = ip[1, i] - ip[2, i]
+        d1 = ip[0, i] - ip[3, i]
+        tmp[0, i] = a1 + b1
+        tmp[1, i] = c1 + d1
+        tmp[2, i] = a1 - b1
+        tmp[3, i] = d1 - c1
+    out = np.empty((4, 4), np.int64)
+    for i in range(4):  # rows
+        a1 = tmp[i, 0] + tmp[i, 3]
+        b1 = tmp[i, 1] + tmp[i, 2]
+        c1 = tmp[i, 1] - tmp[i, 2]
+        d1 = tmp[i, 0] - tmp[i, 3]
+        out[i, 0] = (a1 + b1 + 3) >> 3
+        out[i, 1] = (c1 + d1 + 3) >> 3
+        out[i, 2] = (a1 - b1 + 3) >> 3
+        out[i, 3] = (d1 - c1 + 3) >> 3
+    return out
+
+
+# ------------------------------------------------------ token decode
+
+def _get_large_value(bd: BoolDecoder, p) -> int:
+    if not bd.get(p[3]):
+        if not bd.get(p[4]):
+            return 2
+        return 3 + bd.get(p[5])
+    if not bd.get(p[6]):
+        if not bd.get(p[7]):
+            return 5 + bd.get(159)
+        return 7 + 2 * bd.get(165) + bd.get(145)
+    bit1 = bd.get(p[8])
+    bit0 = bd.get(p[9 + bit1])
+    cat = 2 * bit1 + bit0  # categories 3..6 (0-based here)
+    v = 0
+    for prob in CAT_PROBS[cat + 2]:
+        v += v + bd.get(prob)
+    return v + 3 + (8 << cat)
+
+
+def _get_coeffs(bd, probs_type, ctx, dq, first, out) -> int:
+    """Token-decode one 4x4 block into ``out`` (zigzag-placed,
+    dequantized). Returns the EOB position (RFC 6386 §13.3)."""
+    n = first
+    p = probs_type[BANDS[n]][ctx]
+    while n < 16:
+        if not bd.get(p[0]):  # EOB
+            return n
+        while not bd.get(p[1]):  # zero runs (no EOB after a zero)
+            n += 1
+            if n == 16:
+                return 16
+            p = probs_type[BANDS[n]][0]
+        if not bd.get(p[2]):
+            v = 1
+            next_ctx = 1
+        else:
+            v = _get_large_value(bd, p)
+            next_ctx = 2
+        if bd.get(128):
+            v = -v
+        out[ZIGZAG[n]] = v * dq[1 if n > 0 else 0]
+        n += 1
+        if n < 16:
+            p = probs_type[BANDS[n]][next_ctx]
+    return 16
+
+
+# ------------------------------------------------------- prediction
+
+def _pred16_or_8(plane, mbx, mby, size, mode):
+    """Whole-block intra prediction (16x16 luma / 8x8 chroma)."""
+    x0, y0 = mbx * size, mby * size
+    have_above = mby > 0
+    have_left = mbx > 0
+    above = plane[y0 - 1, x0 : x0 + size].astype(np.int32) if have_above \
+        else np.full(size, 127, np.int32)
+    left = plane[y0 : y0 + size, x0 - 1].astype(np.int32) if have_left \
+        else np.full(size, 129, np.int32)
+    if mode == DC_PRED:
+        if have_above and have_left:
+            dc = (int(above.sum()) + int(left.sum()) + size) >> (
+                5 if size == 16 else 4
+            )
+        elif have_above:
+            dc = (int(above.sum()) + size // 2) >> (4 if size == 16 else 3)
+        elif have_left:
+            dc = (int(left.sum()) + size // 2) >> (4 if size == 16 else 3)
+        else:
+            dc = 128
+        return np.full((size, size), dc, np.int32)
+    if mode == V_PRED:
+        return np.tile(above, (size, 1))
+    if mode == H_PRED:
+        return np.tile(left[:, None], (1, size))
+    # TM_PRED — above-left follows the synthetic-border convention:
+    # the whole top border (corner included) is 127 on the first MB
+    # row; the left border is 129 below it
+    if not have_above:
+        al = 127
+    elif not have_left:
+        al = 129
+    else:
+        al = int(plane[y0 - 1, x0 - 1])
+    return np.clip(left[:, None] + above[None, :] - al, 0, 255)
+
+
+def _avg3(a, b, c):
+    return (a + 2 * b + c + 2) >> 2
+
+
+def _avg2(a, b):
+    return (a + b + 1) >> 1
+
+
+def _pred4(mode, a, l, p, ar):
+    """4x4 B_PRED (RFC 6386 §12.3). ``a``: above[0..3], ``l``:
+    left[0..3], ``p``: above-left, ``ar``: above-right[0..3]. Returns a
+    4x4 int array."""
+    out = np.empty((4, 4), np.int32)
+    e = list(a) + list(ar)  # above row extended
+    if mode == B_DC:
+        dc = (sum(a) + sum(l) + 4) >> 3
+        out[:] = dc
+    elif mode == B_TM:
+        for r in range(4):
+            for c in range(4):
+                v = l[r] + a[c] - p
+                out[r, c] = 0 if v < 0 else 255 if v > 255 else v
+    elif mode == B_VE:
+        row = [_avg3(p, a[0], a[1]), _avg3(a[0], a[1], a[2]),
+               _avg3(a[1], a[2], a[3]), _avg3(a[2], a[3], ar[0])]
+        out[:] = row
+    elif mode == B_HE:
+        col = [_avg3(p, l[0], l[1]), _avg3(l[0], l[1], l[2]),
+               _avg3(l[1], l[2], l[3]), _avg3(l[2], l[3], l[3])]
+        for r in range(4):
+            out[r, :] = col[r]
+    elif mode == B_LD:
+        for r in range(4):
+            for c in range(4):
+                i = r + c
+                out[r, c] = _avg3(e[i], e[i + 1], e[i + 2]) if i < 6 \
+                    else _avg3(e[6], e[7], e[7])
+    elif mode == B_RD:
+        g = [l[3], l[2], l[1], l[0], p, a[0], a[1], a[2], a[3]]
+        for r in range(4):
+            for c in range(4):
+                i = c - r + 4  # diagonal index into g, 1..7
+                out[r, c] = _avg3(g[i - 1], g[i], g[i + 1])
+    elif mode == B_VR:
+        g = [l[3], l[2], l[1], l[0], p, a[0], a[1], a[2], a[3]]
+        # per RFC: column-major walk of the 9 boundary pixels
+        out[0, 0] = _avg2(g[4], g[5])
+        out[1, 0] = _avg3(g[3], g[4], g[5])
+        out[2, 0] = _avg3(g[2], g[3], g[4])
+        out[3, 0] = _avg3(g[1], g[2], g[3])
+        out[0, 1] = _avg2(g[5], g[6])
+        out[1, 1] = _avg3(g[4], g[5], g[6])
+        out[2, 1] = out[0, 0]
+        out[3, 1] = out[1, 0]
+        out[0, 2] = _avg2(g[6], g[7])
+        out[1, 2] = _avg3(g[5], g[6], g[7])
+        out[2, 2] = out[0, 1]
+        out[3, 2] = out[1, 1]
+        out[0, 3] = _avg2(g[7], g[8])
+        out[1, 3] = _avg3(g[6], g[7], g[8])
+        out[2, 3] = out[0, 2]
+        out[3, 3] = out[1, 2]
+    elif mode == B_VL:
+        out[0, 0] = _avg2(e[0], e[1])
+        out[1, 0] = _avg3(e[0], e[1], e[2])
+        out[2, 0] = _avg2(e[1], e[2])
+        out[3, 0] = _avg3(e[1], e[2], e[3])
+        out[0, 1] = out[2, 0]
+        out[1, 1] = out[3, 0]
+        out[2, 1] = _avg2(e[2], e[3])
+        out[3, 1] = _avg3(e[2], e[3], e[4])
+        out[0, 2] = out[2, 1]
+        out[1, 2] = out[3, 1]
+        out[2, 2] = _avg2(e[3], e[4])
+        out[3, 2] = _avg3(e[3], e[4], e[5])
+        out[0, 3] = out[2, 2]
+        out[1, 3] = out[3, 2]
+        out[2, 3] = _avg3(e[4], e[5], e[6])
+        out[3, 3] = _avg3(e[5], e[6], e[7])
+    elif mode == B_HD:
+        g = [l[3], l[2], l[1], l[0], p, a[0], a[1], a[2]]
+        out[3, 0] = _avg2(g[0], g[1])
+        out[3, 1] = _avg3(g[0], g[1], g[2])
+        out[2, 0] = _avg2(g[1], g[2])
+        out[2, 1] = _avg3(g[1], g[2], g[3])
+        out[3, 2] = out[2, 0]
+        out[3, 3] = out[2, 1]
+        out[1, 0] = _avg2(g[2], g[3])
+        out[1, 1] = _avg3(g[2], g[3], g[4])
+        out[2, 2] = out[1, 0]
+        out[2, 3] = out[1, 1]
+        out[0, 0] = _avg2(g[3], g[4])
+        out[0, 1] = _avg3(g[3], g[4], g[5])
+        out[1, 2] = out[0, 0]
+        out[1, 3] = out[0, 1]
+        out[0, 2] = _avg3(g[4], g[5], g[6])
+        out[0, 3] = _avg3(g[5], g[6], g[7])
+    else:  # B_HU
+        out[0, 0] = _avg2(l[0], l[1])
+        out[0, 1] = _avg3(l[0], l[1], l[2])
+        out[0, 2] = _avg2(l[1], l[2])
+        out[0, 3] = _avg3(l[1], l[2], l[3])
+        out[1, 0] = out[0, 2]
+        out[1, 1] = out[0, 3]
+        out[1, 2] = _avg2(l[2], l[3])
+        out[1, 3] = _avg3(l[2], l[3], l[3])
+        out[2, 0] = out[1, 2]
+        out[2, 1] = out[1, 3]
+        out[2, 2] = l[3]
+        out[2, 3] = l[3]
+        out[3, :] = l[3]
+    return out
+
+
+# ------------------------------------------------------- loop filter
+
+def _s(v):
+    """u8 plane slice -> signed working values."""
+    return v.astype(np.int32) - 128
+
+
+def _c128(v):
+    return np.clip(v, -128, 127)
+
+
+def _u(v):
+    return (np.clip(v, -128, 127) + 128).astype(np.uint8)
+
+
+def _filter_edge(p3, p2, p1, p0, q0, q1, q2, q3, edge_lim, int_lim,
+                 hev_t, is_mb_edge):
+    """Normal loop filter across one edge (vectors of pixels along the
+    edge). Returns the filtered (p2, p1, p0, q0, q1, q2)."""
+    P3, P2, P1, P0 = _s(p3), _s(p2), _s(p1), _s(p0)
+    Q0, Q1, Q2, Q3 = _s(q0), _s(q1), _s(q2), _s(q3)
+    mask = (
+        (np.abs(P0 - Q0) * 2 + (np.abs(P1 - Q1) >> 1) <= edge_lim)
+        & (np.abs(P3 - P2) <= int_lim) & (np.abs(P2 - P1) <= int_lim)
+        & (np.abs(P1 - P0) <= int_lim) & (np.abs(Q1 - Q0) <= int_lim)
+        & (np.abs(Q2 - Q1) <= int_lim) & (np.abs(Q3 - Q2) <= int_lim)
+    )
+    hev = (np.abs(P1 - P0) > hev_t) | (np.abs(Q1 - Q0) > hev_t)
+    # common adjust with outer taps where hev, else filter variants
+    w = _c128(_c128(P1 - Q1) + 3 * (Q0 - P0))
+    # simple/hev path: adjust p0/q0 only
+    f1 = _c128(w + 4) >> 3
+    f2 = _c128(w + 3) >> 3
+    if is_mb_edge:
+        # hev pixels: common_adjust(1); else the 27/18/9-tap smoothing
+        a0 = (27 * w + 63) >> 7
+        a1 = (18 * w + 63) >> 7
+        a2 = (9 * w + 63) >> 7
+        np0 = np.where(hev, P0 + f2, P0 + a0)
+        nq0 = np.where(hev, Q0 - f1, Q0 - a0)
+        np1 = np.where(hev, P1, P1 + a1)
+        nq1 = np.where(hev, Q1, Q1 - a1)
+        np2 = np.where(hev, P2, P2 + a2)
+        nq2 = np.where(hev, Q2, Q2 - a2)
+    else:
+        # subblock: hev uses outer taps; !hev recomputes w without them
+        wn = _c128(3 * (Q0 - P0))
+        f1n = _c128(wn + 4) >> 3
+        f2n = _c128(wn + 3) >> 3
+        a = (f1n + 1) >> 1
+        np0 = np.where(hev, P0 + f2, P0 + f2n)
+        nq0 = np.where(hev, Q0 - f1, Q0 - f1n)
+        np1 = np.where(hev, P1, P1 + a)
+        nq1 = np.where(hev, Q1, Q1 - a)
+        np2, nq2 = P2, Q2
+    keep = ~mask
+    out = []
+    for orig, new in ((P2, np2), (P1, np1), (P0, np0), (Q0, nq0),
+                      (Q1, nq1), (Q2, nq2)):
+        out.append(_u(np.where(keep, orig, new)))
+    return out
+
+
+def _simple_edge(p1, p0, q0, q1, edge_lim):
+    """Simple loop filter (RFC 6386 §15.1) on one edge."""
+    P1, P0, Q0, Q1 = _s(p1), _s(p0), _s(q0), _s(q1)
+    mask = (np.abs(P0 - Q0) * 2 + (np.abs(P1 - Q1) >> 1)) <= edge_lim
+    w = _c128(_c128(P1 - Q1) + 3 * (Q0 - P0))
+    f1 = _c128(w + 4) >> 3
+    f2 = _c128(w + 3) >> 3
+    np0 = np.where(mask, P0 + f2, P0)
+    nq0 = np.where(mask, Q0 - f1, Q0)
+    return _u(np0), _u(nq0)
+
+
+# ------------------------------------------------------------ decoder
+
+class _Header:
+    pass
+
+
+def _parse_header(bd: BoolDecoder) -> _Header:
+    h = _Header()
+    h.color_space = bd.get(128)
+    h.clamping = bd.get(128)
+    h.segmentation = bd.get(128)
+    h.segment_quant = [0, 0, 0, 0]
+    h.segment_filter = [0, 0, 0, 0]
+    h.segment_abs = 0
+    h.update_map = 0
+    h.segment_probs = [255, 255, 255]
+    if h.segmentation:
+        h.update_map = bd.get(128)
+        update_data = bd.get(128)
+        if update_data:
+            h.segment_abs = bd.get(128)
+            for i in range(4):
+                if bd.get(128):
+                    h.segment_quant[i] = bd.signed_literal(7)
+            for i in range(4):
+                if bd.get(128):
+                    h.segment_filter[i] = bd.signed_literal(6)
+        if h.update_map:
+            for i in range(3):
+                if bd.get(128):
+                    h.segment_probs[i] = bd.literal(8)
+    h.filter_type = bd.get(128)
+    h.filter_level = bd.literal(6)
+    h.sharpness = bd.literal(3)
+    h.lf_delta = bd.get(128)
+    h.ref_lf_deltas = [0, 0, 0, 0]
+    h.mode_lf_deltas = [0, 0, 0, 0]
+    if h.lf_delta and bd.get(128):
+        for i in range(4):
+            if bd.get(128):
+                h.ref_lf_deltas[i] = bd.signed_literal(6)
+        for i in range(4):
+            if bd.get(128):
+                h.mode_lf_deltas[i] = bd.signed_literal(6)
+    h.n_parts = 1 << bd.literal(2)
+    h.y_ac_qi = bd.literal(7)
+    h.y_dc_delta = bd.signed_literal(4) if bd.get(128) else 0
+    h.y2_dc_delta = bd.signed_literal(4) if bd.get(128) else 0
+    h.y2_ac_delta = bd.signed_literal(4) if bd.get(128) else 0
+    h.uv_dc_delta = bd.signed_literal(4) if bd.get(128) else 0
+    h.uv_ac_delta = bd.signed_literal(4) if bd.get(128) else 0
+    h.refresh_entropy = bd.get(128)
+    # coefficient probability updates
+    h.coeff_probs = [
+        [[list(COEFF_PROBS[t][b][c]) for c in range(3)] for b in range(8)]
+        for t in range(4)
+    ]
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                for p in range(11):
+                    if bd.get(COEFF_UPDATE_PROBS[t][b][c][p]):
+                        h.coeff_probs[t][b][c][p] = bd.literal(8)
+    h.use_skip = bd.get(128)
+    h.skip_prob = bd.literal(8) if h.use_skip else 0
+    return h
+
+
+def _quantizers(h: _Header) -> list[tuple]:
+    """Per-segment (y1, y2, uv) dequant factor pairs."""
+    out = []
+    for s in range(4):
+        if h.segmentation:
+            q = h.segment_quant[s] if h.segment_abs \
+                else h.y_ac_qi + h.segment_quant[s]
+        else:
+            q = h.y_ac_qi
+        q = _clip7(q)
+        y1 = (DC_Q[_clip7(q + h.y_dc_delta)], AC_Q[q])
+        y2 = (DC_Q[_clip7(q + h.y2_dc_delta)] * 2,
+              max(AC_Q[_clip7(q + h.y2_ac_delta)] * 155 // 100, 8))
+        uv = (DC_Q[_clip7(q + h.uv_dc_delta, 117)],
+              AC_Q[_clip7(q + h.uv_ac_delta)])
+        out.append((y1, y2, uv))
+    return out
+
+
+def vp8_decode(chunk: bytes) -> tuple[int, int, np.ndarray, np.ndarray,
+                                      np.ndarray]:
+    """Decode a VP8 chunk payload (key frame) → (width, height, Y, U, V)
+    planes: Y is (h, w) uint8, U/V are the half-resolution 4:2:0
+    planes (bit-exact vs the reference decoder; conversion to RGB is a
+    separate, documented step)."""
+    if len(chunk) < 10:
+        raise ValueError("VP8 chunk too short")
+    tag = chunk[0] | (chunk[1] << 8) | (chunk[2] << 16)
+    if tag & 1:
+        raise NotImplementedError(
+            "VP8 inter frame: only key frames occur in still WebP"
+        )
+    first_part_size = tag >> 5
+    if chunk[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("bad VP8 key-frame start code")
+    w = (chunk[6] | (chunk[7] << 8)) & 0x3FFF
+    h = (chunk[8] | (chunk[9] << 8)) & 0x3FFF
+    if w == 0 or h == 0:
+        raise ValueError("empty VP8 frame")
+    if 10 + first_part_size > len(chunk):
+        raise ValueError("VP8 first partition overruns the chunk")
+    mb_w = (w + 15) // 16
+    mb_h = (h + 15) // 16
+
+    part0 = chunk[10 : 10 + first_part_size]
+    bd = BoolDecoder(part0)
+    hdr = _parse_header(bd)
+    quant = _quantizers(hdr)
+
+    # token partitions
+    rest = chunk[10 + first_part_size :]
+    sizes = []
+    off = (hdr.n_parts - 1) * 3
+    for i in range(hdr.n_parts - 1):
+        sizes.append(rest[3 * i] | (rest[3 * i + 1] << 8)
+                     | (rest[3 * i + 2] << 16))
+    parts = []
+    for s in sizes:
+        parts.append(BoolDecoder(rest[off : off + s]))
+        off += s
+    parts.append(BoolDecoder(rest[off:]))
+
+    # ---------------- per-MB mode parse (first partition)
+    n_mb = mb_w * mb_h
+    seg_ids = np.zeros(n_mb, np.int32)
+    skips = np.zeros(n_mb, bool)
+    ymodes = np.zeros(n_mb, np.int32)
+    uvmodes = np.zeros(n_mb, np.int32)
+    bmodes = np.zeros((n_mb, 16), np.int32)
+    above_b = np.zeros((mb_w, 4), np.int32)  # B-mode ctx rows
+    for mby in range(mb_h):
+        left_b = np.zeros(4, np.int32)
+        for mbx in range(mb_w):
+            i = mby * mb_w + mbx
+            if hdr.segmentation and hdr.update_map:
+                seg_ids[i] = bd.tree(SEGMENT_TREE, hdr.segment_probs)
+            if hdr.use_skip:
+                skips[i] = bool(bd.get(hdr.skip_prob))
+            ym = bd.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
+            ymodes[i] = ym
+            if ym == B_PRED:
+                for r in range(4):
+                    for c in range(4):
+                        a = above_b[mbx, c] if r == 0 else bmodes[i, (r - 1) * 4 + c]
+                        l = (left_b[r] if c == 0 else bmodes[i, r * 4 + c - 1])
+                        m = bd.tree(BMODE_TREE, KF_BMODE_PROBS[a][l])
+                        bmodes[i, r * 4 + c] = m
+                above_b[mbx] = bmodes[i, 12:16]
+                left_b[:] = bmodes[i, 3::4]
+            else:
+                ib = IMPLIED_B[ym]
+                bmodes[i, :] = ib
+                above_b[mbx] = ib
+                left_b[:] = ib
+            uvmodes[i] = bd.tree(UV_MODE_TREE, KF_UV_MODE_PROBS)
+
+    # ---------------- residuals + reconstruction
+    W16, H16 = mb_w * 16, mb_h * 16
+    W8, H8 = mb_w * 8, mb_h * 8
+    Y = np.zeros((H16, W16), np.uint8)
+    U = np.zeros((H8, W8), np.uint8)
+    V = np.zeros((H8, W8), np.uint8)
+
+    t_y = np.zeros((mb_w, 4), np.int32)
+    t_u = np.zeros((mb_w, 2), np.int32)
+    t_v = np.zeros((mb_w, 2), np.int32)
+    t_y2 = np.zeros(mb_w, np.int32)
+    has_coeffs = np.zeros(n_mb, bool)
+
+    for mby in range(mb_h):
+        br = parts[mby % hdr.n_parts]
+        l_y = np.zeros(4, np.int32)
+        l_u = np.zeros(2, np.int32)
+        l_v = np.zeros(2, np.int32)
+        l_y2 = 0
+        for mbx in range(mb_w):
+            i = mby * mb_w + mbx
+            is_b = ymodes[i] == B_PRED
+            (y1dq, y2dq, uvdq) = quant[seg_ids[i]]
+            coeffs = np.zeros((25, 16), np.int64)
+            any_nz = False
+            if skips[i]:
+                l_y[:] = 0
+                t_y[mbx, :] = 0
+                l_u[:] = 0
+                t_u[mbx, :] = 0
+                l_v[:] = 0
+                t_v[mbx, :] = 0
+                if not is_b:
+                    l_y2 = 0
+                    t_y2[mbx] = 0
+            else:
+                if not is_b:
+                    ctx = l_y2 + t_y2[mbx]
+                    nz = _get_coeffs(br, hdr.coeff_probs[1], ctx, y2dq, 0,
+                                     coeffs[24])
+                    l_y2 = t_y2[mbx] = int(nz > 0)
+                    any_nz |= nz > 0
+                    first, ptype = 1, 0
+                else:
+                    first, ptype = 0, 3
+                for r in range(4):
+                    for c in range(4):
+                        ctx = l_y[r] + t_y[mbx, c]
+                        nz = _get_coeffs(br, hdr.coeff_probs[ptype], ctx,
+                                         y1dq, first, coeffs[r * 4 + c])
+                        l_y[r] = t_y[mbx, c] = int(nz > first)
+                        any_nz |= nz > first
+                for base, tarr, larr in ((16, t_u, l_u), (20, t_v, l_v)):
+                    for r in range(2):
+                        for c in range(2):
+                            ctx = larr[r] + tarr[mbx, c]
+                            nz = _get_coeffs(br, hdr.coeff_probs[2], ctx,
+                                             uvdq, 0,
+                                             coeffs[base + r * 2 + c])
+                            larr[r] = tarr[mbx, c] = int(nz > 0)
+                            any_nz |= nz > 0
+            has_coeffs[i] = any_nz
+
+            # ---- reconstruct
+            if not is_b and coeffs[24].any():
+                dc = iwht4x4(coeffs[24])
+                for b in range(16):
+                    coeffs[b][0] = dc[b // 4, b % 4]
+
+            x0, y0 = mbx * 16, mby * 16
+            if not is_b:
+                pred = _pred16_or_8(Y, mbx, mby, 16, ymodes[i])
+                for b in range(16):
+                    r, c = b // 4, b % 4
+                    blk = pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+                    if coeffs[b].any():
+                        blk = blk + idct4x4(coeffs[b])
+                    Y[y0 + r * 4 : y0 + r * 4 + 4,
+                      x0 + c * 4 : x0 + c * 4 + 4] = np.clip(blk, 0, 255)
+            else:
+                # the above-right samples for right-column subblocks:
+                # captured ONCE per MB from the row above (the below-
+                # right rows are not yet decoded — the spec's stale-copy
+                # rule); the rightmost MB replicates its last above
+                # pixel, the top row uses the synthetic 127
+                if mby == 0:
+                    tr = [127, 127, 127, 127]
+                elif mbx < mb_w - 1:
+                    tr = [int(v) for v in Y[y0 - 1, x0 + 16 : x0 + 20]]
+                else:
+                    tr = [int(Y[y0 - 1, x0 + 15])] * 4
+                for b in range(16):
+                    r, c = b // 4, b % 4
+                    py, px = y0 + r * 4, x0 + c * 4
+                    if py == 0:
+                        a = [127, 127, 127, 127]
+                        ar = [127, 127, 127, 127]
+                    else:
+                        a = [int(v) for v in Y[py - 1, px : px + 4]]
+                        ar = tr if c == 3 else [
+                            int(v) for v in Y[py - 1, px + 4 : px + 8]
+                        ]
+                    l = [129] * 4 if px == 0 else [
+                        int(v) for v in Y[py : py + 4, px - 1]
+                    ]
+                    if py == 0:
+                        p = 127
+                    elif px == 0:
+                        p = 129
+                    else:
+                        p = int(Y[py - 1, px - 1])
+                    blk = _pred4(bmodes[i, b], a, l, p, ar)
+                    if coeffs[b].any():
+                        blk = blk + idct4x4(coeffs[b])
+                    Y[py : py + 4, px : px + 4] = np.clip(blk, 0, 255)
+
+            for plane, base, mode in ((U, 16, uvmodes[i]),
+                                      (V, 20, uvmodes[i])):
+                predc = _pred16_or_8(plane, mbx, mby, 8, mode)
+                cx0, cy0 = mbx * 8, mby * 8
+                for b in range(4):
+                    r, c = b // 2, b % 2
+                    blk = predc[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4]
+                    if coeffs[base + b].any():
+                        blk = blk + idct4x4(coeffs[base + b])
+                    plane[cy0 + r * 4 : cy0 + r * 4 + 4,
+                          cx0 + c * 4 : cx0 + c * 4 + 4] = np.clip(blk, 0, 255)
+
+    # ---------------- loop filter
+    if hdr.filter_level > 0:
+        _loop_filter(Y, U, V, hdr, quant, seg_ids, ymodes, has_coeffs,
+                     mb_w, mb_h)
+
+    return w, h, Y[:h, :w], U[: (h + 1) // 2, : (w + 1) // 2], \
+        V[: (h + 1) // 2, : (w + 1) // 2]
+
+
+def _mb_filter_level(hdr: _Header, seg: int, is_b: bool) -> int:
+    lvl = hdr.segment_filter[seg] if (hdr.segmentation and hdr.segment_abs) \
+        else hdr.filter_level + (hdr.segment_filter[seg]
+                                 if hdr.segmentation else 0)
+    if hdr.lf_delta:
+        lvl += hdr.ref_lf_deltas[0]  # intra (keyframe)
+        if is_b:
+            lvl += hdr.mode_lf_deltas[0]
+    return max(0, min(63, lvl))
+
+
+def _limits(lvl: int, sharpness: int):
+    interior = lvl
+    if sharpness:
+        interior >>= 2 if sharpness > 4 else 1
+        if interior > 9 - sharpness:
+            interior = 9 - sharpness
+    if interior < 1:
+        interior = 1
+    hev_t = 2 if lvl >= 40 else (1 if lvl >= 15 else 0)
+    mb_lim = (lvl + 2) * 2 + interior
+    sb_lim = lvl * 2 + interior
+    return interior, hev_t, mb_lim, sb_lim
+
+
+def _v_edge(plane, x, rows, lim, interior, hev_t, mb_edge):
+    """Filter the vertical edge at column x (normal filter)."""
+    sl = plane[rows, :]
+    cols = [sl[:, x + d] for d in range(-4, 4)]
+    res = _filter_edge(*cols, lim, interior, hev_t, mb_edge)
+    for d, v in zip(range(-3, 3), res):
+        plane[rows, x + d] = v
+
+
+def _h_edge(plane, y, cols, lim, interior, hev_t, mb_edge):
+    sl = plane[:, cols]
+    rows = [sl[y + d, :] for d in range(-4, 4)]
+    res = _filter_edge(*rows, lim, interior, hev_t, mb_edge)
+    for d, v in zip(range(-3, 3), res):
+        plane[y + d, cols] = v
+
+
+def _loop_filter(Y, U, V, hdr, quant, seg_ids, ymodes, has_coeffs,
+                 mb_w, mb_h):
+    simple = hdr.filter_type == 1
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            i = mby * mb_w + mbx
+            is_b = ymodes[i] == B_PRED
+            lvl = _mb_filter_level(hdr, int(seg_ids[i]), is_b)
+            if lvl == 0:
+                continue
+            interior, hev_t, mb_lim, sb_lim = _limits(lvl, hdr.sharpness)
+            inner = bool(has_coeffs[i]) or is_b
+            x0, y0 = mbx * 16, mby * 16
+            cx0, cy0 = mbx * 8, mby * 8
+            yrows = slice(y0, y0 + 16)
+            ycols = slice(x0, x0 + 16)
+            crows = slice(cy0, cy0 + 8)
+            ccols = slice(cx0, cx0 + 8)
+            if simple:
+                if mbx > 0:
+                    _simple_v(Y, x0, yrows, mb_lim)
+                if inner:
+                    for d in (4, 8, 12):
+                        _simple_v(Y, x0 + d, yrows, sb_lim)
+                if mby > 0:
+                    _simple_h(Y, y0, ycols, mb_lim)
+                if inner:
+                    for d in (4, 8, 12):
+                        _simple_h(Y, y0 + d, ycols, sb_lim)
+                continue
+            if mbx > 0:
+                _v_edge(Y, x0, yrows, mb_lim, interior, hev_t, True)
+                _v_edge(U, cx0, crows, mb_lim, interior, hev_t, True)
+                _v_edge(V, cx0, crows, mb_lim, interior, hev_t, True)
+            if inner:
+                for d in (4, 8, 12):
+                    _v_edge(Y, x0 + d, yrows, sb_lim, interior, hev_t, False)
+                _v_edge(U, cx0 + 4, crows, sb_lim, interior, hev_t, False)
+                _v_edge(V, cx0 + 4, crows, sb_lim, interior, hev_t, False)
+            if mby > 0:
+                _h_edge(Y, y0, ycols, mb_lim, interior, hev_t, True)
+                _h_edge(U, cy0, ccols, mb_lim, interior, hev_t, True)
+                _h_edge(V, cy0, ccols, mb_lim, interior, hev_t, True)
+            if inner:
+                for d in (4, 8, 12):
+                    _h_edge(Y, y0 + d, ycols, sb_lim, interior, hev_t, False)
+                _h_edge(U, cy0 + 4, ccols, sb_lim, interior, hev_t, False)
+                _h_edge(V, cy0 + 4, ccols, sb_lim, interior, hev_t, False)
+
+
+def _simple_v(plane, x, rows, lim):
+    sl = plane[rows, :]
+    p1, p0, q0, q1 = (sl[:, x - 2], sl[:, x - 1], sl[:, x], sl[:, x + 1])
+    np0, nq0 = _simple_edge(p1, p0, q0, q1, lim)
+    plane[rows, x - 1] = np0
+    plane[rows, x] = nq0
+
+
+def _simple_h(plane, y, cols, lim):
+    sl = plane[:, cols]
+    p1, p0, q0, q1 = (sl[y - 2, :], sl[y - 1, :], sl[y, :], sl[y + 1, :])
+    np0, nq0 = _simple_edge(p1, p0, q0, q1, lim)
+    plane[y - 1, cols] = np0
+    plane[y, cols] = nq0
+
+
+# --------------------------------------------------------- container
+
+def yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """BT.601 limited-range YUV 4:2:0 → (h, w, 3) uint8 RGB with
+    nearest-neighbor chroma upsampling — the documented conversion for
+    ``webp_decode``'s contract (conformance is pinned on the YUV
+    planes themselves)."""
+    h, w = y.shape
+    uu = u.repeat(2, 0).repeat(2, 1)[:h, :w].astype(np.int32) - 128
+    vv = v.repeat(2, 0).repeat(2, 1)[:h, :w].astype(np.int32) - 128
+    c = 298 * (y.astype(np.int32) - 16)
+    r = (c + 409 * vv + 128) >> 8
+    g = (c - 100 * uu - 208 * vv + 128) >> 8
+    b = (c + 516 * uu + 128) >> 8
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def decode_alpha(data: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk → (h, w) uint8 alpha plane: raw (method 0) or
+    headerless VP8L (method 1, alpha in the green channel), then the
+    per-row prediction filter is undone (public WebP container spec)."""
+    method = data[0] & 0x3
+    filt = (data[0] >> 2) & 0x3
+    body = data[1:]
+    if method == 0:
+        plane = np.frombuffer(body[: w * h], np.uint8).reshape(h, w).copy()
+    elif method == 1:
+        from kinesis_vcr_spark.operators.webp import (  # noqa: PLC0415
+            _Bits,
+            _decode_image_stream,
+            _inv_color_indexing,
+            _inv_color_transform,
+            _inv_predictor,
+            _inv_subtract_green,
+        )
+
+        br = _Bits(body)
+        argb, transforms, cur_w = _decode_image_stream(br, w, h, True)
+        for t, p1, p2, sub in reversed(transforms):
+            if t == 0:
+                argb = _inv_predictor(argb, cur_w, h, p1, p2, sub)
+            elif t == 1:
+                argb = _inv_color_transform(argb, cur_w, h, p1, p2, sub)
+            elif t == 2:
+                argb = _inv_subtract_green(argb)
+            else:
+                argb, cur_w = _inv_color_indexing(argb, h, p1, sub)
+        plane = ((argb >> 8) & 0xFF).astype(np.uint8).reshape(h, w)
+    else:
+        raise NotImplementedError(f"ALPH compression method {method}")
+    if filt:
+        plane = plane.astype(np.int32)
+        for row in range(h):
+            for col in range(w):
+                if filt == 1:  # horizontal
+                    pred = plane[row, col - 1] if col else (
+                        plane[row - 1, col] if row else 0)
+                elif filt == 2:  # vertical
+                    pred = plane[row - 1, col] if row else (
+                        plane[row, col - 1] if col else 0)
+                else:  # gradient
+                    if row and col:
+                        g = (plane[row, col - 1] + plane[row - 1, col]
+                             - plane[row - 1, col - 1])
+                        pred = min(max(g, 0), 255)
+                    elif col:
+                        pred = plane[row, col - 1]
+                    elif row:
+                        pred = plane[row - 1, col]
+                    else:
+                        pred = 0
+                plane[row, col] = (plane[row, col] + pred) & 0xFF
+        plane = plane.astype(np.uint8)
+    return plane

@@ -25,8 +25,8 @@ def test_stub_decoders_raise():
         decode_image(b"GIF89a" + b"\x00" * 4)  # truncated header
     with pytest.raises(ValueError):  # TIFF is real now (test_tiff.py);
         decode_image(b"II*\x00 truncated tiff")  # malformed fails loud
-    with pytest.raises(NotImplementedError):  # lossless WebP is real now
-        # (test_webp.py); lossy VP8 stays the DSP slot
+    with pytest.raises(ValueError):  # BOTH WebP codecs are real now
+        # (test_webp.py / test_vp8.py); an empty VP8 chunk fails loud
         decode_image(b"RIFF1234WEBPVP8 \x00\x00\x00\x00")
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF")

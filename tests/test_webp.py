@@ -73,7 +73,7 @@ def balanced(used: list[int]) -> dict[int, int]:
     return {s: (level - 1 if i < short else level) for i, s in enumerate(used)}
 
 
-CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 
 def emit_code(
@@ -655,8 +655,10 @@ def test_container_vp8x_skip_and_padding():
 def test_container_errors():
     with pytest.raises(ValueError, match="RIFF"):
         webp_decode(b"JUNKJUNKJUNKJUNK")
+    # lossy VP8 decodes for real now (tests/test_vp8.py); an EMPTY
+    # VP8 chunk must still fail loudly
     lossy = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
-    with pytest.raises(NotImplementedError, match="lossy"):
+    with pytest.raises(ValueError, match="too short"):
         webp_decode(lossy)
     # a bare ANIM chunk with no VP8X header is a malformed animation
     # (animated decode is real now — tests below)
@@ -776,7 +778,8 @@ def test_animated_guards():
     headless = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
     with pytest.raises(ValueError, match="VP8X"):
         webp_frames(headless)
-    # lossy frame stays the DSP slot
+    # lossy frames decode for real now (tests/test_vp8.py); a
+    # truncated VP8 frame chunk must still fail loudly
     lossy_body = (u24(0) + u24(0) + u24(3) + u24(1) + u24(10) + bytes([0])
                   + b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00")
     lossy = anim_container(8, 6, [])[:12]
@@ -784,7 +787,7 @@ def test_animated_guards():
     lossy += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
     lossy += b"ANMF" + struct.pack("<I", len(lossy_body)) + lossy_body
     lossy = lossy[:4] + struct.pack("<I", len(lossy) - 8) + lossy[8:]
-    with pytest.raises(NotImplementedError, match="lossy"):
+    with pytest.raises(ValueError, match="too short"):
         webp_frames(lossy)
 
 
@@ -846,8 +849,10 @@ def test_vp8_lossy_key_frame_dimensions_parse():
     with pytest.raises(ValueError, match="too short"):
         vp8_key_frame_dimensions(b"\x00\x00")
 
+    # full decode is real now (tests/test_vp8.py): a header-only
+    # chunk (first-partition size pointing past the data) fails loudly
     chunk = vp8_chunk(320, 240)
     riff = b"WEBPVP8 " + struct.pack("<I", len(chunk)) + chunk
     payload = b"RIFF" + struct.pack("<I", len(riff)) + riff
-    with pytest.raises(NotImplementedError, match="320x240"):
+    with pytest.raises(ValueError):
         webp_decode(payload)
