@@ -1,9 +1,12 @@
-"""ADPCM WAV decode — pure Python/numpy, no soundfile/ffmpeg (the
-container has no audio libs; same in-repo-codec discipline as the
-image decoders).
+"""Non-integer-PCM WAV decode — pure Python/numpy, no
+soundfile/ffmpeg (the container has no audio libs; same in-repo-codec
+discipline as the image decoders). Covers IMA/DVI + Microsoft ADPCM,
+IEEE-float PCM (tags 0x03: 32/64-bit), and ITU-T G.711 A-law/mu-law
+(tags 0x06/0x07, expansion tables COMPUTED from the closed-form
+reference rules and pinned on canonical anchors).
 
-Scope: the two 4-bit ADPCM codings that actually occur in RIFF/WAVE
-corpora — IMA/DVI ADPCM (wFormatTag 0x0011, the IMA "DVI4" algorithm:
+ADPCM scope: the two 4-bit ADPCM codings that actually occur in
+RIFF/WAVE corpora — IMA/DVI ADPCM (wFormatTag 0x0011, the IMA "DVI4" algorithm:
 89-entry step table, 8-entry index adaptation, per-block per-channel
 4-byte state header, nibbles interleaved in 4-byte channel groups) and
 Microsoft ADPCM (wFormatTag 0x0002: 7 fixed coefficient pairs, 16-entry
@@ -16,8 +19,9 @@ on block boundaries; the envelope stage never needs cross-block state).
 stdlib ``wave`` refuses non-PCM streams outright (``wave.Error:
 unknown format``), so :func:`kinesis_vcr_spark.operators.multimodal.
 decode_audio` falls back here for RIFF files whose fmt tag is not PCM.
-Other compressed audio (MP3/AAC/Vorbis) stays the documented
-soundfile/ffmpeg ``NotImplementedError`` slot.
+MPEG-1 Layer I/II decodes in
+:mod:`kinesis_vcr_spark.operators.mp3`; MP3 Layer III/AAC/Vorbis stay
+the documented soundfile/ffmpeg ``NotImplementedError`` slot.
 
 Tables and block layouts follow the public IMA ADPCM reference
 algorithm (IMA Digital Audio Focus/Technical Working Groups, 1992) and
@@ -58,6 +62,29 @@ _MS_ADAPT = np.array([
     230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307,
     230, 230, 230,
 ], dtype=np.int32)
+
+
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """ITU-T G.711 expansion tables, COMPUTED from the closed-form
+    decode rules (the public reference implementation's alaw2linear /
+    ulaw2linear), not transcribed: (A-law, mu-law) code -> int16."""
+    codes = np.arange(256)
+    u = ~codes & 0xFF
+    t = ((((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)).astype(np.int32)
+    mu = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    a = codes ^ 0x55
+    seg = (a & 0x70) >> 4
+    base = (a & 0x0F) << 4
+    mag = np.where(
+        seg == 0, base + 8,
+        np.where(seg == 1, base + 0x108,
+                 (base + 0x108) << np.maximum(seg - 1, 0)),
+    )
+    al = np.where(a & 0x80, mag, -mag)
+    return al.astype(np.int16), mu.astype(np.int16)
+
+
+_ALAW_TABLE, _MULAW_TABLE = _g711_tables()
 
 
 def _parse_riff(payload: bytes) -> tuple[dict, bytes]:
@@ -202,13 +229,29 @@ def adpcm_wav_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
         if align < 7 * channels:
             raise ValueError("MS ADPCM block align inconsistent")
         decode_block = _ms_decode_block
+    elif fmt["tag"] == 0x03:  # IEEE float PCM (32/64-bit)
+        if fmt["bits"] not in (32, 64):
+            raise ValueError("float WAVE must be 32- or 64-bit")
+        dt = np.float32 if fmt["bits"] == 32 else np.float64
+        width = fmt["bits"] // 8
+        n = len(data) // (width * channels)
+        vals = np.frombuffer(data, dt, n * channels).astype(np.float64)
+        ints = np.clip(np.rint(vals * 32768.0), -32768, 32767)
+        samples = ints.astype(np.int16).reshape(n, channels)
+        return n, channels, samples
+    elif fmt["tag"] in (0x06, 0x07):  # ITU-T G.711 A-law / mu-law
+        table = (_ALAW_TABLE if fmt["tag"] == 0x06 else _MULAW_TABLE)
+        codes = np.frombuffer(data, np.uint8)
+        n = len(codes) // channels
+        samples = table[codes[: n * channels]].reshape(n, channels)
+        return n, channels, samples
     elif fmt["tag"] == 0x01:
         raise ValueError("PCM WAVE belongs to the stdlib wave path")
     else:
         raise NotImplementedError(
             f"WAVE format tag 0x{fmt['tag']:04x} not supported "
-            "(PCM/IMA-ADPCM/MS-ADPCM only; MP3/AAC are the "
-            "soundfile/ffmpeg slot)"
+            "(PCM/float/A-law/mu-law/IMA-ADPCM/MS-ADPCM only; MP3 "
+            "Layer III/AAC are the soundfile/ffmpeg slot)"
         )
     blocks = []
     for b0 in range(0, len(data) - align + 1, align):

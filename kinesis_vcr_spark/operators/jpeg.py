@@ -507,6 +507,26 @@ def _parse_scan_header(seg, frame, huff, progressive):
     return order, ss, se, ah, al
 
 
+def _upsample(plane: np.ndarray, factor: int, axis: int) -> np.ndarray:
+    """Chroma upsampling along one axis. Factor 2 uses triangular
+    (centers-aligned 3/4–1/4) interpolation with edge replication —
+    the convention of the de-facto-standard decoder ("fancy
+    upsampling"), which the cross-engine conformance suite
+    (tests/test_codec_conformance.py) measures against; other factors
+    fall back to sample replication."""
+    if factor == 1:
+        return plane
+    if factor != 2:
+        return np.repeat(plane, factor, axis)
+    p = np.moveaxis(plane, axis, 0)
+    prev = np.concatenate([p[:1], p[:-1]])
+    nxt = np.concatenate([p[1:], p[-1:]])
+    out = np.empty((2 * p.shape[0],) + p.shape[1:], dtype=p.dtype)
+    out[0::2] = (3.0 * p + prev) / 4.0
+    out[1::2] = (3.0 * p + nxt) / 4.0
+    return np.moveaxis(out, 0, axis)
+
+
 def _reconstruct(frame, qt) -> tuple[int, int, np.ndarray]:
     """Dequantize + IDCT every block, assemble component planes,
     upsample to full resolution, convert YCbCr→RGB."""
@@ -526,9 +546,13 @@ def _reconstruct(frame, qt) -> tuple[int, int, np.ndarray]:
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     _idct2(coeffs.reshape(8, 8)) + 128.0
                 )
-        plane = np.repeat(
-            np.repeat(plane, vmax // c["v"], 0), hmax // c["h"], 1
-        )
+        # crop the block padding BEFORE upsampling: the triangular
+        # filter's edge replication must see the image's real edge,
+        # not pad columns (visible on tiny/odd dimensions)
+        ch = -(-h * c["v"] // vmax)
+        cw = -(-w * c["h"] // hmax)
+        plane = _upsample(plane[:ch, :cw], vmax // c["v"], 0)
+        plane = _upsample(plane, hmax // c["h"], 1)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         return w, h, np.clip(planes[0] + 0.5, 0, 255).astype(np.uint8)

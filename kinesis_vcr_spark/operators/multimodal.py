@@ -340,10 +340,11 @@ def decode_image(payload: bytes) -> dict[str, Any]:
 
 
 def decode_audio(payload: bytes) -> dict[str, Any]:
-    """Real audio decode for PCM WAV (stdlib ``wave`` + numpy) and
-    IMA/MS ADPCM WAV (:mod:`kinesis_vcr_spark.operators.adpcm` — the
-    stdlib refuses non-PCM format tags, so those fall through to the
-    in-repo block decoder): width = sample frames, height = channels,
+    """Real audio decode for PCM WAV (stdlib ``wave`` + numpy) plus
+    IMA/MS ADPCM, IEEE-float and G.711 A-law/mu-law WAV
+    (:mod:`kinesis_vcr_spark.operators.adpcm` — the stdlib refuses
+    non-integer-PCM format tags, so those fall through to the in-repo
+    decoders): width = sample frames, height = channels,
     mean_value = mean absolute amplitude normalized to [0, 1].
     MPEG-1 Layer I/II decodes for real (operators/mp3.py polyphase
     synthesis); Layer III / MPEG-2 LSF / AAC stay the soundfile/ffmpeg

@@ -710,9 +710,9 @@ def webp_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def _iter_anmf_vp8l(payload: bytes):
-    """Yield each ANMF frame's raw VP8L chunk bytes (demux only — no
-    entropy decode), for the frame sampler. Lossy VP8 frames raise the
-    same slot error as :func:`webp_frames`."""
+    """Yield each ANMF frame's raw image chunk as ``(fourcc, bytes)``
+    (demux only — no entropy decode), for the frame sampler. Both
+    lossless VP8L and lossy VP8 frames are sampled."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP (bad RIFF/WEBP header)")
     off = 12
@@ -725,23 +725,19 @@ def _iter_anmf_vp8l(payload: bytes):
             while sub + 8 <= len(body):
                 stag = body[sub : sub + 4]
                 (ssize,) = struct.unpack_from("<I", body, sub + 4)
-                if stag == b"VP8L":
-                    yield body[sub + 8 : sub + 8 + ssize]
+                if stag in (b"VP8L", b"VP8 "):
+                    yield stag, body[sub + 8 : sub + 8 + ssize]
                     break
-                if stag == b"VP8 ":
-                    raise NotImplementedError(
-                        "lossy VP8 frame in animated WebP not supported"
-                    )
                 sub += 8 + ssize + (ssize & 1)
         off += 8 + size + (size & 1)
 
 
-def still_webp(vp8l_payload: bytes) -> bytes:
-    """Wrap a raw VP8L stream back into a standalone still-WebP
+def still_webp(stream: bytes, fourcc: bytes = b"VP8L") -> bytes:
+    """Wrap a raw VP8L or VP8 stream back into a standalone still-WebP
     container — what the frame sampler emits so every frame row is
     independently decodable by :func:`webp_decode`."""
-    chunk = b"VP8L" + struct.pack("<I", len(vp8l_payload)) + vp8l_payload
-    if len(vp8l_payload) & 1:
+    chunk = fourcc + struct.pack("<I", len(stream)) + stream
+    if len(stream) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
 
@@ -776,7 +772,8 @@ def sample_webp_frames(media, every_n: int = 4):
                 except ValueError:
                     continue
                 for j in range(0, len(raw), every_n):
-                    wrapped = still_webp(raw[j])
+                    fourcc, stream = raw[j]
+                    wrapped = still_webp(stream, fourcc)
                     ids.append(mid)
                     idxs.append(j)
                     frames.append(wrapped)

@@ -267,3 +267,65 @@ register(
         "payload-twin batch probed without re-hashing — exact oracle",
     )
 )
+
+
+def multimodal_real_codec_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A REAL codec under the exact-oracle gate (r10): every document
+    becomes a deterministic 8x8 P6 PPM whose 192 pixel bytes are the
+    ascii hex of the text's sha256 repeated three times, decoded by the
+    real PPM decoder through the same Arrow ``mapInPandas`` path the
+    PNG/JPEG/WebP codecs ride (``real_decode``). Header dims and the
+    mean pixel byte are reproducible in SQL from the same digest, and
+    the mean is numerically EXACT on both engines: the 64-hex-char byte
+    sum is an integer and /64 is a power-of-two division, so Spark's
+    numpy mean and DuckDB's sum/64 land on the identical double."""
+    from kinesis_vcr_spark.operators.multimodal import real_decode
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit(b"P6 8 8 255\n"),
+        F.encode(F.repeat(F.sha2(F.encode("text", "utf-8"), 256), 3),
+                 "utf-8"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    feats = extract_media_features(media, decoder=real_decode)
+    return feats.select(
+        "media_id",
+        "payload_bytes",
+        "width",
+        "height",
+        F.round("mean_value", 6).alias("mean_value"),
+    ).orderBy("media_id")
+
+
+REAL_CODEC_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id, sha256(text) AS h FROM documents
+)
+SELECT media_id,
+       CAST(203 AS BIGINT) AS payload_bytes,
+       CAST(8 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       round(CAST(list_reduce(list_transform(range(1, 65),
+                 i -> ascii(substring(h, CAST(i AS INTEGER), 1))),
+             (a, x) -> a + x) AS DOUBLE) / 64, 6) AS mean_value
+FROM b ORDER BY media_id
+"""
+
+
+register(
+    QuerySpec(
+        "multimodal_real_codec_features",
+        multimodal_real_codec_features,
+        REAL_CODEC_SQL,
+        "REAL image codec (P6 PPM) under the exact oracle: "
+        "deterministic digest-pixel payloads through real_decode",
+    )
+)

@@ -358,3 +358,85 @@ def test_ms_multiblock_roundtrip_bit_exact():
     exp = np.vstack(expected)
     assert (n, ch) == (exp.shape[0], 1)
     np.testing.assert_array_equal(got, exp)
+
+
+# ----------------------------------------- G.711 + IEEE-float WAVE
+
+def g711_wav(tag: int, codes: bytes, channels: int = 1) -> bytes:
+    fmt = struct.pack("<HHIIHH", tag, channels, 8000, 8000 * channels,
+                      channels, 8)
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(codes)) + codes)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def ulaw_encode(sample: int) -> int:
+    """Independent spec-rule mu-law compressor (G.711 reference
+    algorithm: bias, segment search, mantissa extract, invert)."""
+    BIAS = 0x84
+    sign = 0x80 if sample < 0 else 0
+    if sample < 0:
+        sample = -sample
+    sample = min(sample + BIAS, 0x7FFF)
+    seg_end = (0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF)
+    seg = next(s for s in range(8) if sample <= seg_end[s])
+    mant = (sample >> (seg + 3)) & 0x0F
+    return ~(sign | (seg << 4) | mant) & 0xFF
+
+
+def alaw_encode(sample: int) -> int:
+    """Independent spec-rule A-law compressor."""
+    sign = 0x80 if sample >= 0 else 0
+    if sample < 0:
+        sample = -sample - 1
+    seg = 0
+    for seg in range(8):
+        if sample < (0x100 << seg if seg else 0x100):
+            break
+    if seg == 0:
+        mant = sample >> 4
+    else:
+        mant = (sample >> (seg + 3)) & 0x0F
+    return (sign | (seg << 4) | mant) ^ 0x55
+
+
+def test_mulaw_wav_roundtrip():
+    # every code value decodes; re-encoding the decoded value with the
+    # independent compressor returns the code (G.711 is idempotent on
+    # its own reconstruction levels)
+    codes = bytes(range(256))
+    n, ch, samples = adpcm_wav_decode(g711_wav(0x07, codes))
+    assert (n, ch) == (256, 1)
+    for code, val in zip(codes, samples[:, 0]):
+        # +0 and -0 share the reconstruction value 0; the compressor
+        # canonicalizes to +0 (0xFF)
+        assert ulaw_encode(int(val)) == code or (val == 0 and code == 0x7F)
+    out = decode_audio(g711_wav(0x07, codes))
+    assert out["width"] == 256 and out["height"] == 1
+
+
+def test_alaw_wav_roundtrip():
+    codes = bytes(range(256))
+    n, ch, samples = adpcm_wav_decode(g711_wav(0x06, codes))
+    assert (n, ch) == (256, 1)
+    for code, val in zip(codes, samples[:, 0]):
+        v = int(val)
+        assert alaw_encode(v if v >= 0 else v) == code, (code, v)
+
+
+def test_float_wav_decode():
+    t = np.arange(480)
+    sig = (0.5 * np.sin(2 * np.pi * t / 48)).astype(np.float32)
+    left_right = np.stack([sig, -sig], axis=1)
+    fmt = struct.pack("<HHIIHH", 3, 2, 48000, 48000 * 8, 8, 32)
+    data = left_right.astype("<f4").tobytes()
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    n, ch, samples = adpcm_wav_decode(wav)
+    assert (n, ch) == (480, 2)
+    expected = np.clip(np.rint(left_right.astype(np.float64) * 32768.0),
+                       -32768, 32767)
+    np.testing.assert_array_equal(samples, expected.astype(np.int16))
+    out = decode_audio(wav)
+    assert out["width"] == 480 and out["height"] == 2

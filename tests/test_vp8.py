@@ -515,3 +515,37 @@ def test_alpha_raw_and_filters():
     data = bytes([0 | (1 << 2)]) + res.astype(np.uint8).tobytes()
     got = decode_alpha(data, 8, 8)
     assert np.array_equal(got, plane)
+
+
+def test_animated_lossy_frames_demux_and_rewrap():
+    # an ANMF animation whose frames are lossy VP8: the sampler demux
+    # yields (fourcc, stream) and the re-wrapped still decodes
+    import struct
+
+    from kinesis_vcr_spark.operators.webp import (
+        _iter_anmf_vp8l,
+        still_webp,
+        webp_frames,
+    )
+
+    payload = base64.b64decode("".join(FIXTURES["flat_16x16_q95"][:-1]))
+    chunk = _vp8_chunk(payload)
+
+    def u24(v):
+        return v.to_bytes(3, "little")
+
+    body = (u24(0) + u24(0) + u24(15) + u24(15) + u24(10) + bytes([0])
+            + b"VP8 " + struct.pack("<I", len(chunk)) + chunk
+            + (b"\x00" if len(chunk) & 1 else b""))
+    vp8x = bytes([0x02, 0, 0, 0]) + u24(15) + u24(15)
+    anim = b"ANIM" + struct.pack("<I", 6) + bytes(6)
+    cont = (b"WEBPVP8X" + struct.pack("<I", len(vp8x)) + vp8x
+            + anim + b"ANMF" + struct.pack("<I", len(body)) + body)
+    cont = b"RIFF" + struct.pack("<I", len(cont)) + cont
+    raw = list(_iter_anmf_vp8l(cont))
+    assert len(raw) == 1 and raw[0][0] == b"VP8 "
+    w, h, px = webp_decode(still_webp(raw[0][1], raw[0][0]))
+    assert (w, h) == (16, 16) and px.shape == (16, 16, 3)
+    # full animated decode composites the lossy first frame
+    cw, chh, frames = webp_frames(cont)
+    assert frames[0]["pixels"].shape == (16, 16, 3)
