@@ -270,3 +270,104 @@ def adpcm_wav_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
         return 0, channels, np.zeros((0, channels), dtype=np.int16)
     samples = np.vstack(blocks)
     return samples.shape[0], channels, samples
+
+
+# ------------------------------------------------- AU / AIFF containers
+
+def au_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Sun/NeXT AU (``.snd``) decode → (frames, channels, int16
+    samples [frames, channels]). Public header layout: magic, data
+    offset, data size, encoding, sample rate, channels — all 32-bit
+    big-endian. Encodings covered: 1 µ-law, 27 A-law (G.711 tables),
+    2/3/4/5 linear PCM 8/16/24/32-bit BE, 6/7 IEEE float BE."""
+    if payload[:4] != b".snd" or len(payload) < 24:
+        raise ValueError("not an AU (.snd) file")
+    off, size, enc, _rate, channels = struct.unpack_from(">IIIII", payload, 4)
+    if channels < 1:
+        raise ValueError("AU header has zero channels")
+    end = len(payload) if size == 0xFFFFFFFF else min(len(payload), off + size)
+    data = payload[off:end]
+    if enc == 1:
+        samples = _MULAW_TABLE[np.frombuffer(data, np.uint8)]
+    elif enc == 27:
+        samples = _ALAW_TABLE[np.frombuffer(data, np.uint8)]
+    elif enc == 2:  # 8-bit linear PCM is SIGNED in AU
+        samples = np.frombuffer(data, np.int8).astype(np.int16) << 8
+    elif enc == 3:
+        samples = np.frombuffer(data, ">i2").astype(np.int16)
+    elif enc in (4, 5):  # 24/32-bit -> take the top 16 bits
+        if enc == 4:
+            b = np.frombuffer(data, np.uint8)
+            b = b[: len(b) - len(b) % 3].reshape(-1, 3).astype(np.int32)
+            v = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            samples = (v >> 8).astype(np.int16)
+        else:
+            samples = (np.frombuffer(data, ">i4") >> 16).astype(np.int16)
+    elif enc in (6, 7):
+        dt = ">f4" if enc == 6 else ">f8"
+        vals = np.frombuffer(data, dt).astype(np.float64)
+        samples = np.clip(np.rint(vals * 32768.0), -32768, 32767).astype(
+            np.int16
+        )
+    else:
+        raise NotImplementedError(f"AU encoding {enc} (G.72x ADPCM) "
+                                  "not supported")
+    n = len(samples) // channels
+    return n, channels, samples[: n * channels].reshape(n, channels)
+
+
+def _f80(b: bytes) -> float:
+    """80-bit IEEE extended float (AIFF sample rate field)."""
+    se = struct.unpack_from(">H", b, 0)[0]
+    mant = struct.unpack_from(">Q", b, 2)[0]
+    if se == 0 and mant == 0:
+        return 0.0
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = (se & 0x7FFF) - 16383 - 63
+    return sign * mant * 2.0 ** exp
+
+
+def aiff_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """AIFF decode → (frames, channels, int16 samples): IFF FORM/AIFF
+    container, COMM (channels, frames, bits, 80-bit-float rate) +
+    SSND (offset/blocksize header then big-endian PCM). Compressed
+    AIFC variants raise the documented slot."""
+    if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF file")
+    if payload[8:12] == b"AIFC":
+        raise NotImplementedError("compressed AIFC requires ffmpeg")
+    pos = 12
+    comm = ssnd = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            channels, n_frames, bits = struct.unpack_from(">hIh", body, 0)
+            comm = (channels, n_frames, bits, _f80(body[8:18]))
+        elif cid == b"SSND":
+            data_off, _block = struct.unpack_from(">II", body, 0)
+            ssnd = body[8 + data_off :]
+        pos += 8 + size + (size & 1)
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM or SSND chunk")
+    channels, n_frames, bits, _rate = comm
+    if channels < 1:
+        raise ValueError("AIFF has zero channels")
+    if bits == 16:
+        samples = np.frombuffer(ssnd, ">i2").astype(np.int16)
+    elif bits == 8:  # AIFF 8-bit is signed
+        samples = np.frombuffer(ssnd, np.int8).astype(np.int16) << 8
+    elif bits == 24:
+        b = np.frombuffer(ssnd, np.uint8)
+        b = b[: len(b) - len(b) % 3].reshape(-1, 3).astype(np.int32)
+        v = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        samples = (v >> 8).astype(np.int16)
+    elif bits == 32:
+        samples = (np.frombuffer(ssnd, ">i4") >> 16).astype(np.int16)
+    else:
+        raise NotImplementedError(f"AIFF bit depth {bits}")
+    n = min(len(samples) // channels, n_frames)
+    return n, channels, samples[: n * channels].reshape(n, channels)

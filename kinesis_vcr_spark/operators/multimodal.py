@@ -355,6 +355,23 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        if payload[:4] == b".snd" or (payload[:4] == b"FORM"
+                                      and payload[8:12] in (b"AIFF",
+                                                            b"AIFC")):
+            from kinesis_vcr_spark.operators.adpcm import (  # noqa: PLC0415
+                aiff_decode,
+                au_decode,
+            )
+
+            decode = au_decode if payload[:4] == b".snd" else aiff_decode
+            n_frames, n_channels, samples = decode(payload)
+            mean = (
+                float(np.abs(samples.astype(np.float64)).mean() / 32768.0)
+                if samples.size
+                else 0.0
+            )
+            return {"width": n_frames, "height": n_channels,
+                    "mean_value": mean}
         if payload[:3] == b"ID3" or (len(payload) > 1
                                      and payload[0] == 0xFF
                                      and payload[1] & 0xE0 == 0xE0):
