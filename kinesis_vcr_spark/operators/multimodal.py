@@ -469,19 +469,38 @@ def fake_decode(kind: str, payload: bytes) -> dict[str, Any]:
 
 
 def extract_media_features(
-    media: DataFrame, decoder: Decoder = fake_decode
+    media: DataFrame, decoder: Decoder = fake_decode,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Arrow-batched feature extraction over a MEDIA_SCHEMA DataFrame.
 
     ``mapInPandas``: each Arrow batch is decoded vectorized-per-batch in
     one Python call (not per-row pickling); output schema is fixed so
     downstream stays fully relational.
+
+    ``on_error="null"`` is the crawl-corpus posture: payloads whose
+    decode raises the codec contract's failure types (ValueError for
+    malformed streams, NotImplementedError for documented slots) yield
+    NULL width/height/mean_value instead of killing the task — rows
+    stay filterable/auditable downstream. The default ``"raise"``
+    keeps the strict behavior the driver-checked queries pin.
     """
+    if on_error not in ("raise", "null"):
+        raise ValueError("on_error must be 'raise' or 'null'")
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode_one(k, p):
+            payload = bytes(p) if p is not None else b""
+            if on_error == "raise":
+                return decoder(k, payload)
+            try:
+                return decoder(k, payload)
+            except (ValueError, NotImplementedError):
+                return {"width": None, "height": None, "mean_value": None}
+
         for pdf in batches:
             feats = [
-                decoder(k, bytes(p) if p is not None else b"")
+                decode_one(k, p)
                 for k, p in zip(pdf["kind"], pdf["payload"])
             ]
             yield pd.DataFrame(

@@ -574,3 +574,38 @@ def _truncate_idat(arr):
         ">I", zlib.crc32(body) & 0xFFFFFFFF
     )
     return full[:i] + new_chunk + full[end:]
+
+
+def test_extract_features_null_quarantine(spark):
+    """on_error='null': malformed payloads become NULL feature rows
+    instead of task failures; valid rows are unaffected."""
+    from pyspark.sql import Row
+
+    from kinesis_vcr_spark.operators.multimodal import (
+        extract_media_features,
+        real_decode,
+    )
+
+    ppm = b"P6 2 2 255\n" + bytes(range(12))
+    rows = [
+        Row(media_id=1, kind="image", payload=ppm, meta=None),
+        Row(media_id=2, kind="image", payload=b"P6 garbage", meta=None),
+        Row(media_id=3, kind="image", payload=b"RIFF1234WEBPVP8 \x00\x00\x00\x00",
+            meta=None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r
+        for r in extract_media_features(
+            media, decoder=real_decode, on_error="null"
+        ).collect()
+    }
+    assert got[1]["width"] == 2 and got[1]["height"] == 2
+    assert got[2]["width"] is None and got[2]["mean_value"] is None
+    assert got[3]["width"] is None
+    assert got[2]["payload_bytes"] == 10  # provenance fields survive
+    # default stays strict
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        extract_media_features(media, decoder=real_decode).collect()
