@@ -329,3 +329,87 @@ register(
         "deterministic digest-pixel payloads through real_decode",
     )
 )
+
+
+def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-archive ingestion under the exact oracle (r10, E100): each
+    source's documents are packed into a deterministic in-memory WARC
+    file (one HTTP response record per document, doc_id-ordered), the
+    file goes through the REAL parser (`operators/webarchive.py` —
+    the same mapInPandas explosion `read_warc` runs on binaryFile
+    scans), and per-source record counts / payload bytes / distinct
+    payload digests / HTTP-status accounting must reproduce what
+    DuckDB computes from the documents table directly."""
+    import hashlib
+
+    import pandas as pd
+
+    from kinesis_vcr_spark.operators.webarchive import warc_records
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        out = bytearray()
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            body = str(text).encode("utf-8")
+            status = 200 if doc_id % 7 else 404
+            http = (
+                f"HTTP/1.1 {status} X\r\nContent-Type: text/plain\r\n\r\n"
+            ).encode() + body
+            hdr = (
+                "WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: urn:doc:{doc_id}\r\n"
+                "Content-Type: application/http;msgtype=response\r\n"
+                f"Content-Length: {len(http)}\r\n\r\n"
+            ).encode()
+            out += hdr + http + b"\r\n\r\n"
+        return pd.DataFrame(
+            {"path": [str(pdf["source"].iloc[0])], "content": [bytes(out)]}
+        )
+
+    files = docs.groupBy("source").applyInPandas(
+        build, "path string, content binary"
+    )
+    recs = warc_records(files)
+    return (
+        recs.select(
+            F.col("source_file").alias("source"),
+            "payload_bytes",
+            "http_status",
+            F.sha2("payload", 256).alias("digest"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("payload_bytes").alias("total_payload_bytes"),
+            F.countDistinct("digest").alias("n_distinct_payloads"),
+            F.sum(
+                F.when(F.col("http_status") == 200, 1).otherwise(0)
+            ).alias("n_http_ok"),
+        )
+        .orderBy("source")
+    )
+
+
+WARC_INGEST_SQL = """
+SELECT source,
+       count(*) AS n_records,
+       CAST(sum(octet_length(encode(text))) AS BIGINT)
+           AS total_payload_bytes,
+       count(DISTINCT sha256(text)) AS n_distinct_payloads,
+       CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_http_ok
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+register(
+    QuerySpec(
+        "warc_ingest_stats",
+        warc_ingest_stats,
+        WARC_INGEST_SQL,
+        "WARC ingestion (ISO 28500 parse + HTTP envelope split) under "
+        "the exact oracle: per-source record/byte/digest accounting",
+    )
+)
