@@ -344,9 +344,13 @@ def aiff_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
         (size,) = struct.unpack_from(">I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"COMM":
+            if len(body) < 18:
+                raise ValueError("AIFF COMM chunk truncated")
             channels, n_frames, bits = struct.unpack_from(">hIh", body, 0)
             comm = (channels, n_frames, bits, _f80(body[8:18]))
         elif cid == b"SSND":
+            if len(body) < 8:
+                raise ValueError("AIFF SSND header truncated")
             data_off, _block = struct.unpack_from(">II", body, 0)
             ssnd = body[8 + data_off :]
         pos += 8 + size + (size & 1)

@@ -513,7 +513,16 @@ def _upsample(plane: np.ndarray, factor: int, axis: int) -> np.ndarray:
     the convention of the de-facto-standard decoder ("fancy
     upsampling"), which the cross-engine conformance suite
     (tests/test_codec_conformance.py) measures against; other factors
-    fall back to sample replication."""
+    fall back to sample replication.
+
+    DELIBERATE float approximation: libjpeg computes this in integer
+    arithmetic with alternating bias, ``(3p+prev+1)>>2`` /
+    ``(3p+nxt+2)>>2``, while this decoder keeps the planes in float
+    through reconstruction and rounds once at the end — outputs may
+    differ from libjpeg by ±1 LSB. The conformance harness is
+    tolerance-based by design; this decoder does NOT claim bit parity
+    with libjpeg (unlike the VP8 path, which is pinned bit-exact
+    against libwebp)."""
     if factor == 1:
         return plane
     if factor != 2:

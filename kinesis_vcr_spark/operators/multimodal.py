@@ -28,6 +28,7 @@ a Python row loop.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Callable, Iterator
 from typing import Any
 
@@ -482,11 +483,18 @@ def extract_media_features(
     decode raises the codec contract's failure types (ValueError for
     malformed streams, NotImplementedError for documented slots) yield
     NULL width/height/mean_value instead of killing the task — rows
-    stay filterable/auditable downstream. The default ``"raise"``
-    keeps the strict behavior the driver-checked queries pin.
+    stay filterable/auditable downstream. Truncation artifacts that
+    surface as IndexError/struct.error/KeyError inside a pure-Python
+    bitstream parser are part of the same malformed-stream contract
+    (crawl garbage doesn't respect chunk boundaries), so they null too.
+    The default ``"raise"`` keeps the strict behavior the
+    driver-checked queries pin.
     """
     if on_error not in ("raise", "null"):
         raise ValueError("on_error must be 'raise' or 'null'")
+
+    malformed = (ValueError, NotImplementedError, IndexError, KeyError,
+                 struct.error, EOFError)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def decode_one(k, p):
@@ -495,7 +503,7 @@ def extract_media_features(
                 return decoder(k, payload)
             try:
                 return decoder(k, payload)
-            except (ValueError, NotImplementedError):
+            except malformed:
                 return {"width": None, "height": None, "mean_value": None}
 
         for pdf in batches:

@@ -611,6 +611,8 @@ def vp8_decode(chunk: bytes) -> tuple[int, int, np.ndarray, np.ndarray,
     rest = chunk[10 + first_part_size :]
     sizes = []
     off = (hdr.n_parts - 1) * 3
+    if len(rest) < off:
+        raise ValueError("VP8 token partition size table truncated")
     for i in range(hdr.n_parts - 1):
         sizes.append(rest[3 * i] | (rest[3 * i + 1] << 8)
                      | (rest[3 * i + 2] << 16))
@@ -920,6 +922,8 @@ def decode_alpha(data: bytes, w: int, h: int) -> np.ndarray:
     """ALPH chunk → (h, w) uint8 alpha plane: raw (method 0) or
     headerless VP8L (method 1, alpha in the green channel), then the
     per-row prediction filter is undone (public WebP container spec)."""
+    if not data:
+        raise ValueError("ALPH chunk empty")
     method = data[0] & 0x3
     filt = (data[0] >> 2) & 0x3
     body = data[1:]

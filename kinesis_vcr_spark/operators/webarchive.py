@@ -196,8 +196,12 @@ def tar_members(payload: bytes) -> list[tuple[str, bytes]]:
 
 def tar_samples(files: DataFrame) -> DataFrame:
     """WebDataset-style sample grouping over ``binaryFile`` tar
-    shards: members sharing a basename become one (key, {ext:
-    payload}) row, in first-seen order — one mapInPandas stage."""
+    shards: members sharing a sample key become one (key, {ext:
+    payload}) row, in first-seen order — one mapInPandas stage.
+
+    The key is the FULL member path up to the basename's first dot
+    (the WebDataset convention), so ``a/0001.jpg`` and ``b/0001.jpg``
+    stay distinct samples rather than silently merging."""
     import pandas as pd  # noqa: PLC0415
 
     def explode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -207,8 +211,9 @@ def tar_samples(files: DataFrame) -> DataFrame:
                 groups: dict[str, dict[str, bytes]] = {}
                 order: list[str] = []
                 for name, data in tar_members(bytes(content)):
-                    base = name.rsplit("/", 1)[-1]
-                    key, _, ext = base.partition(".")
+                    dirpart, _, base = name.rpartition("/")
+                    stem, _, ext = base.partition(".")
+                    key = f"{dirpart}/{stem}" if dirpart else stem
                     if key not in groups:
                         groups[key] = {}
                         order.append(key)

@@ -440,3 +440,25 @@ def test_float_wav_decode():
     np.testing.assert_array_equal(samples, expected.astype(np.int16))
     out = decode_audio(wav)
     assert out["width"] == 480 and out["height"] == 2
+
+
+# -------------------------------- malformed-stream contract (r11)
+
+def test_truncated_aiff_chunks_raise_valueerror():
+    """ADVICE r10: a truncated COMM/SSND body used to escape as
+    struct.error; the contract is ValueError for malformed streams."""
+    from kinesis_vcr_spark.operators.adpcm import aiff_decode
+
+    def form(*chunks: bytes) -> bytes:
+        body = b"AIFF" + b"".join(chunks)
+        return b"FORM" + struct.pack(">I", len(body)) + body
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack(">I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b"")
+
+    with pytest.raises(ValueError, match="COMM chunk truncated"):
+        aiff_decode(form(chunk(b"COMM", b"\x00\x01\x00")))
+    comm = struct.pack(">hIh", 1, 2, 16) + b"\x40\x0e" + b"\xac\x44" + bytes(6)
+    with pytest.raises(ValueError, match="SSND header truncated"):
+        aiff_decode(form(chunk(b"COMM", comm), chunk(b"SSND", b"\x00\x00")))

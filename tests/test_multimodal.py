@@ -609,3 +609,46 @@ def test_extract_features_null_quarantine(spark):
 
     with _pytest.raises(Exception):
         extract_media_features(media, decoder=real_decode).collect()
+
+
+def test_quarantine_catches_bitstream_truncation_artifacts(spark):
+    """ADVICE r10 regression: crawl-garbage payloads whose pure-Python
+    bitstream parse dies with IndexError/struct.error (empty ALPH
+    chunk; VP8 partition table truncation; AIFF short COMM) must null
+    under on_error='null' instead of killing the Spark task."""
+    import base64
+    import struct as _struct
+
+    from pyspark.sql import Row
+
+    from kinesis_vcr_spark.operators.multimodal import (
+        extract_media_features,
+        real_decode,
+    )
+    from vp8_fixtures import PYTHON_WEBP
+
+    webp = base64.b64decode("".join(PYTHON_WEBP))
+    # container with an EMPTY ALPH chunk ahead of the (valid) VP8 data
+    i = webp.index(b"VP8 ")
+    vp8_chunk = webp[i:]
+    inner = b"WEBPALPH" + _struct.pack("<I", 0) + vp8_chunk
+    empty_alph = b"RIFF" + _struct.pack("<I", len(inner)) + inner
+    aiff = (b"FORM" + _struct.pack(">I", 11)
+            + b"AIFFCOMM" + _struct.pack(">I", 3) + b"\x00\x01\x00")
+    rows = [
+        Row(media_id=1, kind="image", payload=empty_alph, meta=None),
+        Row(media_id=2, kind="image", payload=webp[:40], meta=None),
+        Row(media_id=3, kind="audio", payload=aiff, meta=None),
+        Row(media_id=4, kind="image", payload=webp, meta=None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r
+        for r in extract_media_features(
+            media, decoder=real_decode, on_error="null"
+        ).collect()
+    }
+    assert got[1]["width"] is None
+    assert got[2]["width"] is None
+    assert got[3]["width"] is None
+    assert got[4]["width"] == 16 and got[4]["height"] == 16

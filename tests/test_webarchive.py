@@ -145,3 +145,24 @@ def test_tar_members_and_webdataset_grouping(spark, tmp_path):
     assert set(s["parts"].keys()) == {"txt", "cls", "bin"}
     assert bytes(s["parts"]["cls"]) == b"2"
     assert s["total_bytes"] == len(b"text 1/2") + 1 + 7
+
+
+def test_tar_samples_key_includes_directories(spark, tmp_path):
+    """ADVICE r10: WebDataset keys are the FULL member path up to the
+    basename's first dot — a/0001.jpg and b/0001.jpg are distinct
+    samples, not one silently-merged row."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for d in ("a", "b"):
+            for ext, data in (("txt", f"{d}-text".encode()),
+                              ("cls", d.encode())):
+                info = tarfile.TarInfo(f"{d}/0001.{ext}")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+    (tmp_path / "dirs.tar").write_bytes(buf.getvalue())
+    rows = read_tar_shards(spark, str(tmp_path)).collect()
+    assert len(rows) == 2
+    by_key = {r["key"]: r for r in rows}
+    assert set(by_key) == {"a/0001", "b/0001"}
+    assert bytes(by_key["a/0001"]["parts"]["cls"]) == b"a"
+    assert bytes(by_key["b/0001"]["parts"]["txt"]) == b"b-text"
