@@ -142,6 +142,7 @@ def llm_prep_corpus(
     split_seed: str = "e2e",
     checkpoint_dir: str | None = None,
     near_dup: str = "verified",
+    text_col: str | None = None,
 ) -> DataFrame:
     """The whole training-data preparation flow in one call — the
     integration the pillar operators exist for (r07 verdict item 5).
@@ -222,10 +223,21 @@ def llm_prep_corpus(
         & F.col(html_col).isNotNull()
         & F.col("__text").isNotNull()
     )
+    # text_col: pre-extracted/pre-cleaned text override (the
+    # boilerplate-first ordering, BASELINE r10 addendum 5 path (c):
+    # corpus-wide line dedup runs BEFORE the pipeline, so stage 2's
+    # extraction is replaced by the caller's column; every later stage
+    # — langid, quality, exact, near-dup, decontam, split — then
+    # operates on the cleaned text). benchmark text extraction below
+    # is unaffected (the eval set is external data).
+    text_expr = (
+        F.col(text_col) if text_col is not None
+        else canonicalize_text(html_to_text(F.col(html_col)))
+    )
     base = docs.withColumn(
         "__canon_url", canonicalize_url(F.col(url_col))
     ).withColumn(
-        "__text", canonicalize_text(html_to_text(F.col(html_col)))
+        "__text", text_expr
     ).withColumn(
         "__url_winner",
         F.min(F.when(valid, idc)).over(Window.partitionBy("__canon_url")),

@@ -126,14 +126,25 @@ def _langid_case_sql(col: str) -> str:
     return defs, f"CASE {whens} ELSE '{LANGS[-1]}' END"
 
 
-def _e2e_common_sql(html_suffix_sql: str = "''") -> str:
+def _e2e_common_sql(
+    html_suffix_sql: str = "''", line_dedup_min_docs: int | None = None,
+    q_threshold: float = E2E_Q,
+) -> str:
     """The pipeline-recomputation CTE chain through ``contam`` —
     shared by the stage-label oracle (:func:`_e2e_sql`) and the
     span-removal oracle (:func:`_e2e_spans_sql`), so the two cannot
     drift apart on any stage's semantics. ``html_suffix_sql`` is
     appended to every injected page (the spans query's shared-footer
     plant); the default empty suffix reproduces the r08 fixture
-    byte-identically."""
+    byte-identically.
+
+    ``line_dedup_min_docs``: when set, C4-style corpus-wide line
+    dedup (drop every extracted-text line occurring in ≥ that many
+    distinct documents) runs BEFORE the pipeline — the
+    boilerplate-first ordering of BASELINE r10 addendum 5 path (c);
+    ``extracted.txt`` is then the line-cleaned text, while
+    ``bench_grams`` still reads the RAW extraction (the eval set is
+    external data and is never line-deduped)."""
     from kinesis_vcr_spark.functions.html import html_to_text_sql
     from kinesis_vcr_spark.operators.urldedup import canonicalize_url_sql
     from kinesis_vcr_spark.queries.dedup import _quality_sql_expr
@@ -162,6 +173,52 @@ def _e2e_common_sql(html_suffix_sql: str = "''") -> str:
     hit_defs, lang_case = _langid_case_sql("txt")
     q = _quality_sql_expr("txt")
     n1 = E2E_N - 1
+    if line_dedup_min_docs is None:
+        extract_block = f"""extracted AS (
+  SELECT doc_id, source,
+         {txt} AS txt,
+         {canonicalize_url_sql('url')} AS canon_url,
+         (doc_id IS NOT NULL AND url IS NOT NULL AND html IS NOT NULL)
+           AS io_ok
+  FROM injected
+)"""
+        bench_src, bench_col = "extracted", "txt"
+    else:
+        # line-dedup-first: raw extraction → per-line doc counts →
+        # boilerplate set → reassembly; docs whose raw text is NULL or
+        # has no non-empty lines are absent from cln and surface with
+        # NULL txt (→ dropped_invalid), matching operators/linededup's
+        # explode-drop semantics.
+        extract_block = f"""rawx AS (
+  SELECT doc_id, source,
+         {txt} AS rtxt,
+         {canonicalize_url_sql('url')} AS canon_url,
+         (doc_id IS NOT NULL AND url IS NOT NULL AND html IS NOT NULL)
+           AS io_ok
+  FROM injected
+), lnsplit AS (
+  SELECT doc_id, string_split(rtxt, chr(10)) AS ls
+  FROM rawx WHERE rtxt IS NOT NULL
+), ln AS (
+  SELECT doc_id, unnest(ls) AS line,
+         unnest(range(1, len(ls) + 1)) AS pos
+  FROM lnsplit
+), ne AS (
+  SELECT * FROM ln WHERE length(line) > 0
+), bp AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS d FROM ne GROUP BY line
+  ) WHERE d >= {line_dedup_min_docs}
+), cln AS (
+  SELECT n.doc_id,
+         coalesce(string_agg(CASE WHEN b.line IS NULL THEN n.line END,
+                             chr(10) ORDER BY n.pos), '') AS ctxt
+  FROM ne n LEFT JOIN bp b USING (line) GROUP BY n.doc_id
+), extracted AS (
+  SELECT r.doc_id, r.source, c.ctxt AS txt, r.canon_url, r.io_ok
+  FROM rawx r LEFT JOIN cln c USING (doc_id)
+)"""
+        bench_src, bench_col = "rawx", "rtxt"
     return f"""
 WITH RECURSIVE injected AS (
   SELECT doc_id, source,
@@ -170,14 +227,7 @@ WITH RECURSIVE injected AS (
   FROM (SELECT *, CAST(CASE WHEN doc_id % 7 = 1 THEN doc_id - 1
                             ELSE doc_id END AS VARCHAR) AS pg
         FROM documents)
-), extracted AS (
-  SELECT doc_id, source,
-         {txt} AS txt,
-         {canonicalize_url_sql('url')} AS canon_url,
-         (doc_id IS NOT NULL AND url IS NOT NULL AND html IS NOT NULL)
-           AS io_ok
-  FROM injected
-), url_w AS (
+), {extract_block}, url_w AS (
   -- invalid rows (NULL id/url/html/text) never win a URL group and
   -- never enter the pipeline (mirrors llm_prep_corpus's `valid`)
   SELECT *, (io_ok AND txt IS NOT NULL) AS valid,
@@ -193,7 +243,7 @@ WITH RECURSIVE injected AS (
 ), s1 AS (
   SELECT doc_id, txt FROM pred
   WHERE valid AND doc_id = url_winner AND pred_lang = 'en'
-        AND q >= {E2E_Q}
+        AND q >= {q_threshold}
 ), exact_w AS (
   SELECT doc_id, txt, min(doc_id) OVER (PARTITION BY txt) AS exact_winner
   FROM s1
@@ -231,11 +281,13 @@ WITH RECURSIVE injected AS (
 ), bench_grams AS (
   SELECT DISTINCT unnest(
       list_distinct(list_transform(
-          range(1, greatest(len(string_split(txt, ' ')) - {n1}, 1) + 1),
+          range(1, greatest(len(string_split({bench_col}, ' ')) - {n1}, 1)
+                + 1),
           i -> array_to_string(
-              list_slice(string_split(txt, ' '), i, i + {n1}), ' '))))
+              list_slice(string_split({bench_col}, ' '), i, i + {n1}),
+              ' '))))
     AS gram
-  FROM extracted WHERE doc_id % {E2E_BENCH_MOD} = 0
+  FROM {bench_src} WHERE doc_id % {E2E_BENCH_MOD} = 0
 ), dg AS (
   SELECT doc_id, unnest(
       list_distinct(list_transform(
@@ -340,10 +392,6 @@ def llm_prep_spans(
     from kinesis_vcr_spark.functions.html import html_to_text
     from kinesis_vcr_spark.functions.text import canonicalize_text
     from kinesis_vcr_spark.operators.pipeline import llm_prep_corpus
-    from kinesis_vcr_spark.operators.spandedup import (
-        duplicated_spans,
-        remove_duplicated_spans,
-    )
 
     injected = _injected(load_table(spark, sf_dir, "documents")).withColumn(
         "html",
@@ -370,6 +418,18 @@ def llm_prep_spans(
         "split",
         canonicalize_text(html_to_text(F.col("html"))).alias("__text"),
     ).persist()
+    return _span_stage(kept)
+
+
+def _span_stage(kept: DataFrame) -> DataFrame:
+    """Duplicate-span stats + removal over a persisted kept frame
+    (doc_id, split, __text) — the shared tail of ``llm_prep_spans``
+    and ``llm_prep_spans_clean``."""
+    from kinesis_vcr_spark.operators.spandedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
     # one spans table, two consumers (stats + stitching): persist +
     # materialize so the gram pipeline runs once (the documented
     # lifecycle of queries/dedup.py's doc_dup_span_stats — bench
@@ -401,7 +461,9 @@ def llm_prep_spans(
     )
 
 
-def _e2e_spans_sql() -> str:
+def _e2e_spans_sql(
+    line_dedup_min_docs: int | None = None, q_threshold: float = E2E_Q
+) -> str:
     from kinesis_vcr_spark.operators.sampling import ticket_threshold
     from kinesis_vcr_spark.queries.llmprep import _ticket_sql
 
@@ -410,7 +472,9 @@ def _e2e_spans_sql() -> str:
         f"CASE WHEN doc_id % {E2E_BENCH_MOD} = 0 THEN '' "
         f"ELSE '{E2E_FOOTER}' END"
     )
-    return f"""{_e2e_common_sql(suffix)}, kept AS (
+    return f"""{
+        _e2e_common_sql(suffix, line_dedup_min_docs, q_threshold)
+    }, kept AS (
   SELECT p.doc_id, p.txt,
          CASE WHEN {_ticket_sql(E2E_SEED, "p.doc_id")}
                   < '{ticket_threshold(0.8)}' THEN 'train'
@@ -422,7 +486,7 @@ def _e2e_spans_sql() -> str:
   LEFT JOIN near_drop nd ON nd.doc_id = p.doc_id
   LEFT JOIN contam c ON c.doc_id = p.doc_id
   WHERE p.valid AND p.doc_id = p.url_winner AND p.pred_lang = 'en'
-        AND p.q >= {E2E_Q} AND p.doc_id = ew.exact_winner
+        AND p.q >= {q_threshold} AND p.doc_id = ew.exact_winner
         AND nd.doc_id IS NULL AND c.doc_id IS NULL
 ), pos AS (
   SELECT doc_id, CAST(p AS INT) AS p,
@@ -519,4 +583,87 @@ register(QuerySpec(
     "llm_prep_spans through the verification-free LSH component path "
     "(rows-only: ~5% more drops than verified from documented noise "
     "merges; exactness pinned by dedup_components_lsh_planted)",
+))
+
+
+#: C4-style line-dedup threshold for the boilerplate-first ordering —
+#: a line occurring verbatim in >= this many distinct documents is
+#: corpus boilerplate (Raffel et al. 2020 §2.2 uses 3).
+E2E_LINE_MIN = 3
+
+#: quality threshold for the CLEANED corpus. Thresholds are tuned per
+#: pipeline stage in production, and boilerplate stripping SHIFTS the
+#: quality distribution: the footer's 14 tokens carried stopwords and
+#: length that inflated every page's score, so the footer-corpus gate
+#: (E2E_Q=0.6, which keeps 177 docs in llm_prep_spans) would keep 2
+#: docs post-strip — the gate was measuring the boilerplate, not the
+#: documents. 0.52 restores a comparable kept population (302 docs
+#: pass the scalar gate at sf0.01) on footer-free scores.
+E2E_CLEAN_Q = 0.52
+
+
+def llm_prep_spans_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`llm_prep_spans` in the PRODUCTION ordering — BASELINE
+    r10 addendum 5 path (c): corpus-wide C4 line dedup
+    (operators/linededup.py) strips shared boilerplate lines (the
+    planted site footer, nav text) BEFORE the pipeline, so the
+    verified near-dup stage sees a boilerplate-free corpus and its
+    candidate set tracks the plain corpus (320 candidates at sf1 vs
+    1.77 M for the footer corpus; linear by shape through sf100)
+    instead of going super-linear on footer collisions.
+
+    Flow: injected crawl + footer plant → extract+canonicalize text →
+    ``dedup_lines`` (min_docs=3 over the extracted '\\n' lines —
+    html_to_text turns block boundaries into newlines, so the footer
+    paragraph is one corpus-wide line) → ``llm_prep_corpus`` on the
+    CLEANED text (URL dedup, langid, quality, exact + verified
+    near-dup, decontam, split all see footer-free bytes; the
+    benchmark eval set stays RAW — external data is never
+    line-deduped) → exact duplicate-span removal over the kept docs.
+    Output schema identical to ``llm_prep_spans``; the DuckDB oracle
+    recomputes the entire ordering relationally, line dedup included.
+    """
+    from kinesis_vcr_spark.functions.html import html_to_text
+    from kinesis_vcr_spark.functions.text import canonicalize_text
+    from kinesis_vcr_spark.operators.linededup import dedup_lines
+    from kinesis_vcr_spark.operators.pipeline import llm_prep_corpus
+
+    injected = _injected(load_table(spark, sf_dir, "documents")).withColumn(
+        "html",
+        F.when(
+            F.pmod("doc_id", F.lit(E2E_BENCH_MOD)) == 0, F.col("html")
+        ).otherwise(F.concat(F.col("html"), F.lit(E2E_FOOTER))),
+    )
+    raw = injected.withColumn(
+        "__raw", canonicalize_text(html_to_text(F.col("html")))
+    )
+    clean = dedup_lines(
+        raw.select("doc_id", "__raw"),
+        "doc_id",
+        F.split(F.col("__raw"), "\n"),
+        min_docs=E2E_LINE_MIN,
+    ).select("doc_id", F.col("clean_text").alias("__clean"))
+    docs2 = raw.join(clean, "doc_id", "left")
+    bench = injected.where(
+        F.pmod("doc_id", F.lit(E2E_BENCH_MOD)) == 0
+    ).select("doc_id", "html")
+    out = llm_prep_corpus(
+        docs2, bench,
+        quality_threshold=E2E_CLEAN_Q, jaccard_threshold=E2E_J,
+        decontam_n=E2E_N, split_seed=E2E_SEED, text_col="__clean",
+    )
+    kept = out.where(F.col("status") == "kept").select(
+        "doc_id", "split", F.col("__clean").alias("__text")
+    ).persist()
+    return _span_stage(kept)
+
+
+register(QuerySpec(
+    "llm_prep_spans_clean", llm_prep_spans_clean,
+    _e2e_spans_sql(
+        line_dedup_min_docs=E2E_LINE_MIN, q_threshold=E2E_CLEAN_Q
+    ),
+    "boilerplate-first LLM prep (path c): C4 line dedup strips the "
+    "shared footer BEFORE verified near-dup + span removal — the "
+    "ordering whose candidate count stays linear through sf100",
 ))
