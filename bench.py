@@ -367,6 +367,27 @@ def main() -> None:
     warm_queries = all_queries()
     warm_queries["q1_pricing_summary"].spark_fn(spark, "/root/testdata/sf0.001").collect()
     warm_queries["text_fingerprint"].spark_fn(spark, "/root/testdata/sf0.001").collect()
+    # The sf0.001 fixture is ONE partition, so the line above forks one
+    # or two Python workers, not the pool — BASELINE r10 addendum 6
+    # measured the remaining 9-20 s worker-fork cost landing on
+    # whichever Arrow query ran first at sf0.1. Fork the whole pool
+    # explicitly: one Arrow batch per core, numpy imported in each.
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import PandasUDFType, pandas_udf  # noqa: PLC0415
+
+    def _warm_fn(v):
+        import numpy as np  # noqa: PLC0415
+
+        return pd.Series(np.asarray(v, dtype="float64"))
+
+    # explicit functionType: `from __future__ import annotations`
+    # stringifies hints, which the decorator form cannot resolve
+    _warm_worker = pandas_udf(_warm_fn, "double", PandasUDFType.SCALAR)
+
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(cores * 4, numPartitions=cores).select(
+        _warm_worker("id")
+    ).collect()
 
     probe_entries = (
         "dedup_index_probe", "search_index_probe",

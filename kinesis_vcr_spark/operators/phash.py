@@ -337,6 +337,13 @@ def append_phash_index(
 
 
 def _load_phash_meta(spark, index_path: str) -> tuple[int, str] | None:
+    from kinesis_vcr_spark.fsutil import path_exists
+
+    # existence-probe first: a first build's meta miss is a normal
+    # event, and read-then-catch would dump a JVM AnalysisException
+    # stack trace into the driver log before Python caught it
+    if not path_exists(spark, f"{index_path}/meta"):
+        return None
     try:
         m = spark.read.parquet(f"{index_path}/meta").collect()[0]
     except Exception:

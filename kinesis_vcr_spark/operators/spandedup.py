@@ -379,15 +379,18 @@ def _gram_bucket(n_buckets: int):
 
 
 def _path_exists(spark, path: str) -> bool:
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    return bool(fs.exists(hpath))
+    from kinesis_vcr_spark.fsutil import path_exists
+
+    return path_exists(spark, path)
 
 
 def _load_gram_meta(spark, index_path: str) -> int | None:
     """``n_buckets`` the index was laid out with; ``None`` for a
     legacy (pre-bucket) artifact, which stays readable un-pruned."""
+    # existence-probe first — quiet first-build miss (no JVM
+    # AnalysisException stack trace in the driver log)
+    if not _path_exists(spark, f"{index_path}/meta"):
+        return None
     try:
         return spark.read.parquet(f"{index_path}/meta").collect()[0][
             "n_buckets"

@@ -19,6 +19,7 @@ materializes that same frame to parquet instead of cache).
 
 Usage:
   python tools/llm_spans_scale.py <sf_dir> <work_dir> kept [near_dup]
+  python tools/llm_spans_scale.py <sf_dir> <work_dir> kept_clean
   python tools/llm_spans_scale.py <sf_dir> <work_dir> spans
 
 ``near_dup`` (default ``verified``) selects the pipeline's near-dup
@@ -26,6 +27,12 @@ mode; ``lsh_components`` is the Θ(n·bands) path — the verified mode's
 candidate×shingle verification exchange needs ~300 GB at the sf100
 footer corpus and cannot fit one rig (BASELINE r10 addendum 2), so the
 sf100 rung of this query is measurable only through the lsh mode.
+
+``kept_clean`` is the boilerplate-first ordering (path (c), registered
+as ``llm_prep_spans_clean``): corpus-wide line dedup strips the footer
+BEFORE the pipeline, so the VERIFIED near-dup mode's candidate set
+tracks the plain corpus and the sf100 rung completes with exact
+semantics — the production answer the r10 trilogy measured.
 """
 
 from __future__ import annotations
@@ -86,6 +93,43 @@ def main() -> None:
         kept.write.mode("overwrite").parquet(f"{work_dir}/kept")
         print(
             f"stage kept ({near_dup}): {round(time.time() - t0, 3)}s",
+            flush=True,
+        )
+    elif mode == "kept_clean":
+        from kinesis_vcr_spark.operators.linededup import dedup_lines
+        from kinesis_vcr_spark.queries.e2e import E2E_CLEAN_Q, E2E_LINE_MIN
+
+        t0 = time.time()
+        injected = _injected(
+            load_table(spark, sf_dir, "documents")
+        ).withColumn(
+            "html",
+            F.when(
+                F.pmod("doc_id", F.lit(E2E_BENCH_MOD)) == 0, F.col("html")
+            ).otherwise(F.concat(F.col("html"), F.lit(E2E_FOOTER))),
+        )
+        raw = injected.withColumn(
+            "__raw", canonicalize_text(html_to_text(F.col("html")))
+        )
+        clean = dedup_lines(
+            raw.select("doc_id", "__raw"), "doc_id",
+            F.split(F.col("__raw"), "\n"), min_docs=E2E_LINE_MIN,
+        ).select("doc_id", F.col("clean_text").alias("__clean"))
+        docs2 = raw.join(clean, "doc_id", "left")
+        bench = injected.where(
+            F.pmod("doc_id", F.lit(E2E_BENCH_MOD)) == 0
+        ).select("doc_id", "html")
+        out = llm_prep_corpus(
+            docs2, bench,
+            quality_threshold=E2E_CLEAN_Q, jaccard_threshold=E2E_J,
+            decontam_n=E2E_N, split_seed=E2E_SEED, text_col="__clean",
+        )
+        kept = out.where(F.col("status") == "kept").select(
+            "doc_id", "split", F.col("__clean").alias("__text")
+        )
+        kept.write.mode("overwrite").parquet(f"{work_dir}/kept")
+        print(
+            f"stage kept_clean: {round(time.time() - t0, 3)}s",
             flush=True,
         )
     elif mode == "spans":
