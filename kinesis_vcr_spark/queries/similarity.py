@@ -290,3 +290,148 @@ register(
         "quantized inverted-list path (FAISS IndexIVFPQ shape)",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# planted-MANIFOLD recall row (r10 verdict item 6): the twin rows above
+# prove identical-vector recovery; real embedding spaces instead
+# CLUSTER, and PQ/IVF recall pins on the near-random fixture are
+# adversarial. This row plants a deterministic clustered manifold FROM
+# the fixture itself — inject-then-process, like the e2e crawl shape —
+# so an approximate searcher's output is exactly SQL-recomputable:
+#
+#   centers  = the first MAN_K organic embeddings, L2-normalized
+#              (organic pairwise cosine tops out ~0.51 — separated);
+#   member i = normalize(center[i % MAN_K] + MAN_EPS * unit(emb_i))
+#              for every vec_id >= MAN_K (within-cluster cosine
+#              >= ~0.94, cross-cluster <= ~0.64 — measured margin
+#              pinned in tests/test_ann_clustered.py);
+#   probes   = members with vec_id < MAN_K + MAN_PROBES.
+#
+# IVF with the planted centers FROZEN and nprobe=1 probes exactly the
+# query's own cluster, whose members all assign there by the margin —
+# so its top-5 equals the within-cluster exact cosine top-5, which the
+# DuckDB oracle computes directly. An approximate searcher, a planted
+# manifold, and an exact hash-checked answer.
+# ---------------------------------------------------------------------------
+
+MAN_K = 8
+MAN_EPS = 0.25
+MAN_PROBES = 64
+MAN_TOP_K = 5
+
+
+def _unit_arr(col):
+    """L2-normalize an array<double> column with JVM-side HOFs."""
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return F.transform(col, lambda x: x / nrm)
+
+
+def _manifold(emb: DataFrame) -> tuple[DataFrame, DataFrame, "object"]:
+    """(corpus, probes, frozen centroid matrix) for the planted
+    manifold. The centers frame is MAN_K rows — broadcast join; all
+    vector arithmetic stays in whole-stage codegen (zip_with /
+    aggregate HOFs over 64 doubles)."""
+    import numpy as np  # noqa: PLC0415
+
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    centers = e.where(F.col("vec_id") < MAN_K).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        _unit_arr(F.col("e")).alias("c"),
+    )
+    members = e.where(F.col("vec_id") >= MAN_K).select(
+        "vec_id",
+        F.pmod("vec_id", F.lit(MAN_K)).cast("int").alias("cid"),
+        _unit_arr(F.col("e")).alias("u"),
+    )
+    raw = F.zip_with(
+        F.col("c"), F.col("u"), lambda c, u: c + F.lit(MAN_EPS) * u
+    )
+    corpus = (
+        members.join(F.broadcast(centers), "cid")
+        .select("vec_id", _unit_arr(raw).alias("embedding"))
+    )
+    probes = corpus.where(F.col("vec_id") < MAN_K + MAN_PROBES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    crows = sorted(centers.collect(), key=lambda r: r["cid"])
+    cmat = np.vstack([np.asarray(r["c"], dtype=np.float64) for r in crows])
+    return corpus, probes, cmat
+
+
+def similarity_ivf_manifold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 over the planted clustered manifold with FROZEN
+    planted centroids and nprobe=1 — equals the within-cluster exact
+    cosine top-5 by the separation margin, hence exact-oracle-checked
+    (the clustered-recall companion to the planted-twin rows)."""
+    from kinesis_vcr_spark.operators.ivf import ivf_topk  # noqa: PLC0415
+
+    corpus, probes, cmat = _manifold(load_table(spark, sf_dir, "embeddings"))
+    return ivf_topk(
+        corpus, probes, k=MAN_TOP_K, centroids=cmat, nprobe=1
+    ).orderBy("query_id", "rank")
+
+
+IVF_MANIFOLD_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, e,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b))
+           AS nrm
+  FROM v
+), u AS (
+  SELECT vec_id, list_transform(e, x -> x / nrm) AS un FROM n
+), cent AS (
+  SELECT CAST(vec_id AS INT) AS cid, un AS c FROM u WHERE vec_id < {MAN_K}
+), raw AS (
+  SELECT m.vec_id, CAST(m.vec_id % {MAN_K} AS INT) AS cid,
+         list_transform(range(1, 65),
+                        i -> c.c[i] + {MAN_EPS} * m.un[i]) AS r
+  FROM u m JOIN cent c ON c.cid = CAST(m.vec_id % {MAN_K} AS INT)
+  WHERE m.vec_id >= {MAN_K}
+), rn AS (
+  SELECT vec_id, cid, r,
+         sqrt(list_reduce(list_transform(r, x -> x * x), (a, b) -> a + b))
+           AS nrm
+  FROM raw
+), mem AS (
+  SELECT vec_id, cid, list_transform(r, x -> x / nrm) AS mv FROM rn
+), scored AS (
+  SELECT q.vec_id AS query_id, m.vec_id AS vec_id,
+         round(list_reduce(list_transform(range(1, 65),
+                   i -> q.mv[i] * m.mv[i]), (x, y) -> x + y), 6) AS cosine
+  FROM mem q JOIN mem m ON q.cid = m.cid AND m.vec_id != q.vec_id
+  WHERE q.vec_id < {MAN_K + MAN_PROBES}
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked
+WHERE rank <= {MAN_TOP_K} ORDER BY query_id, rank
+"""
+
+
+register(
+    QuerySpec(
+        "similarity_ivf_manifold",
+        similarity_ivf_manifold,
+        IVF_MANIFOLD_SQL,
+        "IVF recall on a planted clustered manifold (frozen planted "
+        "centroids, nprobe=1 = the query's own cluster): exact "
+        "within-cluster top-5 oracle — the clustered-recall row the "
+        "near-random fixture cannot express",
+    )
+)

@@ -216,3 +216,49 @@ def test_ivfpq_planted_driver_query(spark, sf_dir):
     )
     assert len(got) == n_planted
     assert all(r["match_id"] == r["query_id"] + PLANT_OFFSET for r in got)
+
+
+# ----------------- planted-manifold driver row (r11, verdict item 6)
+
+def test_manifold_margin_and_ivf_equals_exact(spark):
+    """The registry row similarity_ivf_manifold rests on a separation
+    claim: every member's cosine to its OWN planted center exceeds its
+    cosine to any other center. Measure the margin on the real fixture
+    (not assume it) and pin IVF(nprobe=1, frozen centers) == exact
+    brute-force top-5 — the equality the exact oracle encodes."""
+    import numpy as np
+
+    from kinesis_vcr_spark.operators.ivf import ivf_topk
+    from kinesis_vcr_spark.operators.similarity import cosine_topk
+    from kinesis_vcr_spark.queries.similarity import (
+        MAN_K,
+        MAN_PROBES,
+        MAN_TOP_K,
+        _manifold,
+    )
+    from kinesis_vcr_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    corpus, probes, cmat = _manifold(emb)
+
+    vecs = corpus.collect()
+    mat = np.vstack([np.asarray(r["embedding"]) for r in vecs])
+    sims = mat @ cmat.T  # members x centers
+    own = np.array([r["vec_id"] % MAN_K for r in vecs])
+    own_sim = sims[np.arange(len(vecs)), own]
+    sims[np.arange(len(vecs)), own] = -2.0
+    margin = float((own_sim - sims.max(axis=1)).min())
+    assert margin > 0.2, margin  # measured ~0.3 at sf0.01
+
+    approx = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(
+            corpus, probes, k=MAN_TOP_K, centroids=cmat, nprobe=1
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in cosine_topk(corpus, probes, k=MAN_TOP_K).collect()
+    }
+    assert len(exact) == MAN_PROBES * MAN_TOP_K
+    assert approx == exact  # recall 1.0 AND identical ranking
