@@ -587,8 +587,15 @@ def vp8_decode(chunk: bytes) -> tuple[int, int, np.ndarray, np.ndarray,
         raise ValueError("VP8 chunk too short")
     tag = chunk[0] | (chunk[1] << 8) | (chunk[2] << 16)
     if tag & 1:
+        # Not a WebP gap: the container spec requires every frame
+        # (still or ANMF) to be a complete image = a key frame, so
+        # inter frames cannot occur in any valid WebP. They are a raw
+        # video-stream (WebM/IVF) feature — the documented ffmpeg
+        # slot, unverifiable here anyway (no system reference decodes
+        # raw VP8 video; libwebp's public API is WebP-only).
         raise NotImplementedError(
-            "VP8 inter frame: only key frames occur in still WebP"
+            "VP8 inter frame: WebP frames are key frames by spec; "
+            "inter prediction is a WebM/IVF video feature (ffmpeg slot)"
         )
     first_part_size = tag >> 5
     if chunk[3:6] != b"\x9d\x01\x2a":

@@ -577,3 +577,32 @@ def test_truncated_partition_size_table_raises_valueerror():
             vp8_decode(chunk[:cut])
         except allowed:
             pass  # quarantine-catchable per the malformed-stream contract
+
+
+def test_anmf_inter_frame_is_a_loud_spec_violation():
+    """Container-spec rule (r10 verdict item 3): every ANMF frame is a
+    complete image = a VP8 key frame; a frame with the inter bit set
+    is a spec violation that must fail loudly (and quarantine-catch),
+    not decode garbage. Animated lossy compositing itself is already
+    covered by test_animated_lossy_*."""
+    import struct
+
+    from kinesis_vcr_spark.operators.webp import webp_frames
+
+    payload = base64.b64decode("".join(FIXTURES["flat_16x16_q95"][:-1]))
+    chunk = bytearray(_vp8_chunk(payload))
+    chunk[0] |= 1  # flip frame type -> inter
+
+    def u24(v):
+        return v.to_bytes(3, "little")
+
+    body = (u24(0) + u24(0) + u24(15) + u24(15) + u24(10) + bytes([0])
+            + b"VP8 " + struct.pack("<I", len(chunk)) + bytes(chunk)
+            + (b"\x00" if len(chunk) & 1 else b""))
+    vp8x = bytes([0x02, 0, 0, 0]) + u24(15) + u24(15)
+    anim = b"ANIM" + struct.pack("<I", 6) + bytes(6)
+    cont = (b"WEBPVP8X" + struct.pack("<I", len(vp8x)) + vp8x
+            + anim + b"ANMF" + struct.pack("<I", len(body)) + body)
+    cont = b"RIFF" + struct.pack("<I", len(cont)) + cont
+    with pytest.raises(NotImplementedError, match="key frames by spec"):
+        webp_frames(cont)
