@@ -87,6 +87,7 @@ def html_quality_verdicts(
     html_col: str = "html",
     keep_lang: str = "en",
     quality_threshold: float = 0.6,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-doc extract + score + verdict — the single projection both
     the batch path and the streaming loop evaluate (prefix parity is
@@ -98,7 +99,10 @@ def html_quality_verdicts(
     language, then quality. ``pred_lang``/``q`` are NULL for invalid
     rows rather than garbage.
 
-    Output: ``(id_col, text, pred_lang, q, verdict)``.
+    Output: ``(id_col, *carry_cols, text, pred_lang, q, verdict)`` —
+    ``carry_cols`` pass through untouched so composed ingest loops
+    (streaming/warcstream.py keeps provenance columns) stay a single
+    narrow projection instead of scoring-then-joining-back.
     """
     idc = F.col(id_col)
     with_text = docs.withColumn(
@@ -112,6 +116,7 @@ def html_quality_verdicts(
     )
     scored = with_text.select(
         id_col,
+        *carry_cols,
         F.when(~invalid, F.col("text")).alias("text"),
         F.when(~invalid, predicted_lang(F.col("text"))).alias("pred_lang"),
         F.when(~invalid, quality_score(F.col("text"))).alias("q"),
@@ -124,7 +129,8 @@ def html_quality_verdicts(
         .otherwise(F.lit(VERDICT_KEPT))
     )
     return scored.select(
-        id_col, "text", "pred_lang", "q", verdict.alias("verdict")
+        id_col, *carry_cols, "text", "pred_lang", "q",
+        verdict.alias("verdict"),
     )
 
 
