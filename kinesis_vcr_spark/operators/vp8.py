@@ -155,37 +155,28 @@ def _clip7(v: int, hi: int = 127) -> int:
 
 def idct4x4(block: np.ndarray) -> np.ndarray:
     """Exact integer 4x4 inverse DCT (RFC 6386 §14.3): two passes with
-    the 20091/35468 multiplier pair, final (x + 4) >> 3."""
+    the 20091/35468 multiplier pair, final (x + 4) >> 3. Vectorized
+    over whole rows/columns (r11 — this ran as 16 scalar butterflies
+    and was 14% of the decode profile); numpy's ``>>`` on int64 is an
+    arithmetic shift, same floor semantics as the scalar code."""
     ip = block.astype(np.int64).reshape(4, 4)
-    tmp = np.empty((4, 4), np.int64)
-    for i in range(4):  # columns
-        a1 = ip[0, i] + ip[2, i]
-        b1 = ip[0, i] - ip[2, i]
-        t1 = (ip[1, i] * 35468) >> 16
-        t2 = ip[3, i] + ((ip[3, i] * 20091) >> 16)
-        c1 = t1 - t2
-        t1 = ip[1, i] + ((ip[1, i] * 20091) >> 16)
-        t2 = (ip[3, i] * 35468) >> 16
-        d1 = t1 + t2
-        tmp[0, i] = a1 + d1
-        tmp[3, i] = a1 - d1
-        tmp[1, i] = b1 + c1
-        tmp[2, i] = b1 - c1
-    out = np.empty((4, 4), np.int64)
-    for i in range(4):  # rows
-        a1 = tmp[i, 0] + tmp[i, 2]
-        b1 = tmp[i, 0] - tmp[i, 2]
-        t1 = (tmp[i, 1] * 35468) >> 16
-        t2 = tmp[i, 3] + ((tmp[i, 3] * 20091) >> 16)
-        c1 = t1 - t2
-        t1 = tmp[i, 1] + ((tmp[i, 1] * 20091) >> 16)
-        t2 = (tmp[i, 3] * 35468) >> 16
-        d1 = t1 + t2
-        out[i, 0] = (a1 + d1 + 4) >> 3
-        out[i, 3] = (a1 - d1 + 4) >> 3
-        out[i, 1] = (b1 + c1 + 4) >> 3
-        out[i, 2] = (b1 - c1 + 4) >> 3
-    return out
+    # pass 1 (down the columns): ip[k] is the length-4 row vector
+    a1 = ip[0] + ip[2]
+    b1 = ip[0] - ip[2]
+    c1 = ((ip[1] * 35468) >> 16) - (ip[3] + ((ip[3] * 20091) >> 16))
+    d1 = (ip[1] + ((ip[1] * 20091) >> 16)) + ((ip[3] * 35468) >> 16)
+    tmp = np.stack([a1 + d1, b1 + c1, b1 - c1, a1 - d1])
+    # pass 2 (across the rows): feed tmp's COLUMNS, vectorized over rows
+    t0, t1_, t2_, t3 = tmp[:, 0], tmp[:, 1], tmp[:, 2], tmp[:, 3]
+    a1 = t0 + t2_
+    b1 = t0 - t2_
+    c1 = ((t1_ * 35468) >> 16) - (t3 + ((t3 * 20091) >> 16))
+    d1 = (t1_ + ((t1_ * 20091) >> 16)) + ((t3 * 35468) >> 16)
+    return np.stack(
+        [(a1 + d1 + 4) >> 3, (b1 + c1 + 4) >> 3,
+         (b1 - c1 + 4) >> 3, (a1 - d1 + 4) >> 3],
+        axis=1,
+    )
 
 
 def iwht4x4(block: np.ndarray) -> np.ndarray:
@@ -825,87 +816,152 @@ def _limits(lvl: int, sharpness: int):
     return interior, hev_t, mb_lim, sb_lim
 
 
-def _v_edge(plane, x, rows, lim, interior, hev_t, mb_edge):
-    """Filter the vertical edge at column x (normal filter)."""
-    sl = plane[rows, :]
-    cols = [sl[:, x + d] for d in range(-4, 4)]
-    res = _filter_edge(*cols, lim, interior, hev_t, mb_edge)
+def _v_edges(plane, xs, y0s, strip, lims, ints, hevs, mb_edge):
+    """Filter a BATCH of vertical edges (one per (xs[i], y0s[i]) strip
+    of ``strip`` rows) in one vectorized pass; per-edge limits repeat
+    per pixel and broadcast through ``_filter_edge``."""
+    if len(xs) == 0:
+        return
+    rows = (y0s[:, None] + np.arange(strip)).ravel()
+    cols = np.repeat(xs, strip)
+    taps = [plane[rows, cols + d] for d in range(-4, 4)]
+    el = np.repeat(lims, strip)
+    il = np.repeat(ints, strip)
+    hv = np.repeat(hevs, strip)
+    res = _filter_edge(*taps, el, il, hv, mb_edge)
     for d, v in zip(range(-3, 3), res):
-        plane[rows, x + d] = v
+        plane[rows, cols + d] = v
 
 
-def _h_edge(plane, y, cols, lim, interior, hev_t, mb_edge):
-    sl = plane[:, cols]
-    rows = [sl[y + d, :] for d in range(-4, 4)]
-    res = _filter_edge(*rows, lim, interior, hev_t, mb_edge)
+def _h_edges(plane, ys, x0s, strip, lims, ints, hevs, mb_edge):
+    if len(ys) == 0:
+        return
+    cols = (x0s[:, None] + np.arange(strip)).ravel()
+    rows = np.repeat(ys, strip)
+    taps = [plane[rows + d, cols] for d in range(-4, 4)]
+    el = np.repeat(lims, strip)
+    il = np.repeat(ints, strip)
+    hv = np.repeat(hevs, strip)
+    res = _filter_edge(*taps, el, il, hv, mb_edge)
     for d, v in zip(range(-3, 3), res):
-        plane[y + d, cols] = v
+        plane[rows + d, cols] = v
+
+
+def _simple_v_edges(plane, xs, y0s, strip, lims):
+    if len(xs) == 0:
+        return
+    rows = (y0s[:, None] + np.arange(strip)).ravel()
+    cols = np.repeat(xs, strip)
+    el = np.repeat(lims, strip)
+    np0, nq0 = _simple_edge(
+        plane[rows, cols - 2], plane[rows, cols - 1],
+        plane[rows, cols], plane[rows, cols + 1], el,
+    )
+    plane[rows, cols - 1] = np0
+    plane[rows, cols] = nq0
+
+
+def _simple_h_edges(plane, ys, x0s, strip, lims):
+    if len(ys) == 0:
+        return
+    cols = (x0s[:, None] + np.arange(strip)).ravel()
+    rows = np.repeat(ys, strip)
+    el = np.repeat(lims, strip)
+    np0, nq0 = _simple_edge(
+        plane[rows - 2, cols], plane[rows - 1, cols],
+        plane[rows, cols], plane[rows + 1, cols], el,
+    )
+    plane[rows - 1, cols] = np0
+    plane[rows, cols] = nq0
 
 
 def _loop_filter(Y, U, V, hdr, quant, seg_ids, ymodes, has_coeffs,
                  mb_w, mb_h):
+    """In-loop deblocking, wavefront-batched (r11 — was 59% of the
+    decode profile as per-MB 16-pixel strips).
+
+    The spec's raster-order MB walk carries real dependencies: an MB's
+    edges read pixels written by its LEFT (r,c−1), TOP (r−1,c) and
+    TOP-RIGHT (r−1,c+1) neighbors' filters (3-pixel write bands around
+    each edge). Under the classic wavefront ``d = 2·row + col``, all
+    three predecessors land on earlier diagonals, and any two MBs on
+    the SAME diagonal differ by (−k, +2k) — their read/write boxes
+    (rows y0−3..y0+15 × cols x0−3..x0+15) are column-disjoint for
+    every k ≥ 1 — so batching a diagonal's MBs step-by-step (left-V,
+    inner-V d=4/8/12, top-H, inner-H d=4/8/12, each across all MBs at
+    once) is EXACTLY order-equivalent to the raster walk. Bit-exactness
+    vs libwebp over the full conformance matrix is the proof the
+    argument can't fake."""
+    n = mb_w * mb_h
+    lvls = np.zeros(n, np.int32)
+    ints = np.zeros(n, np.int32)
+    hevs = np.zeros(n, np.int32)
+    mblims = np.zeros(n, np.int32)
+    sblims = np.zeros(n, np.int32)
+    inner = np.zeros(n, bool)
+    lim_cache: dict[int, tuple] = {}
+    for i in range(n):
+        is_b = ymodes[i] == B_PRED
+        lvl = _mb_filter_level(hdr, int(seg_ids[i]), is_b)
+        lvls[i] = lvl
+        if lvl:
+            if lvl not in lim_cache:
+                lim_cache[lvl] = _limits(lvl, hdr.sharpness)
+            ints[i], hevs[i], mblims[i], sblims[i] = lim_cache[lvl]
+        inner[i] = bool(has_coeffs[i]) or is_b
     simple = hdr.filter_type == 1
-    for mby in range(mb_h):
-        for mbx in range(mb_w):
-            i = mby * mb_w + mbx
-            is_b = ymodes[i] == B_PRED
-            lvl = _mb_filter_level(hdr, int(seg_ids[i]), is_b)
-            if lvl == 0:
-                continue
-            interior, hev_t, mb_lim, sb_lim = _limits(lvl, hdr.sharpness)
-            inner = bool(has_coeffs[i]) or is_b
-            x0, y0 = mbx * 16, mby * 16
-            cx0, cy0 = mbx * 8, mby * 8
-            yrows = slice(y0, y0 + 16)
-            ycols = slice(x0, x0 + 16)
-            crows = slice(cy0, cy0 + 8)
-            ccols = slice(cx0, cx0 + 8)
-            if simple:
-                if mbx > 0:
-                    _simple_v(Y, x0, yrows, mb_lim)
-                if inner:
-                    for d in (4, 8, 12):
-                        _simple_v(Y, x0 + d, yrows, sb_lim)
-                if mby > 0:
-                    _simple_h(Y, y0, ycols, mb_lim)
-                if inner:
-                    for d in (4, 8, 12):
-                        _simple_h(Y, y0 + d, ycols, sb_lim)
-                continue
-            if mbx > 0:
-                _v_edge(Y, x0, yrows, mb_lim, interior, hev_t, True)
-                _v_edge(U, cx0, crows, mb_lim, interior, hev_t, True)
-                _v_edge(V, cx0, crows, mb_lim, interior, hev_t, True)
-            if inner:
-                for d in (4, 8, 12):
-                    _v_edge(Y, x0 + d, yrows, sb_lim, interior, hev_t, False)
-                _v_edge(U, cx0 + 4, crows, sb_lim, interior, hev_t, False)
-                _v_edge(V, cx0 + 4, crows, sb_lim, interior, hev_t, False)
-            if mby > 0:
-                _h_edge(Y, y0, ycols, mb_lim, interior, hev_t, True)
-                _h_edge(U, cy0, ccols, mb_lim, interior, hev_t, True)
-                _h_edge(V, cy0, ccols, mb_lim, interior, hev_t, True)
-            if inner:
-                for d in (4, 8, 12):
-                    _h_edge(Y, y0 + d, ycols, sb_lim, interior, hev_t, False)
-                _h_edge(U, cy0 + 4, ccols, sb_lim, interior, hev_t, False)
-                _h_edge(V, cy0 + 4, ccols, sb_lim, interior, hev_t, False)
-
-
-def _simple_v(plane, x, rows, lim):
-    sl = plane[rows, :]
-    p1, p0, q0, q1 = (sl[:, x - 2], sl[:, x - 1], sl[:, x], sl[:, x + 1])
-    np0, nq0 = _simple_edge(p1, p0, q0, q1, lim)
-    plane[rows, x - 1] = np0
-    plane[rows, x] = nq0
-
-
-def _simple_h(plane, y, cols, lim):
-    sl = plane[:, cols]
-    p1, p0, q0, q1 = (sl[y - 2, :], sl[y - 1, :], sl[y, :], sl[y + 1, :])
-    np0, nq0 = _simple_edge(p1, p0, q0, q1, lim)
-    plane[y - 1, cols] = np0
-    plane[y, cols] = nq0
+    all_mby = np.arange(mb_h)
+    for d in range(2 * (mb_h - 1) + mb_w):
+        mbxs = d - 2 * all_mby
+        sel = (mbxs >= 0) & (mbxs < mb_w)
+        mbys = all_mby[sel]
+        mbxs = mbxs[sel]
+        idx = mbys * mb_w + mbxs
+        act = lvls[idx] > 0
+        if not act.any():
+            continue
+        idx, mbxs, mbys = idx[act], mbxs[act], mbys[act]
+        x0, y0 = mbxs * 16, mbys * 16
+        cx0, cy0 = mbxs * 8, mbys * 8
+        has_l = mbxs > 0
+        has_t = mbys > 0
+        inn = inner[idx]
+        ml, sl = mblims[idx], sblims[idx]
+        if simple:
+            _simple_v_edges(Y, x0[has_l], y0[has_l], 16, ml[has_l])
+            for dd in (4, 8, 12):
+                _simple_v_edges(Y, x0[inn] + dd, y0[inn], 16, sl[inn])
+            _simple_h_edges(Y, y0[has_t], x0[has_t], 16, ml[has_t])
+            for dd in (4, 8, 12):
+                _simple_h_edges(Y, y0[inn] + dd, x0[inn], 16, sl[inn])
+            continue
+        it, hv = ints[idx], hevs[idx]
+        _v_edges(Y, x0[has_l], y0[has_l], 16, ml[has_l], it[has_l],
+                 hv[has_l], True)
+        _v_edges(U, cx0[has_l], cy0[has_l], 8, ml[has_l], it[has_l],
+                 hv[has_l], True)
+        _v_edges(V, cx0[has_l], cy0[has_l], 8, ml[has_l], it[has_l],
+                 hv[has_l], True)
+        for dd in (4, 8, 12):
+            _v_edges(Y, x0[inn] + dd, y0[inn], 16, sl[inn], it[inn],
+                     hv[inn], False)
+        _v_edges(U, cx0[inn] + 4, cy0[inn], 8, sl[inn], it[inn],
+                 hv[inn], False)
+        _v_edges(V, cx0[inn] + 4, cy0[inn], 8, sl[inn], it[inn],
+                 hv[inn], False)
+        _h_edges(Y, y0[has_t], x0[has_t], 16, ml[has_t], it[has_t],
+                 hv[has_t], True)
+        _h_edges(U, cy0[has_t], cx0[has_t], 8, ml[has_t], it[has_t],
+                 hv[has_t], True)
+        _h_edges(V, cy0[has_t], cx0[has_t], 8, ml[has_t], it[has_t],
+                 hv[has_t], True)
+        for dd in (4, 8, 12):
+            _h_edges(Y, y0[inn] + dd, x0[inn], 16, sl[inn], it[inn],
+                     hv[inn], False)
+        _h_edges(U, cy0[inn] + 4, cx0[inn], 8, sl[inn], it[inn],
+                 hv[inn], False)
+        _h_edges(V, cy0[inn] + 4, cx0[inn], 8, sl[inn], it[inn],
+                 hv[inn], False)
 
 
 # --------------------------------------------------------- container
