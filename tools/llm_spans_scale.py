@@ -114,7 +114,12 @@ def main() -> None:
         clean = dedup_lines(
             raw.select("doc_id", "__raw"), "doc_id",
             F.split(F.col("__raw"), "\n"), min_docs=E2E_LINE_MIN,
-        ).select("doc_id", F.col("clean_text").alias("__clean"))
+        ).select(
+            "doc_id",
+            F.when(
+                F.length("clean_text") > 0, F.col("clean_text")
+            ).alias("__clean"),
+        )
         docs2 = raw.join(clean, "doc_id", "left")
         bench = injected.where(
             F.pmod("doc_id", F.lit(E2E_BENCH_MOD)) == 0
