@@ -532,3 +532,55 @@ def test_span_probe_conf_robustness(spark, tmp_path):
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert results[0] == results[1]
     assert results[0], "fixture degenerated: no spans"
+
+
+def test_manifold_plant_is_codegen_and_broadcast(spark, sf_dir):
+    """similarity_ivf_manifold's plant: the centers join must be a
+    broadcast (8 rows), the member arithmetic pure JVM HOFs — the only
+    Python stages are IVF's centroid-assignment pandas UDFs."""
+    from kinesis_vcr_spark.queries.similarity import similarity_ivf_manifold
+
+    plan = _formatted_plan(similarity_ivf_manifold(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python: never
+    # only Arrow-batched stages (assignment/probe/cosine; the probe
+    # frame shares the corpus lineage so nodes appear per branch)
+    assert plan.count("ArrowEvalPython") <= 10
+
+
+def test_clean_ordering_line_dedup_plan(spark, sf_dir):
+    """llm_prep_spans_clean's line-dedup stage: the boilerplate set is
+    tiny, so its membership join back must be a broadcast under AQE at
+    fixture scales (the corpus-sized side never shuffles for it), and
+    the line counting is a partial (map-side combinable) aggregate."""
+    from pyspark.sql import functions as F
+
+    from kinesis_vcr_spark.functions.html import html_to_text
+    from kinesis_vcr_spark.functions.text import canonicalize_text
+    from kinesis_vcr_spark.operators.linededup import dedup_lines
+    from kinesis_vcr_spark.queries.e2e import (
+        E2E_BENCH_MOD,
+        E2E_FOOTER,
+        E2E_LINE_MIN,
+        _injected,
+    )
+    from kinesis_vcr_spark.tables import load_table
+
+    injected = _injected(load_table(spark, sf_dir, "documents")).withColumn(
+        "html",
+        F.when(
+            F.pmod("doc_id", F.lit(E2E_BENCH_MOD)) == 0, F.col("html")
+        ).otherwise(F.concat(F.col("html"), F.lit(E2E_FOOTER))),
+    )
+    raw = injected.withColumn(
+        "__raw", canonicalize_text(html_to_text(F.col("html")))
+    )
+    clean = dedup_lines(
+        raw.select("doc_id", "__raw"), "doc_id",
+        F.split(F.col("__raw"), "\n"), min_docs=E2E_LINE_MIN,
+    )
+    clean.collect()  # AQE finalizes join strategies at execution
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
+    assert plan.count("HashAggregate") >= 2  # partial + final counting
