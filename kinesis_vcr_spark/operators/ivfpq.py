@@ -237,10 +237,23 @@ def ivfpq_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rerank_vectors: DataFrame | None = None,
+    shortlist: int | None = None,
+    rerank_vec_col: str = "embedding",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Approximate top-k over the IVF-PQ index: each query scans ONLY
     its nprobe nearest lists. Returns (query_id, vec_id, adc_sim) on
     the skew-safe two-phase top-k.
+
+    **Exact re-rank** (``rerank_vectors`` — the FAISS-refine second
+    stage, same contract as ``pq.pq_adc_topk``): ADC keeps a
+    per-query shortlist of ``shortlist`` candidates (default
+    ``max(4·k, 50)``), their ORIGINAL vectors are fetched with one
+    narrow nq·R id join, and the output (query_id, vec_id, cosine,
+    rank) is the exact-cosine ordering within the shortlist — the fix
+    for residual-ADC's strict-recall collapse on tight clusters
+    (BASELINE r11 addendum 1).
 
     Plan shape — and the deliberate divergence from pq_adc_topk's
     broadcast-probes contract: queries stay DISTRIBUTED. Each query
@@ -277,12 +290,35 @@ def ivfpq_topk(
             centroids, codebook,
         ).alias("adc_sim"),
     )
-    return topk_per_group(
+    if rerank_vectors is None:
+        return topk_per_group(
+            scored,
+            key_cols=["query_id"],
+            order_by=[F.col("adc_sim").desc(), F.col(id_col)],
+            k=k,
+            rank_col="rank",
+        )
+    from kinesis_vcr_spark.operators.similarity import (  # noqa: PLC0415
+        exact_rerank_topk,
+    )
+
+    r = shortlist if shortlist is not None else max(4 * k, 50)
+    short = topk_per_group(
         scored,
         key_cols=["query_id"],
         order_by=[F.col("adc_sim").desc(), F.col(id_col)],
+        k=r,
+    ).select(F.col("query_id").alias(query_id_col), id_col)
+    return exact_rerank_topk(
+        short,
+        rerank_vectors,
+        queries,
         k=k,
-        rank_col="rank",
+        id_col=id_col,
+        vec_col=rerank_vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        exclude_self=exclude_self,
     )
 
 

@@ -479,7 +479,10 @@ def _decode_frame_subbands(payload: bytes, off: int,
 
 
 def mpeg_audio_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Full PCM decode of an MPEG-1 Layer I/II/III stream: returns
+    """PCM decode of an MPEG-1 audio stream: Layer I/II fully; Layer
+    III only for streams restricted to validated big-value Huffman
+    tables (0-3/5-8 + count1) — typical 128-320 kbps music selects
+    the gated ESC tables and raises ``NotImplementedError``. Returns
     (sample_frames, channels, int16 samples of shape (n, channels)).
     Layer III dispatches to :mod:`kinesis_vcr_spark.operators.mp3l3`
     (r11 — see its module docstring for the honestly-tiered Huffman

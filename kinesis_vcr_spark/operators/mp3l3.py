@@ -144,6 +144,14 @@ def parse_side_info(data: bytes, hdr: dict[str, Any]) -> dict[str, Any]:
             g: dict[str, Any] = {}
             g["part2_3_length"] = br.read(12)
             g["big_values"] = br.read(9)
+            if g["big_values"] > 288:
+                # 9-bit field admits up to 511 => 1022 lines > 576;
+                # anything past 288 pairs is a corrupt stream, not a
+                # valid Layer III granule (ISO 11172-3 2.4.2.7).
+                raise ValueError(
+                    f"big_values {g['big_values']} > 288 "
+                    "(corrupt Layer III side info)"
+                )
             g["global_gain"] = br.read(8)
             g["scalefac_compress"] = br.read(9 if lsf else 4)
             g["window_switching"] = br.read(1)
@@ -487,6 +495,18 @@ def decode_layer3(payload: bytes) -> tuple[int, int, np.ndarray]:
             "MPEG-2 LSF Layer III decode requires the LSF scalefactor "
             "partition tables — ffmpeg slot (side-info walk IS validated)"
         )
+    for fr in frames:
+        h = fr["hdr"]
+        # joint stereo: MS is implemented below; intensity positioning
+        # is NOT — decoding it as plain stereo would silently produce
+        # wrong audio, so honour the module contract and raise before
+        # any PCM is emitted.
+        if h["channels"] == 2 and h["mode"] == 1 and \
+                h["mode_extension"] & 1:
+            raise NotImplementedError(
+                "MPEG-1 Layer III intensity stereo is not implemented "
+                "(documented ffmpeg slot); mode_extension bit 0 set"
+            )
     nch = hdr0["channels"]
     rate = hdr0["sample_rate"]
     sfb_long, sfb_short = SFB_LONG[rate], SFB_SHORT[rate]
@@ -520,7 +540,7 @@ def decode_layer3(payload: bytes) -> tuple[int, int, np.ndarray]:
                                 sfb_short)
                 xr = reorder_short(xr, g, sfb_short)
                 gr_out.append((g, xr))
-            # joint stereo (MS only; intensity stays a documented slot)
+            # joint stereo: MS only (intensity raises up front)
             if nch == 2 and hdr["mode"] == 1 and \
                     hdr["mode_extension"] & 2:
                 m = gr_out[0][1].copy()

@@ -191,6 +191,10 @@ def pq_adc_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rerank_vectors: DataFrame | None = None,
+    shortlist: int | None = None,
+    rerank_vec_col: str = "embedding",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Approximate top-k by ADC: per (query, vector) candidate,
     similarity = Σ_s ip_table[s, code_s] where ip_table is the query's
@@ -209,6 +213,20 @@ def pq_adc_topk(
     (object churn, 16×), and a crossJoin shipping the 64-double query
     vector per candidate row (Arrow volume, 24×). This one moves one
     double per (candidate, query) and no Python objects.
+
+    **Exact re-rank** (``rerank_vectors`` — the FAISS-refine second
+    stage): ADC produces a per-query SHORTLIST of ``shortlist``
+    candidates (default ``max(4·k, 50)``) instead of the final top-k;
+    the shortlist's ORIGINAL vectors are then fetched (one narrow join
+    of nq·R id pairs — never a vector shuffle) and scored with exact
+    cosine, so the returned ``(query_id, vec_id, cosine, rank)`` is
+    the true ordering within the shortlist. This is the documented fix
+    for ADC's strict-recall collapse on tight clusters (BASELINE r11
+    addendum 1: codes collapse inside a cluster and the fine ranking
+    scrambles — 0.025 strict recall@5 with cluster-recall 1.0); with a
+    shortlist covering the cluster, re-ranked recall is exact. Without
+    ``rerank_vectors`` the output is the raw ADC ranking
+    (query_id, vec_id, adc_sim, rank) exactly as before.
     """
     from pyspark.sql.functions import broadcast  # noqa: PLC0415
 
@@ -252,10 +270,33 @@ def pq_adc_topk(
         .join(qmap, "qidx")
         .select("query_id", id_col, "adc_sim")
     )
-    return topk_per_group(
+    if rerank_vectors is None:
+        return topk_per_group(
+            scored,
+            key_cols=["query_id"],
+            order_by=[F.col("adc_sim").desc(), F.col(id_col)],
+            k=k,
+            rank_col="rank",
+        )
+    from kinesis_vcr_spark.operators.similarity import (  # noqa: PLC0415
+        exact_rerank_topk,
+    )
+
+    r = shortlist if shortlist is not None else max(4 * k, 50)
+    short = topk_per_group(
         scored,
         key_cols=["query_id"],
         order_by=[F.col("adc_sim").desc(), F.col(id_col)],
+        k=r,
+    ).select(F.col("query_id").alias(query_id_col), id_col)
+    return exact_rerank_topk(
+        short,
+        rerank_vectors,
+        queries,
         k=k,
-        rank_col="rank",
+        id_col=id_col,
+        vec_col=rerank_vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        exclude_self=exclude_self,
     )

@@ -313,6 +313,64 @@ def cosine_topk(
     )
 
 
+def exact_rerank_topk(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact cosine re-rank of an approximate searcher's shortlist —
+    the standard second stage of every production ANN stack (FAISS
+    refine / DiskANN re-rank): the quantized first stage prunes the
+    corpus to R candidates per query, then the R ORIGINAL vectors are
+    fetched and scored exactly so the final top-k ordering is true
+    cosine, not ADC. Fixes the measured strict-recall collapse of
+    PQ/IVF-PQ inside tight clusters (BASELINE r11 addendum 1:
+    0.025–0.128 strict recall@5 with cluster-recall 1.0 — the codes
+    collapse, the ordering scrambles; exact re-scoring restores it).
+
+    ``candidates`` is any (query_id, vec_id) frame (extra columns are
+    dropped). Plan: one narrow equi-join of the nq·R candidate pairs
+    against the vector table (at 1000 executors the shortlist is tiny
+    relative to the corpus, so AQE broadcasts it and the original
+    vectors are fetched by a hash probe, never shuffled), broadcast of
+    the query vectors, Arrow-batched exact cosine, per-query window
+    top-k. Output = (query_id, vec_id, cosine, rank), bit-identical to
+    ``cosine_topk`` restricted to the candidate set.
+    """
+    v = vectors.select(
+        F.col(id_col), unit_double(F.col(vec_col)).alias("__v_unit")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        unit_double(F.col(query_vec_col)).alias("__q_unit"),
+    )
+    cand = candidates.select(query_id_col, id_col)
+    if exclude_self:
+        cand = cand.where(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        cand.join(v, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            round_cosine(
+                pandas_cosine_unit(F.col("__q_unit"), F.col("__v_unit"))
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ann_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -262,3 +262,94 @@ def test_manifold_margin_and_ivf_equals_exact(spark):
     }
     assert len(exact) == MAN_PROBES * MAN_TOP_K
     assert approx == exact  # recall 1.0 AND identical ranking
+
+
+# ----------------- exact shortlist re-rank (r12, verdict item 1)
+
+def test_pq_rerank_full_shortlist_equals_exact(clustered):
+    """The re-rank contract: with a shortlist covering the whole
+    corpus, pq_adc_topk(rerank_vectors=...) must be IDENTICAL to
+    cosine_topk — same ids, same 6-dp cosines, same ranks. This is the
+    bit-identity that lets the manifold rerank row share the IVF
+    manifold's exact DuckDB oracle."""
+    from kinesis_vcr_spark.operators.pq import (
+        pq_adc_topk, pq_encode_table, train_pq,
+    )
+    from kinesis_vcr_spark.operators.similarity import cosine_topk
+
+    df, _ = clustered
+    cb = train_pq(df, m=32, ksub=32, refine_iterations=1)
+    codes = pq_encode_table(df, cb)
+    got = {
+        (r["query_id"], r["vec_id"], r["cosine"], r["rank"])
+        for r in pq_adc_topk(
+            codes, _probes(df), cb, k=5,
+            rerank_vectors=df, shortlist=N_CLUSTERS * PER_CLUSTER,
+            exclude_self=True,
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"], r["cosine"], r["rank"])
+        for r in cosine_topk(df, _probes(df), k=5).collect()
+    }
+    assert got == exact
+
+
+def test_pq_rerank_small_shortlist_restores_recall(clustered):
+    """A shortlist of 3x the cluster size already restores strict
+    recall to 1.0 on the clustered fixture (the production shape: R a
+    small multiple of k, not the corpus)."""
+    from kinesis_vcr_spark.operators.pq import (
+        pq_adc_topk, pq_encode_table, train_pq,
+    )
+
+    df, _ = clustered
+    cb = train_pq(df, m=32, ksub=32, refine_iterations=1)
+    codes = pq_encode_table(df, cb)
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_adc_topk(
+            codes, _probes(df), cb, k=5,
+            rerank_vectors=df, shortlist=3 * PER_CLUSTER,
+            exclude_self=True,
+        ).collect()
+    }
+    assert _recall(_exact_top5(df), approx) == 1.0
+
+
+def test_ivfpq_rerank_restores_recall(clustered):
+    """Same second stage over the residual-quantized index: re-ranked
+    IVF-PQ strict recall back to 1.0 on the clustered fixture."""
+    from kinesis_vcr_spark.operators.ivfpq import build_ivfpq, ivfpq_topk
+
+    df, _ = clustered
+    centroids, codebook, codes = build_ivfpq(
+        df, k_centroids=8, m=32, ksub=32, refine_iterations=1
+    )
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivfpq_topk(
+            codes, centroids, codebook, _probes(df), k=5, nprobe=4,
+            rerank_vectors=df, shortlist=3 * PER_CLUSTER,
+            exclude_self=True,
+        ).collect()
+    }
+    assert _recall(_exact_top5(df), approx) == 1.0
+
+
+def test_manifold_pq_rerank_equals_ivf_manifold(spark):
+    """The r12 registry row similarity_pq_manifold_rerank must produce
+    EXACTLY the rows of similarity_ivf_manifold (both share the
+    within-cluster exact top-5 oracle)."""
+    from kinesis_vcr_spark.queries.similarity import (
+        similarity_ivf_manifold,
+        similarity_pq_manifold_rerank,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    a = {
+        tuple(r)
+        for r in similarity_pq_manifold_rerank(spark, sf).collect()
+    }
+    b = {tuple(r) for r in similarity_ivf_manifold(spark, sf).collect()}
+    assert a == b

@@ -541,7 +541,8 @@ def test_manifold_plant_is_codegen_and_broadcast(spark, sf_dir):
     from kinesis_vcr_spark.queries.similarity import similarity_ivf_manifold
 
     plan = _formatted_plan(similarity_ivf_manifold(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan  # row-at-a-time Python: never
     # only Arrow-batched stages (assignment/probe/cosine; the probe

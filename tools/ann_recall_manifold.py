@@ -96,12 +96,34 @@ def main() -> None:
     approx["pq"] = _pairs(
         pq_adc_topk(codes, probes, cb, k=MAN_TOP_K).collect()
     )
+    # exact shortlist re-rank (r12): 1.5x expected cluster size, the
+    # registry row's sizing — strict recall must be restored to 1.0
+    # (the FAISS-refine second stage; VERDICT r11 item 1)
+    from kinesis_vcr_spark.queries.similarity import (
+        PQ_RERANK_CLUSTER_FACTOR,
+    )
+
+    r_short = max(
+        4 * MAN_TOP_K, int(PQ_RERANK_CLUSTER_FACTOR * n / MAN_K) + 1
+    )
+    approx["pq_rerank"] = _pairs(
+        pq_adc_topk(
+            codes, probes, cb, k=MAN_TOP_K,
+            rerank_vectors=corpus, shortlist=r_short, exclude_self=True,
+        ).collect()
+    )
     centroids, icb, icodes = build_ivfpq(
         corpus, k_centroids=8, m=32, ksub=32, refine_iterations=1
     )
     approx["ivfpq"] = _pairs(
         ivfpq_topk(
             icodes, centroids, icb, probes, k=MAN_TOP_K, nprobe=2
+        ).collect()
+    )
+    approx["ivfpq_rerank"] = _pairs(
+        ivfpq_topk(
+            icodes, centroids, icb, probes, k=MAN_TOP_K, nprobe=2,
+            rerank_vectors=corpus, shortlist=r_short, exclude_self=True,
         ).collect()
     )
     print(json.dumps({
