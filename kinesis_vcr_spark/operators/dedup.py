@@ -55,6 +55,46 @@ def cap_group_size(
     )
 
 
+class CandidateBlowupError(RuntimeError):
+    """Raised by the LSH candidate stage when the band-group candidate
+    count exceeds the caller's ``candidate_budget`` — the circuit
+    breaker that converts the measured sf100 footer-corpus failure
+    (BASELINE r10 addendum 2: a ~300 GB candidate×shingle verification
+    exchange filling the cluster's disk, ENOSPC) into a loud,
+    immediate, actionable error instead of a dying cluster."""
+
+
+def check_candidate_budget(
+    counted: DataFrame, budget: int, context: str
+) -> None:
+    """Fail loudly if the banded frame's candidate-pair count exceeds
+    ``budget``. ``counted`` carries ``__grp_n`` (the per-band-group
+    member count the hot-band cap already computes); the total
+    candidate count is Σ_groups C(n,2) = Σ_rows (n−1)/2 — one small
+    aggregate riding the banding exchange, no pair materialization.
+    The measured count and the production remediation go in the error
+    (a guard that just says "too big" is half a guard)."""
+    row = counted.agg(
+        (F.sum(F.col("__grp_n") - 1) / 2).cast("long").alias("c")
+    ).first()
+    total = row["c"] or 0
+    if total > budget:
+        raise CandidateBlowupError(
+            f"{context}: LSH band groups would generate {total:,} "
+            f"candidate pairs (budget {budget:,}). On boilerplate-"
+            "saturated corpora the verified near-dup path's candidate"
+            "×shingle exchange grows super-linearly (measured ~300 GB "
+            "/ ENOSPC at the sf100 footer corpus — BASELINE r10 "
+            "addendum 2). Remediations, in production order: (1) run "
+            "boilerplate/line dedup BEFORE near-dup (the "
+            "llm_prep_spans_clean ordering — operators/linededup.py, "
+            "BASELINE r11 addendum 5); (2) switch near_dup="
+            "'lsh_components' (Θ(n·bands), no pair table); (3) resize "
+            "bands via adaptive_minhash_bands or tighten "
+            "band_member_cap; or raise candidate_budget deliberately."
+        )
+
+
 def content_key(*cols: str | Column) -> Column:
     """256-bit content hash over the given columns (collision-safe key
     for grouping at 100 TB — 64-bit hashes collide at ~4B rows).
@@ -358,6 +398,8 @@ def _candidate_pairs_from_bands(
     id_col: str,
     band_member_cap: int | None = DEFAULT_BAND_MEMBER_CAP,
     num_partitions: int | None = None,
+    candidate_budget: int | None = None,
+    budget_context: str = "near_dup_pairs",
 ) -> DataFrame:
     """(id, band_array) → distinct candidate (id_a, id_b) pairs that
     collide in ≥1 band. The join key is (band position, band hash):
@@ -381,6 +423,17 @@ def _candidate_pairs_from_bands(
     then own all the pair generation (the r05 fuzzy-join finding:
     whole verify stage on 1 task). ``None`` keeps AQE's byte-based
     sizing, which is right when pair output is small.
+
+    ``candidate_budget`` arms the blowup circuit breaker
+    (:func:`check_candidate_budget`): BEFORE the self-join runs, the
+    per-band-group counts (already computed for the hot-band cap) are
+    summed into the would-be candidate-pair total and
+    :class:`CandidateBlowupError` is raised — with the measured count
+    and the remediation list — if it exceeds the budget. Cost when
+    armed: one extra linear pass over the banding lineage (the eager
+    count job re-executes shingle→signature→band once); the protection
+    is an O(n) pass traded against an ENOSPC'd cluster. ``None``
+    (default) keeps the stage fully lazy.
     """
     exploded = banded.select(
         F.col(id_col),
@@ -398,9 +451,19 @@ def _candidate_pairs_from_bands(
     # not re-inlined into join codegen.
     # same partition keys as the repartition above → the window count
     # rides the existing exchange, no extra shuffle
-    exploded = cap_group_size(
-        exploded, ["band_pos", "band_hash"], band_member_cap
-    )
+    if candidate_budget is not None:
+        w = Window.partitionBy("band_pos", "band_hash")
+        counted = exploded.withColumn("__grp_n", F.count("*").over(w))
+        if band_member_cap is not None:
+            counted = counted.where(
+                F.col("__grp_n") <= F.lit(band_member_cap)
+            )
+        check_candidate_budget(counted, candidate_budget, budget_context)
+        exploded = counted.drop("__grp_n")
+    else:
+        exploded = cap_group_size(
+            exploded, ["band_pos", "band_hash"], band_member_cap
+        )
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (
@@ -477,6 +540,7 @@ def near_dup_pairs_minhash(
     threshold: float = 0.6,
     char_ngrams: bool = False,
     band_member_cap: int | None = DEFAULT_BAND_MEMBER_CAP,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, verified by exact Jaccard.
 
@@ -503,13 +567,24 @@ def near_dup_pairs_minhash(
     Θ(n·bands) — hash count grows O(log n) instead of shuffle volume
     growing n². Cheaper fallbacks when re-sizing is off the table:
     tighter ``band_member_cap``; higher threshold.
+
+    ``candidate_budget`` arms the blowup circuit breaker: the stage
+    counts its would-be candidate pairs (one aggregate on the banding
+    exchange) and raises :class:`CandidateBlowupError` — measured
+    count + remediations — instead of materializing a cluster-filling
+    verification exchange (the sf100 footer-corpus ENOSPC, BASELINE
+    r10 addendum 2). Costs one extra linear pass when armed.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     with_sh = shingle_frame(df, id_col, text_col, shingle_size, char_ngrams)
     sigs = minhash_signature_agg(with_sh, id_col, num_hashes)
     banded = band_frame(sigs, id_col, num_hashes, bands)
-    pairs = _candidate_pairs_from_bands(banded, id_col, band_member_cap)
+    pairs = _candidate_pairs_from_bands(
+        banded, id_col, band_member_cap,
+        candidate_budget=candidate_budget,
+        budget_context="near_dup_pairs_minhash",
+    )
     sh_a = with_sh.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
     )
@@ -694,6 +769,7 @@ def near_dup_pairs_embedding(
     planes: int | None = None,
     bands: int | None = None,
     band_member_cap: int | None = DEFAULT_BAND_MEMBER_CAP,
+    candidate_budget: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with cosine ≥ threshold, candidates from
     random-hyperplane LSH sign buckets (see
@@ -736,7 +812,11 @@ def near_dup_pairs_embedding(
         F.col(id_col),
         hyperplane_band_values(F.col(vec_col), planes, bands).alias("bands"),
     )
-    pairs = _candidate_pairs_from_bands(banded, id_col, band_member_cap)
+    pairs = _candidate_pairs_from_bands(
+        banded, id_col, band_member_cap,
+        candidate_budget=candidate_budget,
+        budget_context="near_dup_pairs_embedding",
+    )
     # verify join carries RAW vectors (float32 — half the shuffle bytes
     # of unit doubles); pandas_cosine normalizes + scores per Arrow
     # batch, bit-identical to the HOF unit_double/cosine path.

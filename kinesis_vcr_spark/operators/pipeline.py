@@ -143,6 +143,7 @@ def llm_prep_corpus(
     checkpoint_dir: str | None = None,
     near_dup: str = "verified",
     text_col: str | None = None,
+    near_dup_candidate_budget: int | None = None,
 ) -> DataFrame:
     """The whole training-data preparation flow in one call — the
     integration the pillar operators exist for (r07 verdict item 5).
@@ -271,9 +272,16 @@ def llm_prep_corpus(
     )
 
     if near_dup == "verified":
+        # near_dup_candidate_budget arms the LSH blowup circuit
+        # breaker (operators/dedup.py::CandidateBlowupError): on a
+        # boilerplate-saturated corpus the verified path fails loudly
+        # with the measured candidate count + remediations instead of
+        # filling the cluster's disk (the sf100 footer ENOSPC,
+        # BASELINE r10 addendum 2).
         pairs = near_dup_pairs_minhash(
             exact_kept, id_col, "__text",
             shingle_size=shingle_size, threshold=jaccard_threshold,
+            candidate_budget=near_dup_candidate_budget,
         )
         comp = connected_components(
             pairs, "id_a", "id_b", checkpoint_dir=checkpoint_dir

@@ -371,6 +371,17 @@ E2E_FOOTER = (
 )
 
 
+#: circuit-breaker budget for the LEGACY footer-saturated ordering
+#: (r11 verdict "What's wrong" 1): measured candidate counts on this
+#: corpus are ~1.77 M at sf1 (28× headroom below the budget) growing
+#: super-linearly toward the ~300 GB / ENOSPC verification exchange at
+#: sf100 (BASELINE r10 addendum 2) — so at driver/bench scales the row
+#: runs exactly as before, and at the scales where the plan is wrong it
+#: raises CandidateBlowupError (measured count + the clean-ordering
+#: pointer) instead of filling the cluster's disk.
+E2E_SPANS_CANDIDATE_BUDGET = 50_000_000
+
+
 def llm_prep_spans(
     spark: SparkSession, sf_dir: str, near_dup: str = "verified"
 ) -> DataFrame:
@@ -408,6 +419,9 @@ def llm_prep_spans(
         injected, bench,
         quality_threshold=E2E_Q, jaccard_threshold=E2E_J,
         decontam_n=E2E_N, split_seed=E2E_SEED, near_dup=near_dup,
+        near_dup_candidate_budget=(
+            E2E_SPANS_CANDIDATE_BUDGET if near_dup == "verified" else None
+        ),
     )
     # kept is the small survivor table with the ENTIRE pipeline
     # (LSH + components + windows) as lineage, and the span stage

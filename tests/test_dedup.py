@@ -218,3 +218,66 @@ def test_dedup_exact_plan_shuffles_digest_not_payload(spark):
     plan = dedup_exact(df, ["k"], "i")._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_min" in plan or "HashAggregate" in plan  # map-side combine
+
+
+# ---------------------------------------------------------------------------
+# candidate-blowup circuit breaker (VERDICT r11 item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_candidate_budget_trips_on_footer_corpus(spark):
+    """A boilerplate-saturated corpus (every doc = the same footer +
+    one unique word — the sf100 ENOSPC shape) must raise the loud
+    CandidateBlowupError with the MEASURED candidate count and the
+    clean-ordering remediation, before any pair is materialized."""
+    from kinesis_vcr_spark.operators.dedup import CandidateBlowupError
+
+    rows = [Row(doc_id=i, text=f"{BASE} unique{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows)
+    with pytest.raises(CandidateBlowupError) as ei:
+        near_dup_pairs_minhash(
+            docs, "doc_id", "text", threshold=0.9, candidate_budget=100
+        ).count()
+    msg = str(ei.value)
+    assert "candidate pairs" in msg and "budget 100" in msg
+    assert "llm_prep_spans_clean" in msg  # the remediation pointer
+
+
+def test_candidate_budget_passes_below_threshold(spark):
+    """An armed budget above the corpus's candidate count must not
+    change results at all (bit-equality with the unarmed call)."""
+    armed = near_dup_pairs_minhash(
+        _docs(spark), "doc_id", "text", threshold=0.6,
+        candidate_budget=1_000_000,
+    ).collect()
+    plain = near_dup_pairs_minhash(
+        _docs(spark), "doc_id", "text", threshold=0.6
+    ).collect()
+    assert sorted(map(tuple, armed)) == sorted(map(tuple, plain))
+
+
+def test_candidate_budget_counts_post_cap(spark):
+    """The budget counts what the join would actually emit: groups
+    dropped by band_member_cap don't count against the budget."""
+    rows = [Row(doc_id=i, text=BASE) for i in range(30)]
+    docs = spark.createDataFrame(rows)
+    # cap kills the 30-member mega-bands entirely -> 0 candidates ->
+    # even budget=0 passes (and returns no pairs)
+    got = near_dup_pairs_minhash(
+        docs, "doc_id", "text", threshold=0.9,
+        band_member_cap=10, candidate_budget=0,
+    )
+    assert got.count() == 0
+
+
+def test_llm_prep_spans_budget_is_armed(spark):
+    """The legacy footer-ordering registry row must run with the
+    breaker ARMED (the r11 weak-row graduation): at fixture scale it
+    passes far below budget; on a saturated corpus the same code path
+    raises (previous test). Pin the wiring, not just the operator."""
+    import inspect
+
+    from kinesis_vcr_spark.queries.e2e import llm_prep_spans
+
+    src = inspect.getsource(llm_prep_spans)
+    assert "near_dup_candidate_budget" in src
