@@ -268,6 +268,53 @@ def bench_persisted_index_probes(
     return out
 
 
+def calibration_probe(spark) -> float:
+    """Fixed-work rig-speed probe (VERDICT r11 "What's wrong" 3):
+    same-code bench runs spread up to 4.4× between sessions while both
+    claimed ``contended: false``, so the contention flag alone cannot
+    normalize cross-session comparisons. This preamble measures the
+    RIG, not the engine: a pinned synthetic job — one JVM
+    hash→shuffle→agg over 20 M longs plus one Arrow-batched numpy
+    matmul chain per core — whose work is bit-identical every run.
+    Recorded as ``calibration_s`` in BENCH_DETAIL.json and the stdout
+    line; to compare two same-code runs, divide each total by its
+    calibration first (BASELINE protocol note, r12). Runs AFTER
+    warm-up so it measures steady-state rig speed, not JVM/worker
+    startup."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql.functions import (  # noqa: PLC0415
+        PandasUDFType,
+        pandas_udf,
+    )
+
+    def _mm(v):
+        import numpy as np  # noqa: PLC0415
+
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((256, 256))
+        acc = a
+        for _ in range(12):
+            acc = acc @ a
+            acc /= np.abs(acc).max()
+        return pd.Series([float(acc[0, 0])] * len(v), dtype="float64")
+
+    mm = pandas_udf(_mm, "double", PandasUDFType.SCALAR)
+    cores = spark.sparkContext.defaultParallelism
+    t0 = time.time()
+    (
+        spark.range(20_000_000, numPartitions=cores)
+        .select(F.xxhash64("id").alias("h"))
+        .repartition(cores, "h")
+        .groupBy((F.col("h") % 1024).alias("b"))
+        .count()
+        .agg(F.sum("count"))
+        .collect()
+    )
+    spark.range(cores, numPartitions=cores).select(mm("id")).collect()
+    return round(time.time() - t0, 3)
+
+
 def detect_spark_contention() -> int:
     """Count FOREIGN JVMs already running a Spark driver/executor.
 
@@ -389,6 +436,9 @@ def main() -> None:
         _warm_worker("id")
     ).collect()
 
+    calibration_s = calibration_probe(spark)
+    print(f"[bench] calibration_s={calibration_s}", file=sys.stderr)
+
     probe_entries = (
         "dedup_index_probe", "search_index_probe",
         "phrase_index_probe", "span_index_probe", "phash_index_probe",
@@ -484,6 +534,7 @@ def main() -> None:
         "sf": sf,
         "contended": bool(contention),
         "foreign_spark_jvms": contention,
+        "calibration_s": calibration_s,
     }
     detail_path = args.detail_out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -510,6 +561,7 @@ def main() -> None:
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
                 "contended": bool(contention),
+                "calibration_s": calibration_s,
             }
         )
         if len(line) > 1000:
@@ -526,6 +578,7 @@ def main() -> None:
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
                 "contended": bool(contention),
+                "calibration_s": calibration_s,
             }
         )
     )
