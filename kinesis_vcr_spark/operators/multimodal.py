@@ -45,6 +45,17 @@ from pyspark.sql.types import (
     StructType,
 )
 
+#: the malformed-stream contract: every failure type a crawl payload
+#: can legitimately raise out of the in-repo codecs — ValueError for
+#: malformed streams, NotImplementedError for documented slots, and the
+#: IndexError/KeyError/struct.error/EOFError family truncation
+#: artifacts surface as inside pure-Python bitstream parsers. Shared by
+#: extract_media_features(on_error='null') and the streaming tar-shard
+#: loop (streaming/tarstream.py) so batch and stream quarantine the
+#: same payloads.
+MALFORMED_ERRORS = (ValueError, NotImplementedError, IndexError,
+                    KeyError, struct.error, EOFError)
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -493,8 +504,7 @@ def extract_media_features(
     if on_error not in ("raise", "null"):
         raise ValueError("on_error must be 'raise' or 'null'")
 
-    malformed = (ValueError, NotImplementedError, IndexError, KeyError,
-                 struct.error, EOFError)
+    malformed = MALFORMED_ERRORS
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def decode_one(k, p):
