@@ -384,6 +384,28 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
             )
             return {"width": n_frames, "height": n_channels,
                     "mean_value": mean}
+        from kinesis_vcr_spark.operators.aac import (  # noqa: PLC0415
+            aac_info,
+            is_adts,
+            is_mp4,
+        )
+
+        if is_adts(payload) or is_mp4(payload):
+            # AAC/M4A: metadata tier only (r11 item 6) — parse the
+            # shape into the error like Layer III / lossy WebP; the
+            # filterbank decode stays the soundfile/ffmpeg slot
+            try:
+                info = aac_info(payload)
+                shape = (
+                    f"{info['codec']}, {info['sample_rate']} Hz, "
+                    f"{info['channels']} ch, ~{info['duration_s']}s"
+                )
+            except ValueError:
+                shape = "unparseable AAC/MP4"
+            raise NotImplementedError(
+                f"AAC audio ({shape}) decode requires soundfile/"
+                "ffmpeg; aac_info covers the metadata tier"
+            ) from None
         if payload[:3] == b"ID3" or (len(payload) > 1
                                      and payload[0] == 0xFF
                                      and payload[1] & 0xE0 == 0xE0):
