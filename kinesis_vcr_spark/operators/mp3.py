@@ -11,10 +11,11 @@ Two tiers:
   versions (ISO/IEC 11172-3 §2.4.1.3 / 13818-3 header fields).
 
 - ``mpeg_audio_decode`` — real PCM decode for MPEG-1 Layer I and
-  Layer II. Layer III stays the documented ffmpeg slot (its Huffman
-  tables + IMDCT/alias DSP are a different order of tabulated surface
-  with no in-container validation path), as do the MPEG-2 LSF
-  variants (their Layer II allocation table is untestable here).
+  Layer II, and (via operators/mp3l3.py) Layer III in both MPEG-1 and
+  MPEG-2 LSF flavors for streams restricted to the validated Huffman
+  tables; gated-table Layer III streams and MPEG-2 LSF Layer II (its
+  allocation table is untestable here) stay the documented ffmpeg
+  slot.
 
 Validation story for the one large tabulated constant — the 512-tap
 polyphase window (ISO 11172-3 Table B.3, stored here in its public
@@ -479,17 +480,15 @@ def _decode_frame_subbands(payload: bytes, off: int,
 
 
 def mpeg_audio_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """PCM decode of an MPEG-1 audio stream: Layer I/II fully; Layer
-    III only for streams restricted to validated big-value Huffman
-    tables (0-3/5-8 + count1) — typical 128-320 kbps music selects
-    the gated ESC tables and raises ``NotImplementedError``. Returns
-    (sample_frames, channels, int16 samples of shape (n, channels)).
-    Layer III dispatches to :mod:`kinesis_vcr_spark.operators.mp3l3`
-    (r11 — see its module docstring for the honestly-tiered Huffman
-    table validation and the gated-table slots); MPEG-2 LSF variants
-    raise the documented ``NotImplementedError`` slot (header metadata
-    still available via :func:`mp3_frame_info`, LSF side-info walking
-    via ``mp3l3.walk_side_info``)."""
+    """PCM decode of an MPEG audio stream: Layer I/II fully; Layer
+    III (MPEG-1 and, r12, MPEG-2 LSF) only for streams restricted to
+    validated big-value Huffman tables (0-3/5-9 + count1) — typical
+    128-320 kbps music selects the gated ESC tables and raises
+    ``NotImplementedError``. Returns (sample_frames, channels, int16
+    samples of shape (n, channels)). Layer III dispatches to
+    :mod:`kinesis_vcr_spark.operators.mp3l3` (see its module
+    docstring for the honestly-tiered Huffman table validation and
+    the gated-table slots)."""
     off = _id3v2_size(payload)
     first = None
     while off + 4 <= len(payload):

@@ -11,8 +11,13 @@ What is fully implemented and validated:
   side-info layout makes back-pointers overrun the accumulated
   reservoir within a few frames; tests walk all frames of the real
   file);
-- **scalefactor decode** (MPEG-1 slen pairs, scfsi sharing, short /
-  mixed partitions);
+- **scalefactor decode** — MPEG-1 slen pairs, scfsi sharing, short /
+  mixed partitions, and (r12) the MPEG-2 LSF layout: 9-bit
+  scalefac_compress slen decomposition + the three blocknumber band
+  partitions per block type (ISO 13818-3 §2.4.3.2), so LSF streams
+  now DECODE end to end — the 45-frame real LAME fixture (22.05 kHz
+  LSF mono, digitally silent: every granule part2_3_length == 0)
+  decodes to exactly 45×576 zero samples, pinned in tests;
 - **Huffman spectrum decode** with exact ``part2_3_length``
   accounting — the decoder RAISES if a granule's Huffman region does
   not consume exactly its declared bit budget (Layer III's built-in
@@ -28,14 +33,25 @@ What is fully implemented and validated:
 The tier gap, stated plainly: of the 17 distinct Huffman code tables
 (ISO Table B.7), only the ones that pass STRUCTURAL validation
 (Kraft completeness + prefix-freeness — see mp3l3_tables.py) are
-active: tables 0-3, 5-8 and both count1 tables. The remaining big
+active: tables 0-3, 5-9 (9 joined in r12 via a two-candidate forced
+repair, see its header) and both count1 tables. The remaining big
 tables failed transcription validation and there is NO Layer III
 reference on this rig to extract or repair them from (unlike VP8,
 whose constants came from libwebp's own rodata) — a stream selecting
 one raises ``NotImplementedError`` (the documented ffmpeg slot)
-instead of decoding garbage. This decodes low-amplitude /
-low-bitrate material and every stream the in-repo spec-rule encoder
-emits; typical high-bitrate music picks the gated tables.
+instead of decoding garbage. The r12 repair-search results sharpen
+the negative finding: exhaustive single-entry search repairs 9
+(two candidates, symmetry-forced choice) but proves 10's lengths
+hold compensating errors beyond code-level tiling repair, and 12's
+minimal repair is 4-way ambiguous (equal-length code permutations) —
+the gated tables are unrecoverable without a trustworthy source, not
+merely unvalidated. The ESC (linbits) DECODE machinery itself is
+fully implemented and round-trip-validated against a synthetic
+structurally-valid xlen=16 table (tests/test_mp3l3.py), so correct
+ISO data would light the 16-31 families up with zero decoder
+changes. This decodes low-amplitude / low-bitrate material and every
+stream the in-repo spec-rule encoder emits; typical high-bitrate
+music picks the gated tables.
 
 Reference anchor: no counterpart in the reference (record/replay
 tool); part of the multimodal E13 surface next to the Layer I/II
@@ -87,6 +103,25 @@ SFB_SHORT = {
     48000: [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192],
     32000: [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
 }
+
+#: MPEG-2 LSF band boundaries (ISO 13818-3 Table B.2; structural
+#: checks pinned in tests: strictly increasing, long ends at 576,
+#: short at 192 — and for the silence-spectrum LAME fixture the PCM
+#: output is boundary-independent, so the r12 LSF enablement does not
+#: rest on these values alone)
+SFB_LONG.update({
+    22050: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576],
+    24000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136,
+            162, 194, 232, 278, 332, 394, 464, 540, 576],
+    16000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576],
+})
+SFB_SHORT.update({
+    22050: [0, 4, 8, 12, 18, 24, 32, 42, 56, 74, 100, 132, 174, 192],
+    24000: [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192],
+    16000: [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192],
+})
 
 _CS = []
 _CA = []
@@ -261,6 +296,76 @@ def read_scalefacs_mpeg1(br, g, scfsi_ch, prev, granule_idx):
                 for b in range(lo, hi):
                     sf_long[b] = br.read(sl)
                     bits += sl
+    return sf_long, sf_short, bits
+
+
+#: LSF scalefactor band-group sizes per blocktypenumber (0 = long,
+#: 1 = short, 2 = mixed) and blocknumber (ISO 13818-3 §2.4.3.2; the
+#: intensity-stereo blocknumbers 3-5 never arise here — intensity
+#: raises the documented slot up front)
+_LSF_NR_OF_SFB = {
+    0: [(6, 5, 5, 5), (6, 5, 7, 3), (11, 10, 0, 0)],
+    1: [(9, 9, 9, 9), (9, 9, 12, 6), (18, 18, 0, 0)],
+    2: [(6, 9, 9, 9), (6, 9, 12, 6), (15, 18, 0, 0)],
+}
+
+
+def read_scalefacs_lsf(br, g):
+    """MPEG-2 LSF scalefactors for one granule/channel (no scfsi, no
+    intensity — that path raises before decode). The 9-bit
+    scalefac_compress selects slen[0..3] and a band partition; values
+    fill the long bands (or the 3-per-band short windows) in order.
+    Returns (long[22], short[13][3], bits_read); sets ``g['preflag']``
+    for the blocknumber-2 layout exactly as the spec prescribes."""
+    sc = g["scalefac_compress"]
+    if sc < 400:
+        slen = [(sc >> 4) // 5, (sc >> 4) % 5, (sc % 16) >> 2, sc % 4]
+        blocknumber = 0
+    elif sc < 500:
+        s = sc - 400
+        slen = [(s >> 2) // 5, (s >> 2) % 5, s % 4, 0]
+        blocknumber = 1
+    else:
+        s = sc - 500
+        slen = [s // 3, s % 3, 0, 0]
+        blocknumber = 2
+        g["preflag"] = 1
+    short = g["window_switching"] and g["block_type"] == 2
+    btype = 2 if (short and g["mixed_block"]) else (1 if short else 0)
+    nr = _LSF_NR_OF_SFB[btype][blocknumber]
+    bits = 0
+    sf_long = [0] * 22
+    sf_short = [[0, 0, 0] for _ in range(13)]
+    if short and not g["mixed_block"]:
+        # the LSF short partitions count SCALEFACTORS, not bands:
+        # 9+9+9+9 = 36 = 12 bands x 3 windows, filled band-major
+        vals = []
+        for part, sl in zip(nr, slen):
+            for _ in range(part):
+                vals.append(br.read(sl) if sl else 0)
+                bits += sl
+        for i, v in enumerate(vals[:36]):
+            sf_short[i // 3][i % 3] = v
+    elif short and g["mixed_block"]:
+        vals = []
+        for part, sl in zip(nr, slen):
+            for _ in range(part):
+                vals.append(br.read(sl) if sl else 0)
+                bits += sl
+        # first partition covers the long bands of the mixed head
+        n_long = nr[0]
+        for b in range(n_long):
+            sf_long[b] = vals[b]
+        for i, v in enumerate(vals[n_long:][:27]):
+            sf_short[3 + i // 3][i % 3] = v
+    else:
+        b = 0
+        for part, sl in zip(nr, slen):
+            for _ in range(part):
+                if b < 22:
+                    sf_long[b] = br.read(sl) if sl else 0
+                    bits += sl
+                b += 1
     return sf_long, sf_short, bits
 
 
@@ -483,18 +588,13 @@ def hybrid_filterbank(xr, g, overlap):
 # ----------------------------------------------------------- driver
 
 def decode_layer3(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Full MPEG-1 Layer III decode → (frames, channels, int16 PCM).
-    Streams selecting a gated Huffman table raise the documented
-    NotImplementedError; MPEG-2 LSF decode (different scalefactor
-    partitions) is likewise the documented slot — its side-info walk
-    is still validated via :func:`walk_side_info`."""
+    """Layer III decode → (frames, channels, int16 PCM) for MPEG-1
+    and (r12) MPEG-2 LSF streams. Streams selecting a gated Huffman
+    table raise the documented NotImplementedError, as do joint-stereo
+    frames with intensity coding (mode_extension bit 0)."""
     frames = walk_side_info(payload)
     hdr0 = frames[0]["hdr"]
-    if hdr0["version"] != "MPEG1":
-        raise NotImplementedError(
-            "MPEG-2 LSF Layer III decode requires the LSF scalefactor "
-            "partition tables — ffmpeg slot (side-info walk IS validated)"
-        )
+    lsf = hdr0["version"] != "MPEG1"
     for fr in frames:
         h = fr["hdr"]
         # joint stereo: MS is implemented below; intensity positioning
@@ -526,13 +626,16 @@ def decode_layer3(payload: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError("bit reservoir underrun")
         data = reservoir[start:] + main
         br = _BitReader(data)
-        for gi in range(2):
+        for gi in range(1 if lsf else 2):
             gr_out = []
             for ch in range(nch):
                 g = si["granules"][gi][ch]
-                sf_long, sf_short, p2 = read_scalefacs_mpeg1(
-                    br, g, si["scfsi"][ch], prev_sf[ch], gi
-                )
+                if lsf:
+                    sf_long, sf_short, p2 = read_scalefacs_lsf(br, g)
+                else:
+                    sf_long, sf_short, p2 = read_scalefacs_mpeg1(
+                        br, g, si["scfsi"][ch], prev_sf[ch], gi
+                    )
                 if gi == 0:
                     prev_sf[ch] = sf_long
                 xs, _nz = decode_spectrum(br, g, sfb_long, p2)

@@ -359,8 +359,10 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
     decoders): width = sample frames, height = channels,
     mean_value = mean absolute amplitude normalized to [0, 1].
     MPEG-1 Layer I/II decodes for real (operators/mp3.py polyphase
-    synthesis); Layer III / MPEG-2 LSF / AAC stay the soundfile/ffmpeg
-    slot with the parsed stream shape in the error."""
+    synthesis); Layer III decodes (MPEG-1 and MPEG-2 LSF) when the
+    stream's Huffman tables are among the validated set — gated-table
+    streams (typical music bitrates) and AAC stay the soundfile/
+    ffmpeg slot with the parsed stream shape in the error."""
     import io
     import wave
 

@@ -17,8 +17,10 @@ pyramid for a codec with NO reference implementation on this rig:
    wrong reorder/inversion/window order moves or splatters the tone;
 5. real-world file: every frame of a LAME-encoded MPEG-2 stream walks
    with consistent bit-reservoir back-pointers (a wrong side-info
-   layout overruns the reservoir within frames), and LSF decode
-   raises the documented slot."""
+   layout overruns the reservoir within frames), and (r12) the LSF
+   decode path reproduces the stream's PCM — the fixture is digital
+   silence (every granule part2_3_length == 0), so the expected
+   output is exact."""
 
 from __future__ import annotations
 
@@ -88,6 +90,34 @@ def test_table7_repair_is_unique():
     assert fixes == [(33, 3)]
 
 
+def test_table9_repair_search_is_two_candidate():
+    """The r12 table-9 fix (entry 27: hlen 8 -> 7): an exhaustive
+    single-entry (length, code) search over the original transcription
+    finds EXACTLY the two repairs the docstring claims — entry 27 or
+    entry 32 to (7,6) — and the committed choice (27) is the one that
+    preserves both symmetry pairs hlen(3,4)=hlen(4,3) and
+    hlen(2,5)=hlen(5,2)."""
+    xlen, lb, lens, codes = RAW_TABLES[9]
+    broken_l = list(lens)
+    broken_l[27] = 8  # the original (invalid) transcription
+    assert validate_table(broken_l, codes)
+    fixes = []
+    for i in range(len(codes)):
+        for l2 in range(1, 17):
+            for c2 in range(1 << min(l2, 14)):
+                if (l2, c2) == (broken_l[i], codes[i]):
+                    continue
+                L2, C2 = list(broken_l), list(codes)
+                L2[i], C2[i] = l2, c2
+                if not validate_table(L2, C2):
+                    fixes.append((i, l2, c2))
+    assert fixes == [(27, 7, 6), (32, 7, 6)]
+    # the committed table chose 27; symmetry holds there and only there
+    g = [lens[i * 6 : (i + 1) * 6] for i in range(6)]
+    assert g[4][3] == g[3][4] == 7
+    assert g[5][2] == g[2][5] == 8
+
+
 # --------------------------------------- tier 2: encoder round-trip
 
 class _BitWriter:
@@ -106,11 +136,14 @@ class _BitWriter:
         )
 
 
-def _encode_granule(bw, spectrum, table, c1sel=0):
+def _encode_granule(bw, spectrum, table, c1sel=0, table_data=None):
     """Huffman-encode a 576-line integer spectrum (big-value pairs
     through ``table``, then |1| quads through count1 A/B). Returns
-    (part2_3_length, big_values)."""
-    xlen, lb, lens, codes = RAW_TABLES[table]
+    (part2_3_length, big_values). ``table_data`` overrides the table's
+    (xlen, linbits, lengths, codes) — the hook the synthetic-ESC
+    round-trip uses (r12: the linbits layout validated independently
+    of the still-gated ISO ESC transcriptions)."""
+    xlen, lb, lens, codes = table_data or RAW_TABLES[table]
     enc = {i: (lens[i], codes[i]) for i in range(len(lens))}
     from kinesis_vcr_spark.operators.mp3l3_tables import (
         COUNT1A_C,
@@ -141,13 +174,22 @@ def _encode_granule(bw, spectrum, table, c1sel=0):
         while c1_end % 4:
             c1_end += 1
     n0 = len(bw.bits)
+    esc_max = (15 + (1 << lb) - 1) if lb else xlen - 1
     for i in range(0, bigv_end, 2):
         x, y = abs(spectrum[i]), abs(spectrum[i + 1])
-        assert x < xlen and y < xlen, "test spectrum exceeds table range"
-        ln, code = enc[x * xlen + y]
+        assert x <= esc_max and y <= esc_max, \
+            "test spectrum exceeds table range"
+        cx, cy = min(x, xlen - 1), min(y, xlen - 1)
+        ln, code = enc[cx * xlen + cy]
         bw.write(code, ln)
+        # per-value layout matches the decoder: linbits THEN sign,
+        # x completely before y (ISO 11172-3 2.4.3.4.6)
+        if lb and cx == 15:
+            bw.write(x - 15, lb)
         if x:
             bw.write(1 if spectrum[i] < 0 else 0, 1)
+        if lb and cy == 15:
+            bw.write(y - 15, lb)
         if y:
             bw.write(1 if spectrum[i + 1] < 0 else 0, 1)
     c1l, c1c = (COUNT1A_L, COUNT1A_C) if c1sel == 0 else (
@@ -163,14 +205,15 @@ def _encode_granule(bw, spectrum, table, c1sel=0):
     return len(bw.bits) - n0, bigv_end // 2
 
 
-def _build_frame(spectra, table=7, rate=44100, c1sel=0):
+def _build_frame(spectra, table=7, rate=44100, c1sel=0,
+                 table_data=None):
     """One complete MPEG-1 Layer III mono frame (320 kbps, padded
     with stuffing) holding two granules of the given integer
     spectra."""
     main = _BitWriter()
     sides = []
     for sp in spectra:
-        p23, bigv = _encode_granule(main, sp, table, c1sel)
+        p23, bigv = _encode_granule(main, sp, table, c1sel, table_data)
         sides.append((p23, bigv))
     body = main.to_bytes()
     side = _BitWriter()
@@ -216,7 +259,7 @@ def _spectrum(seed, max_abs, n_big, n_quads):
 
 
 @pytest.mark.parametrize("table,max_abs", [
-    (1, 1), (2, 2), (3, 2), (5, 3), (6, 3), (7, 5), (8, 5),
+    (1, 1), (2, 2), (3, 2), (5, 3), (6, 3), (7, 5), (8, 5), (9, 5),
 ])
 def test_roundtrip_spectrum_exact(table, max_abs):
     """Decode must recover |v|^(4/3)·sign(v) exactly for every line
@@ -249,6 +292,54 @@ def test_roundtrip_spectrum_exact(table, max_abs):
         )
         want = np.sign(sp) * np.abs(sp).astype(float) ** (4.0 / 3.0)
         np.testing.assert_allclose(xr, want, rtol=1e-12)
+
+
+def test_esc_linbits_roundtrip_synthetic(monkeypatch):
+    """The ESC (linbits) layout of decode_spectrum, validated
+    INDEPENDENTLY of the still-gated ISO ESC transcriptions: a
+    synthetic structurally-valid xlen=16 table (256 symbols, all 8-bit
+    codes — Kraft-complete and trivially prefix-free) is injected as
+    table 16's code set, the in-test encoder writes values ABOVE 15
+    through the 15+linbits escape, and the decoder must recover every
+    line exactly while consuming exactly part2_3_length bits. Proves
+    the machinery so that valid ISO data, when a trustworthy source
+    exists, lights the family up with zero decoder changes."""
+    from kinesis_vcr_spark.operators import mp3l3_tables as mt
+    from kinesis_vcr_spark.operators.mp3 import _BitReader, _parse_header
+    from kinesis_vcr_spark.operators.mp3l3 import (
+        decode_spectrum,
+        read_scalefacs_mpeg1,
+    )
+
+    syn_l = [8] * 256
+    syn_c = list(range(256))
+    assert not validate_table(syn_l, syn_c)
+    monkeypatch.setitem(
+        mt.VALID_TABLES, 16, (16, mt.build_decoder(syn_l, syn_c))
+    )
+    lb = mt.LINBITS_16[16]  # 1 -> values up to 16 encodable
+    table_data = (16, lb, syn_l, syn_c)
+    rng = np.random.default_rng(7)
+    sp0 = np.zeros(576, int)
+    sp0[:40] = rng.integers(-16, 17, 40)
+    sp0[0], sp0[39] = 16, -16          # exercise both ESC signs
+    sp0[40:56] = rng.integers(-1, 2, 16)
+    sp1 = np.zeros(576, int)
+    sp1[:20] = rng.integers(-16, 17, 20)
+    sp1[19] = 15                        # boundary: 15 itself escapes
+    frame = _build_frame(
+        [sp0, sp1], table=16, table_data=table_data
+    )
+    hdr = _parse_header(int.from_bytes(frame[:4], "big"))
+    si = parse_side_info(frame[4:40], hdr)
+    br = _BitReader(frame[4 + 17 :])
+    for gi, sp in enumerate((sp0, sp1)):
+        g = si["granules"][gi][0]
+        _sfl, _sfs, p2 = read_scalefacs_mpeg1(
+            br, g, si["scfsi"][0], [0] * 22, gi
+        )
+        xs, _ = decode_spectrum(br, g, SFB_LONG[44100], p2)
+        np.testing.assert_array_equal(xs, sp)
 
 
 def test_full_decode_runs_and_is_finite():
@@ -373,6 +464,47 @@ def test_real_lame_stream_side_info_walk():
         for t in g["table_select"]:
             assert t < 32 and t not in (4, 14)
     # reservoir consistency held for all 45 frames (walk_side_info
-    # raises otherwise); LSF decode is the documented slot
-    with pytest.raises(NotImplementedError, match="LSF"):
-        decode_layer3(payload)
+    # raises otherwise); the LSF decode path (r12) must reproduce the
+    # stream's PCM exactly — every granule has part2_3_length == 0
+    # (LAME encoded digital silence), so the expected output is 45
+    # frames x 576 samples of EXACT zeros: the full chain (LSF
+    # scalefactors -> spectrum -> requantize -> IMDCT -> polyphase)
+    # runs end to end with a known-exact answer.
+    n, nch, pcm = decode_layer3(payload)
+    assert (n, nch) == (45 * 576, 1)
+    assert int(np.abs(pcm).max()) == 0
+
+
+def test_lsf_scalefac_slen_decomposition():
+    """ISO 13818-3 2.4.3.2: the 9-bit scalefac_compress decomposes
+    into slen[0..3] by range; bits_read must equal the partition dot
+    product and preflag must switch on only for the >= 500 layout."""
+    from kinesis_vcr_spark.operators.mp3 import _BitReader
+    from kinesis_vcr_spark.operators.mp3l3 import read_scalefacs_lsf
+
+    def run(sc, short=False, mixed=False):
+        g = {
+            "scalefac_compress": sc,
+            "window_switching": 1 if short else 0,
+            "block_type": 2 if short else 0,
+            "mixed_block": 1 if mixed else 0,
+            "preflag": 0,
+        }
+        br = _BitReader(bytes(200))
+        sfl, sfs, bits = read_scalefacs_lsf(br, g)
+        return g, bits
+
+    # blocknumber 0 (sc < 400): slen = (sc>>4)/5, (sc>>4)%5, (sc%16)>>2, sc%4
+    g, bits = run(0)
+    assert bits == 0 and g["preflag"] == 0
+    g, bits = run(399)  # slen = (24//5, 24%5, 15>>2, 3) = (4,4,3,3)
+    assert bits == 6 * 4 + 5 * 4 + 5 * 3 + 5 * 3
+    # blocknumber 1 (400 <= sc < 500): partitions (6,5,7,3)
+    g, bits = run(400 + (7 << 2) + 2)  # slen = (1, 2, 2, 0)
+    assert bits == 6 * 1 + 5 * 2 + 7 * 2
+    # blocknumber 2 (sc >= 500): partitions (11,10), preflag forced
+    g, bits = run(500 + 4)  # slen = (1, 1, 0, 0)
+    assert bits == 11 * 1 + 10 * 1 and g["preflag"] == 1
+    # short blocks: 36 scalefactors (12 bands x 3 windows)
+    g, bits = run(17, short=True)  # slen = (0,1,0,1): 9*0+9*1+9*0+9*1
+    assert bits == 18
