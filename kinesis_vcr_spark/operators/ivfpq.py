@@ -451,13 +451,26 @@ def ivfpq_topk_indexed(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rerank_vectors: DataFrame | None = None,
+    shortlist: int | None = None,
+    rerank_vec_col: str = "embedding",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-k against a persisted index — no training, no re-encode;
     the ``cid isin(probed)`` filter prunes the scan to the probed
-    partition directories (plan-pinned in tests)."""
+    partition directories (plan-pinned in tests).
+
+    ``rerank_vectors`` enables the exact second stage (same contract
+    as :func:`ivfpq_topk`). The index itself stores only codes — by
+    design, that is its entire size advantage — so the caller passes
+    the ORIGINAL vector table; the re-rank fetches just the nq·R
+    shortlist rows from it (a narrow id join, the FAISS-refine access
+    pattern over the source-of-truth table)."""
     centroids, codebook, lists = index
     return ivfpq_topk(
         lists, centroids, codebook, queries, k=k, nprobe=nprobe,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
-        id_col=id_col,
+        id_col=id_col, rerank_vectors=rerank_vectors,
+        shortlist=shortlist, rerank_vec_col=rerank_vec_col,
+        exclude_self=exclude_self,
     )

@@ -148,3 +148,27 @@ def test_probe_prunes_to_probed_partitions(spark, corpus, tmp_path):
     # non-empty filter list naming the partition column — an empty
     # "PartitionFilters: []" would mean the probe scans every list
     assert any("PartitionFilters: [ci" in ln for ln in pf_lines), pf_lines
+
+
+def test_indexed_rerank_equals_exact_within_probed_lists(spark, corpus, tmp_path):
+    """r12: the persisted-index probe with rerank_vectors= must return
+    the exact-cosine ordering of its shortlist — equal to cosine_topk
+    restricted to the probed lists' members when the shortlist covers
+    them (here: shortlist = corpus size, nprobe = all lists)."""
+    from kinesis_vcr_spark.operators.similarity import cosine_topk
+
+    path = str(tmp_path / "idx_rr")
+    build_ivfpq_index(corpus, path, k_centroids=8, m=8, ksub=16)
+    got = {
+        (r["query_id"], r["vec_id"], r["cosine"], r["rank"])
+        for r in ivfpq_topk_indexed(
+            load_ivfpq_index(spark, path), _probes(corpus),
+            k=5, nprobe=8, rerank_vectors=corpus, shortlist=96,
+            exclude_self=True,
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["vec_id"], r["cosine"], r["rank"])
+        for r in cosine_topk(corpus, _probes(corpus), k=5).collect()
+    }
+    assert got == want
