@@ -262,3 +262,68 @@ def canonicalize_text(text: Column) -> Column:
     operator (dedup fingerprints, token counts, LM scores) should see
     exactly once, at ingest."""
     return strip_control_chars(nfc_normalize(text))
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profiling (E105, r12) — the script-level complement of
+# predicted_lang: language ID needs per-language stopword profiles, but
+# the first routing decision in a multilingual crawl is SCRIPT (Latin
+# pipelines, CJK tokenizers, RTL handling), and script is a pure
+# codepoint-range property — whole-stage-codegen countable with one
+# regexp_replace per script, no tokenization, no Python.
+# ---------------------------------------------------------------------------
+
+#: script -> Unicode block ranges (public Unicode data), as (lo, hi)
+#: codepoint pairs. Deliberately the high-traffic crawl scripts only;
+#: extend by adding ranges (both engines consume the same table).
+SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
+    "latin": ((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)),
+    "cyrillic": ((0x400, 0x4FF), (0x500, 0x52F)),
+    "greek": ((0x370, 0x3FF), (0x1F00, 0x1FFF)),
+    "arabic": ((0x600, 0x6FF), (0x750, 0x77F)),
+    "cjk": ((0x3400, 0x4DBF), (0x4E00, 0x9FFF)),
+}
+
+#: deterministic dominance order for count ties (fixed priority, both
+#: engines apply the same order)
+SCRIPT_ORDER = ("latin", "cyrillic", "greek", "arabic", "cjk")
+
+
+def script_char_class(script: str) -> str:
+    """Regex character class for a script's ranges in JAVA regex
+    syntax (Spark) — ``[\\uXXXX-\\uYYYY...]``."""
+    parts = "".join(
+        f"\\u{lo:04X}-\\u{hi:04X}" for lo, hi in SCRIPT_RANGES[script]
+    )
+    return f"[{parts}]"
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Per-script character counts: length(text) minus the length with
+    that script's class stripped — one codegen regexp_replace per
+    script, the alpha_ratio pattern."""
+    return {
+        s: (
+            F.length(text)
+            - F.length(F.regexp_replace(text, script_char_class(s), ""))
+        ).cast("long")
+        for s in SCRIPT_ORDER
+    }
+
+
+def dominant_script(text: Column) -> Column:
+    """Name of the script with the most characters (ties broken by
+    SCRIPT_ORDER priority); 'none' when no counted script appears."""
+    counts = script_counts(text)
+    best_name = F.lit("none")
+    best_count = F.lit(0).cast("long")
+    # iterate in REVERSE priority with >=: the later-processed (higher
+    # priority) script replaces the champion on equal counts, so ties
+    # resolve to the earliest SCRIPT_ORDER entry on both engines
+    for s in reversed(SCRIPT_ORDER):
+        c = counts[s]
+        best_name = F.when((c > 0) & (c >= best_count), F.lit(s)).otherwise(
+            best_name
+        )
+        best_count = F.greatest(best_count, c)
+    return best_name

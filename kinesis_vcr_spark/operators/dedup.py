@@ -928,3 +928,55 @@ def lsh_band_components(
             "node", F.coalesce("component", F.col("node")).alias("component")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# quality-weighted dedup winner (E104)
+# ---------------------------------------------------------------------------
+
+
+def keep_best_per_component(
+    docs: DataFrame,
+    comp: DataFrame,
+    id_col: str,
+    score_col: str,
+    node_col: str = "node",
+    component_col: str = "component",
+) -> DataFrame:
+    """One surviving row per near-dup component: the member with the
+    HIGHEST ``score_col`` (ties: smallest id) — the production winner
+    rule. Min-id winners (``llm_prep_corpus``'s default) are the right
+    DETERMINISM baseline, but a crawl group of near-identical pages
+    usually contains one clean copy and N boilerplate-mangled ones;
+    keeping the best-quality representative is what RefinedWeb/CCNet-
+    style pipelines actually do. Docs not in any component pass
+    through untouched (their own winner).
+
+    Plan: one id-keyed join of the component labels onto the docs (the
+    label table is near-dup-involved docs only — usually a small
+    fraction of the corpus), then the skew-safe two-phase top-1 per
+    component (``topk_per_group`` — a window over raw components would
+    hot-spot on a boilerplate mega-group). No vector/text shuffle
+    beyond the winner rows.
+    """
+    from kinesis_vcr_spark.operators.topk import (  # noqa: PLC0415
+        topk_per_group,
+    )
+
+    labeled = docs.join(
+        comp.select(
+            F.col(node_col).alias(id_col),
+            F.col(component_col).alias("__comp"),
+        ),
+        id_col,
+        "left",
+    ).withColumn(
+        "__comp", F.coalesce(F.col("__comp"), F.col(id_col))
+    )
+    winners = topk_per_group(
+        labeled,
+        key_cols=["__comp"],
+        order_by=[F.col(score_col).desc(), F.col(id_col)],
+        k=1,
+    )
+    return winners.withColumnRenamed("__comp", component_col)

@@ -914,3 +914,104 @@ register(QuerySpec("dedup_components_lsh_planted",
                    "verification-free LSH band components "
                    "(anchor edges, no pair table): planted-twin "
                    "recall, exact oracle"))
+
+
+# ---------------------------------------------------------------------------
+# quality-weighted dedup winner (E104, r12)
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production winner selection over the near-dup groups: per
+    connected component of the MinHash pair graph, keep the member
+    with the HIGHEST quality score (ties: smallest doc_id) — the
+    RefinedWeb/CCNet winner rule, vs the min-id determinism baseline
+    the pipeline uses. Output = one row per multi-member group:
+    (component, group_size, winner_id, winner_q)."""
+    from kinesis_vcr_spark.functions.text import quality_score
+    from kinesis_vcr_spark.operators.components import connected_components
+    from kinesis_vcr_spark.operators.dedup import (
+        keep_best_per_component,
+        near_dup_pairs_minhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", quality_score(F.col("text")).alias("q")
+    )
+    pairs = near_dup_pairs_minhash(
+        docs, "doc_id", "text", shingle_size=3, num_hashes=64, bands=16,
+        threshold=J_THRESHOLD,
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("group_size"))
+    winners = keep_best_per_component(
+        docs.select("doc_id", "q"), comp, "doc_id", "q"
+    )
+    return (
+        winners.join(sizes, "component")  # multi-member groups only
+        .select(
+            "component",
+            "group_size",
+            F.col("doc_id").alias("winner_id"),
+            F.col("q").alias("winner_q"),
+        )
+        .orderBy("component")
+    )
+
+
+from kinesis_vcr_spark.queries.textstats import _EN as _EN_STOPWORDS  # noqa: E402
+
+KEEP_BEST_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= {J_THRESHOLD}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node, min(lbl) AS component FROM reach GROUP BY node
+), q AS (
+  SELECT doc_id,
+         round((least(len(string_split(text, ' ')) / 100.0, 1.0)
+            + CAST(len(list_filter(string_split(text, ' '),
+                  x -> list_contains([{_EN_STOPWORDS}], x))) AS DOUBLE)
+              / len(string_split(text, ' '))
+            + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' '))
+            + CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                   AS DOUBLE) / length(text)
+           ) / 4.0, 6) AS q
+  FROM documents
+), ranked AS (
+  SELECT c.component, c.node, q.q,
+         count(*) OVER (PARTITION BY c.component) AS group_size,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.q DESC, c.node) AS rn
+  FROM comp c JOIN q ON q.doc_id = c.node
+)
+SELECT component, group_size, node AS winner_id, q AS winner_q
+FROM ranked WHERE rn = 1 ORDER BY component
+"""
+
+
+register(QuerySpec(
+    "dedup_keep_best", dedup_keep_best, KEEP_BEST_SQL,
+    "quality-weighted near-dup winner per component (argmax quality, "
+    "min-id ties) — the production keep-the-best-copy rule",
+))

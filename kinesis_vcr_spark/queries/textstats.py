@@ -336,3 +336,129 @@ register(QuerySpec("html_extract_stats", html_extract_stats, _html_sql(),
                    "newlines, entity decode, markup/link-density "
                    "accounting — one shared regexp chain, oracle "
                    "generated from the same step table"))
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profile (E105, r12) — planted multi-script corpus
+# ---------------------------------------------------------------------------
+
+#: deterministic script plant: every mod-4 class of docs gets its
+#: high-frequency Latin letters transliterated into another script
+#: (translate() is 1:1 and identical in both engines), so the profile
+#: row exercises real non-Latin dominance instead of an all-ASCII
+#: corpus's vacuous 'latin 1.0'. ~75% of English letters are covered
+#: by 'aeiounrsth', so the planted scripts dominate decisively.
+SCRIPT_PLANT_FROM = "aeiounrsth"
+SCRIPT_PLANT_TO = {
+    1: "аеиоунрстх",   # Cyrillic
+    2: "αειουνρστθ",   # Greek
+    3: "中文字符集数据处理器",  # CJK
+}
+
+
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus script composition over the planted multi-script corpus:
+    per dominant script — doc count and the summed per-doc dominant
+    ratio in integer micro-units (exact cross-engine arithmetic; ratio
+    = dominant-script chars / all counted script chars)."""
+    from kinesis_vcr_spark.functions.text import (
+        dominant_script,
+        script_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plant = F.col("text")
+    for m, to in SCRIPT_PLANT_TO.items():
+        plant = F.when(
+            F.pmod("doc_id", F.lit(4)) == m,
+            F.translate(F.col("text"), SCRIPT_PLANT_FROM, to),
+        ).otherwise(plant)
+    planted = docs.select("doc_id", plant.alias("t"))
+    counts = script_counts(F.col("t"))
+    total = sum(counts.values())
+    dom = dominant_script(F.col("t"))
+    per_doc = planted.select(
+        dom.alias("script"),
+        F.greatest(*counts.values()).alias("__dom_n"),
+        total.alias("__tot"),
+    )
+    return (
+        per_doc.groupBy("script")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.round(
+                    F.col("__dom_n") * F.lit(1_000_000.0) / F.col("__tot")
+                ).cast("long")
+            ).alias("ratio_micros_sum"),
+        )
+        .orderBy("script")
+    )
+
+
+def _script_sql_class(script: str) -> str:
+    """RE2 (DuckDB) character class for a script's ranges."""
+    from kinesis_vcr_spark.functions.text import SCRIPT_RANGES
+
+    parts = "".join(
+        f"\\x{{{lo:04X}}}-\\x{{{hi:04X}}}" for lo, hi in SCRIPT_RANGES[script]
+    )
+    return f"[{parts}]"
+
+
+def _script_profile_sql() -> str:
+    from kinesis_vcr_spark.functions.text import SCRIPT_ORDER
+
+    cnt = {
+        s: (
+            f"length(t) - length(regexp_replace(t, "
+            f"'{_script_sql_class(s)}', '', 'g'))"
+        )
+        for s in SCRIPT_ORDER
+    }
+    case_plant = " ".join(
+        f"WHEN doc_id % 4 = {m} THEN "
+        f"translate(text, '{SCRIPT_PLANT_FROM}', '{to}')"
+        for m, to in SCRIPT_PLANT_TO.items()
+    )
+    # dominance: strictly-greater against later-priority scripts,
+    # greater-or-equal against earlier ones == first max in order
+    conds = []
+    for i, s in enumerate(SCRIPT_ORDER):
+        parts = [f"c_{s} > 0"]
+        for j, o in enumerate(SCRIPT_ORDER):
+            if o == s:
+                continue
+            op = ">=" if j > i else ">"
+            parts.append(f"c_{s} {op} c_{o}")
+        conds.append(f"WHEN {' AND '.join(parts)} THEN '{s}'")
+    counts_sel = ",\n         ".join(
+        f"CAST({expr} AS BIGINT) AS c_{s}" for s, expr in cnt.items()
+    )
+    total = " + ".join(f"c_{s}" for s in SCRIPT_ORDER)
+    return f"""
+WITH planted AS (
+  SELECT doc_id, CASE {case_plant} ELSE text END AS t FROM documents
+), counted AS (
+  SELECT doc_id,
+         {counts_sel}
+  FROM planted
+), dom AS (
+  SELECT doc_id,
+         CASE {' '.join(conds)} ELSE 'none' END AS script,
+         greatest({', '.join('c_' + s for s in SCRIPT_ORDER)}) AS dom_n,
+         {total} AS tot
+  FROM counted
+)
+SELECT script, count(*) AS n_docs,
+       CAST(sum(CAST(round(dom_n * 1000000.0 / tot) AS BIGINT)) AS BIGINT)
+         AS ratio_micros_sum
+FROM dom GROUP BY script ORDER BY script
+"""
+
+
+register(QuerySpec(
+    "text_script_profile", text_script_profile, _script_profile_sql(),
+    "Unicode script composition (codegen range counting, planted "
+    "multi-script corpus, exact integer micro-ratios)",
+))

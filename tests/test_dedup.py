@@ -281,3 +281,66 @@ def test_llm_prep_spans_budget_is_armed(spark):
 
     src = inspect.getsource(llm_prep_spans)
     assert "near_dup_candidate_budget" in src
+
+
+# ---------------------------------------------------------------------------
+# quality-weighted dedup winner (E104, r12)
+# ---------------------------------------------------------------------------
+
+
+def test_keep_best_per_component(spark):
+    """Highest score wins its component; score ties break to the
+    smallest id; docs in no component pass through as their own
+    winner."""
+    from kinesis_vcr_spark.operators.dedup import keep_best_per_component
+
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.2), (5, 0.7)],
+        "doc_id long, q double",
+    )
+    comp = spark.createDataFrame(
+        # group A = {1,2,3} (2 and 3 tie at 0.9 -> 2 wins),
+        # group B = {4}; 5 is in no component (pass-through)
+        [(1, 1), (2, 1), (3, 1), (4, 4)],
+        "node long, component long",
+    )
+    got = {
+        (r["component"], r["doc_id"], r["q"])
+        for r in keep_best_per_component(
+            docs, comp, "doc_id", "q"
+        ).collect()
+    }
+    assert got == {(1, 2, 0.9), (4, 4, 0.2), (5, 5, 0.7)}
+
+
+def test_dedup_keep_best_winner_is_argmax_quality(spark, sf_dir):
+    """Driver-row semantics: every winner has the max quality in its
+    group (cross-checked against the component labeling + per-doc
+    quality computed independently)."""
+    from kinesis_vcr_spark.functions.text import quality_score
+    from kinesis_vcr_spark.operators.components import connected_components
+    from kinesis_vcr_spark.queries.dedup import J_THRESHOLD, dedup_keep_best
+    from kinesis_vcr_spark.tables import load_table
+
+    res = {r["component"]: r for r in dedup_keep_best(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", quality_score(F.col("text")).alias("q")
+    )
+    pairs = near_dup_pairs_minhash(
+        docs, "doc_id", "text", shingle_size=3, num_hashes=64, bands=16,
+        threshold=J_THRESHOLD,
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    assert comp, "fixture has near-dup groups"
+    qmap = {r["doc_id"]: r["q"] for r in docs.select("doc_id", "q").collect()}
+    best: dict = {}
+    for node, c in comp.items():
+        q = qmap[node]
+        if c not in best or (q, -node) > (best[c][1], -best[c][0]):
+            best[c] = (node, q)
+    assert set(res) == set(best)
+    for c, (wid, wq) in best.items():
+        assert res[c]["winner_id"] == wid and res[c]["winner_q"] == wq
