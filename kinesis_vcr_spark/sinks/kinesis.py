@@ -103,6 +103,8 @@ def kinesis_partition_writer(
     max_count: int = MAX_BATCH_COUNT,
     max_bytes: int = MAX_BATCH_BYTES,
     budget_seconds: float = PUT_RETRY_BUDGET_SECONDS,
+    rate_limit_bytes_per_s: float | None = None,
+    bucket_factory=None,
 ):
     """Build a ``foreachPartition`` function writing ``data`` rows to Kinesis.
 
@@ -112,13 +114,32 @@ def kinesis_partition_writer(
     caps each batch's retry loop (the reference's 30 s give-up budget,
     KinesisPlayer.java:122-155); tests shrink it to exercise give-ups
     without real waits.
+
+    ``rate_limit_bytes_per_s`` (E106, r12) paces each batch through a
+    per-writer token bucket BEFORE the put — size it with
+    :func:`kinesis_vcr_spark.ratelimit.per_writer_rate` so aggregate
+    replay throughput matches the stream's open-shard ingest limit
+    (the same arithmetic the estimate quotes) instead of slamming the
+    limit and burning the retry budget on
+    ProvisionedThroughputExceeded storms. ``bucket_factory`` overrides
+    bucket construction (tests inject a virtual clock); it is invoked
+    on the executor, once per partition.
     """
 
     def write_partition(rows) -> int:
+        from kinesis_vcr_spark.ratelimit import TokenBucket  # noqa: PLC0415
+
         put = put_records_factory()
+        bucket = None
+        if bucket_factory is not None:
+            bucket = bucket_factory()
+        elif rate_limit_bytes_per_s is not None:
+            bucket = TokenBucket(rate_limit_bytes_per_s)
         payloads = (row["data"] for row in rows)
         failed = 0
         for batch in iter_batches(payloads, max_count, max_bytes):
+            if bucket is not None:
+                bucket.acquire(sum(len(p) for p in batch))
             failed += put_with_retry(
                 put, stream_name, make_entries(batch), budget_seconds
             )
