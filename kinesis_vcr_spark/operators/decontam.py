@@ -91,3 +91,51 @@ def decontaminate(
     report = ngram_contamination(docs, bench, id_col, text_col, n, min_hits)
     clean = report.where(~F.col("contaminated")).select(id_col)
     return docs.join(clean, on=id_col, how="left_semi")
+
+
+def fuzzy_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """FUZZY decontamination (E107, r12): flag training documents that
+    are NEAR-duplicates of any benchmark document — the Llama-style
+    complement of :func:`ngram_contamination`, which only catches
+    verbatim n-gram overlap and misses lightly-edited eval copies
+    (reworded benchmark answers, whitespace/punctuation-mangled
+    pastes). Candidates come from the bipartite MinHash-LSH join
+    (operators/dedup.py:near_dup_pairs_minhash_bipartite), verified by
+    exact Jaccard, then aggregated per training doc.
+
+    Returns ``(id_col, n_hits, max_jaccard)`` for contaminated docs
+    only. Scale: the benchmark side is eval-set-sized, so its banded
+    table broadcasts under AQE and the corpus is never shuffled for
+    the candidate join; the per-doc aggregate is map-side combinable.
+    """
+    from kinesis_vcr_spark.operators.dedup import (  # noqa: PLC0415
+        near_dup_pairs_minhash_bipartite,
+    )
+
+    pairs = near_dup_pairs_minhash_bipartite(
+        docs,
+        bench.select(F.col("*")).withColumnRenamed(id_col, "__bench_id"),
+        id_col,
+        "__bench_id",
+        text_col=text_col,
+        shingle_size=shingle_size,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+    return (
+        pairs.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )

@@ -980,3 +980,73 @@ def keep_best_per_component(
         k=1,
     )
     return winners.withColumnRenamed("__comp", component_col)
+
+
+def near_dup_pairs_minhash_bipartite(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    text_col: str = "text",
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    char_ngrams: bool = False,
+    band_member_cap: int | None = DEFAULT_BAND_MEMBER_CAP,
+) -> DataFrame:
+    """Cross-corpus near-duplicate pairs (E107, r12): MinHash-LSH
+    candidates between TWO tables, verified by exact Jaccard — the
+    bipartite twin of :func:`near_dup_pairs_minhash`. Returns
+    ``(left_id, right_id, jaccard)`` with jaccard ≥ threshold.
+
+    This is the candidate machine behind fuzzy decontamination (a
+    corpus probed against a benchmark set — Llama-style fuzzy overlap
+    where exact n-gram decontam misses lightly-edited copies) and
+    cross-corpus record linkage. Same signature/band expressions as
+    the self-join path (shingle_frame/minhash_signature_agg/band_frame
+    are shared, so signatures are comparable across both), but the
+    join is an EQUI-JOIN between the two banded tables — when one side
+    is benchmark-sized the band join broadcasts it and the corpus
+    never shuffles; the hot-band cap applies per side.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    if left_id == right_id:
+        raise ValueError(
+            "left_id and right_id must differ (rename one side: the "
+            "output carries both)"
+        )
+    sides = []
+    for df, idc in ((left, left_id), (right, right_id)):
+        with_sh = shingle_frame(df, idc, text_col, shingle_size, char_ngrams)
+        sigs = minhash_signature_agg(with_sh, idc, num_hashes)
+        banded = band_frame(sigs, idc, num_hashes, bands).select(
+            idc, F.posexplode("bands").alias("band_pos", "band_hash")
+        )
+        banded = cap_group_size(
+            banded, ["band_pos", "band_hash"], band_member_cap
+        )
+        sides.append((with_sh, banded))
+    (sh_l, band_l), (sh_r, band_r) = sides
+    cand = (
+        band_l.join(band_r, ["band_pos", "band_hash"])
+        .select(left_id, right_id)
+        .distinct()
+    )
+    return (
+        cand.join(
+            sh_l.select(F.col(left_id), F.col("shingles").alias("__sh_l")),
+            left_id,
+        )
+        .join(
+            sh_r.select(F.col(right_id), F.col("shingles").alias("__sh_r")),
+            right_id,
+        )
+        .select(
+            left_id,
+            right_id,
+            jaccard(F.col("__sh_l"), F.col("__sh_r")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1015,3 +1015,88 @@ register(QuerySpec(
     "quality-weighted near-dup winner per component (argmax quality, "
     "min-id ties) — the production keep-the-best-copy rule",
 ))
+
+
+# ---------------------------------------------------------------------------
+# fuzzy benchmark decontamination (E107, r12)
+# ---------------------------------------------------------------------------
+
+DECONTAM_FUZZY_MOD = 50  # every 50th doc plays the benchmark set
+
+
+#: planted leaked copies get doc_id + this offset and a light edit
+DECONTAM_FUZZY_OFFSET = 1_000_000
+DECONTAM_FUZZY_EDIT = " plus a small trailing edit"
+
+
+def decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: training docs that are NEAR-duplicates
+    (exact Jaccard >= threshold via bipartite MinHash-LSH candidates)
+    of any benchmark doc — catches the lightly-edited eval copies the
+    exact n-gram row cannot. Benchmark = every 50th doc; corpus = the
+    rest PLUS a planted lightly-edited copy of every benchmark doc
+    (the leak fuzzy decontam exists to catch: J ≈ 0.97, no longer an
+    exact duplicate), so the answer mixes planted and organic hits and
+    the oracle recomputes both brute-force."""
+    from kinesis_vcr_spark.operators.decontam import fuzzy_contamination
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.pmod("doc_id", F.lit(DECONTAM_FUZZY_MOD)) == 0)
+    leaked = bench.select(
+        (F.col("doc_id") + F.lit(DECONTAM_FUZZY_OFFSET)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(DECONTAM_FUZZY_EDIT)).alias("text"),
+    )
+    corpus = docs.where(
+        F.pmod("doc_id", F.lit(DECONTAM_FUZZY_MOD)) != 0
+    ).unionByName(leaked)
+    return fuzzy_contamination(
+        corpus, bench, "doc_id", "text",
+        shingle_size=3, threshold=J_THRESHOLD,
+    ).orderBy("doc_id")
+
+
+DECONTAM_FUZZY_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % {DECONTAM_FUZZY_MOD} != 0
+  UNION ALL
+  SELECT doc_id + {DECONTAM_FUZZY_OFFSET},
+         text || '{DECONTAM_FUZZY_EDIT}'
+  FROM documents WHERE doc_id % {DECONTAM_FUZZY_MOD} = 0
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM (SELECT doc_id, text FROM corpus
+        UNION ALL
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % {DECONTAM_FUZZY_MOD} = 0)
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingles
+  FROM toks
+), hits AS (
+  SELECT c.doc_id,
+         CAST(len(list_intersect(c.shingles, b.shingles)) AS DOUBLE)
+         / (len(c.shingles) + len(b.shingles)
+            - len(list_intersect(c.shingles, b.shingles))) AS j
+  FROM sh c JOIN sh b
+    ON (c.doc_id % {DECONTAM_FUZZY_MOD} != 0
+        OR c.doc_id >= {DECONTAM_FUZZY_OFFSET})
+   AND b.doc_id % {DECONTAM_FUZZY_MOD} = 0
+   AND b.doc_id < {DECONTAM_FUZZY_OFFSET}
+  WHERE CAST(len(list_intersect(c.shingles, b.shingles)) AS DOUBLE)
+        / (len(c.shingles) + len(b.shingles)
+           - len(list_intersect(c.shingles, b.shingles))) >= {J_THRESHOLD}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       round(max(j), 6) AS max_jaccard
+FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+register(QuerySpec(
+    "decontam_fuzzy", decontam_fuzzy, DECONTAM_FUZZY_SQL,
+    "fuzzy benchmark decontamination: bipartite MinHash-LSH candidates "
+    "+ exact-Jaccard verification against an eval set (catches edited "
+    "copies exact n-gram overlap misses)",
+))
