@@ -585,3 +585,57 @@ def test_clean_ordering_line_dedup_plan(spark, sf_dir):
     plan = clean._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
     assert plan.count("HashAggregate") >= 2  # partial + final counting
+
+
+# --------------------------- round-12 rows: plan pins
+
+
+def test_script_profile_is_pure_codegen(spark, sf_dir):
+    """text_script_profile must never leave the JVM: range counting is
+    regexp_replace arithmetic, dominance is a CASE chain, the aggregate
+    is map-side combinable — zero Python stages of any kind."""
+    from kinesis_vcr_spark.queries.textstats import text_script_profile
+
+    plan = _formatted_plan(text_script_profile(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert "partial_count" in plan or "Partial" in plan
+
+
+def test_pq_manifold_rerank_no_vector_shuffle(spark, sf_dir):
+    """The rerank row's plan: broadcast joins for the query/center
+    tables, no BroadcastNestedLoopJoin anywhere (the shortlist is an
+    id equi-join, never a cross product), no row-at-a-time Python."""
+    from kinesis_vcr_spark.queries.similarity import (
+        similarity_pq_manifold_rerank,
+    )
+
+    plan = _formatted_plan(similarity_pq_manifold_rerank(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan  # centers + query-side broadcasts
+
+
+def test_keep_best_uses_two_phase_topk(spark, sf_dir):
+    """dedup_keep_best's winner stage must ride the skew-safe two-phase
+    top-k (partial per-salt rank before the component exchange), not a
+    raw window over components — a boilerplate mega-group would
+    hot-spot one task otherwise."""
+    from kinesis_vcr_spark.queries.dedup import dedup_keep_best
+
+    plan = _formatted_plan(dedup_keep_best(spark, sf_dir))
+    # topk_per_group's salted phase leaves two window stages
+    assert plan.count("Window") >= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_decontam_fuzzy_benchmark_side_is_small(spark, sf_dir):
+    """decontam_fuzzy: the per-doc aggregate is map-side combinable
+    and nothing row-at-a-time crosses into Python; the corpus-side scan
+    count stays bounded (both sides share the documents scan)."""
+    from kinesis_vcr_spark.queries.dedup import decontam_fuzzy
+
+    plan = _formatted_plan(decontam_fuzzy(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
