@@ -461,6 +461,11 @@ def similarity_pq_manifold_rerank(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     corpus, probes, _ = _manifold(load_table(spark, sf_dir, "embeddings"))
+    # six actions consume the manifold (count, PQ seed collect, Lloyd
+    # means, encode, ADC scan, re-rank fetch) — persist it or each one
+    # re-executes the plant (measured 94 s cold at sf1 unpersisted;
+    # the multiplicative-recompute discipline of llm_prep_spans)
+    corpus = corpus.persist()
     n = corpus.count()
     r = max(4 * MAN_TOP_K, int(PQ_RERANK_CLUSTER_FACTOR * n / MAN_K) + 1)
     codebook = train_pq(corpus, m=32, ksub=32, refine_iterations=1)
