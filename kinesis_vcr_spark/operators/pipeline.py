@@ -277,9 +277,18 @@ def llm_prep_corpus(
         # boilerplate-saturated corpus the verified path fails loudly
         # with the measured candidate count + remediations instead of
         # filling the cluster's disk (the sf100 footer ENOSPC,
-        # BASELINE r10 addendum 2).
+        # BASELINE r10 addendum 2). The armed breaker's eager count
+        # adds one more consumer of exact_kept's lineage (extraction +
+        # URL window + digest group-min), so persist the survivor set
+        # while the breaker + band join + verify consumers run —
+        # without it the count pass re-executes the whole upstream.
+        src = (
+            exact_kept.persist()
+            if near_dup_candidate_budget is not None
+            else exact_kept
+        )
         pairs = near_dup_pairs_minhash(
-            exact_kept, id_col, "__text",
+            src, id_col, "__text",
             shingle_size=shingle_size, threshold=jaccard_threshold,
             candidate_budget=near_dup_candidate_budget,
         )
