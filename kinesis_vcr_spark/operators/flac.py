@@ -1,0 +1,754 @@
+"""FLAC decode + spec-rule encode — pure Python/numpy, no
+soundfile/ffmpeg (the container has no audio libs; same in-repo-codec
+discipline as the image decoders and :mod:`~kinesis_vcr_spark.
+operators.adpcm`).
+
+Format per the public FLAC specification (RFC 9639 / xiph.org): a
+``fLaC`` magic, metadata blocks (STREAMINFO required first), then
+independently decodable frames. Each frame carries a CRC-8-protected
+header (block size, sample rate, channel assignment, sample size,
+UTF-8-coded frame/sample number), one subframe per channel (constant /
+verbatim / fixed-predictor order 0-4 / LPC order 1-32, each with
+optional wasted-bits shift), Rice-coded residual partitions (4- or
+5-bit parameters with a raw-bits escape), and a CRC-16 footer.
+
+**Self-validating oracle**: STREAMINFO embeds an MD5 of the decoded
+PCM (interleaved little-endian samples), so every real-world file
+checks its own decoder — the strongest validation tier in the codec
+family. :func:`decode_flac` enforces it by default and raises on
+mismatch (the module-wide raise-instead-of-garbage contract).
+
+The encoder here is the test fixture source (the spec-rule-encoder
+discipline that landed GIF/TIFF/WebP/ADPCM first-try): it writes
+constant / verbatim / fixed subframes with per-partition Rice
+parameter search, raw-bits escapes when cheaper, wasted-bits
+detection, all four stereo decorrelations, and uncommon block-size /
+sample-rate header codes — wide enough to round-trip every decoder
+path, never used in the hot path.
+
+Scale shape: FLAC frames are independently decodable units (the frame
+header is byte-aligned and CRC-8 delimited), so the Pandas-UDF batch
+in :func:`~kinesis_vcr_spark.operators.multimodal.decode_audio` keeps
+whole files per row and the envelope stage never needs cross-row
+state — identical posture to the other audio codecs.
+
+Reference anchor: no counterpart in the reference (record/replay
+tool); SURVEY.md §2.5a multimodal family — formerly the one common
+training-corpus audio format with no tier at all (r12 verdict item 1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+from kinesis_vcr_spark.operators.mp3 import _BitReader
+
+# ------------------------------------------------------------- CRCs
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the FLAC
+    frame-header CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0 — the
+    FLAC whole-frame CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+# ----------------------------------------------------- header tables
+
+#: frame-header block-size codes -> size (None = uncommon, read bytes)
+_BLOCK_SIZES = {
+    0x1: 192, 0x2: 576, 0x3: 1152, 0x4: 2304, 0x5: 4608,
+    0x8: 256, 0x9: 512, 0xA: 1024, 0xB: 2048, 0xC: 4096,
+    0xD: 8192, 0xE: 16384, 0xF: 32768,
+}
+_BLOCK_CODES = {v: k for k, v in _BLOCK_SIZES.items()}
+
+_SAMPLE_RATES = {
+    0x1: 88200, 0x2: 176400, 0x3: 192000, 0x4: 8000, 0x5: 16000,
+    0x6: 22050, 0x7: 24000, 0x8: 32000, 0x9: 44100, 0xA: 48000,
+    0xB: 96000,
+}
+_RATE_CODES = {v: k for k, v in _SAMPLE_RATES.items()}
+
+_SAMPLE_SIZES = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20,
+                 0b110: 24, 0b111: 32}
+_SIZE_CODES = {v: k for k, v in _SAMPLE_SIZES.items()}
+
+#: channel assignment: 0-7 = that many independent channels;
+#: 8 = left/side, 9 = right/side, 10 = mid/side
+_CH_LEFT_SIDE, _CH_RIGHT_SIDE, _CH_MID_SIDE = 8, 9, 10
+
+
+def is_flac(payload: bytes) -> bool:
+    return payload[:4] == b"fLaC"
+
+
+# ------------------------------------------------------- STREAMINFO
+
+def parse_streaminfo(payload: bytes) -> dict:
+    """Walk the metadata blocks; return the STREAMINFO fields plus the
+    byte offset where frames begin. Raises on malformed structure."""
+    if not is_flac(payload):
+        raise ValueError("not a FLAC stream (missing fLaC magic)")
+    pos = 4
+    info = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("FLAC metadata truncated")
+        hdr = payload[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        blen = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        body = payload[pos + 4:pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("FLAC metadata block truncated")
+        if btype == 0:  # STREAMINFO
+            if blen != 34:
+                raise ValueError(f"STREAMINFO must be 34 bytes, got {blen}")
+            br = _BitReader(body)
+            info = {
+                "min_block": br.read(16),
+                "max_block": br.read(16),
+                "min_frame": br.read(24),
+                "max_frame": br.read(24),
+                "sample_rate": br.read(20),
+                "channels": br.read(3) + 1,
+                "bits": br.read(5) + 1,
+                "total_samples": br.read(36),
+                "md5": body[18:34],
+            }
+            if info["sample_rate"] == 0:
+                raise ValueError("STREAMINFO sample rate is 0")
+        pos += 4 + blen
+        if last:
+            break
+    if info is None:
+        raise ValueError("FLAC stream has no STREAMINFO block")
+    info["frames_at"] = pos
+    return info
+
+
+def flac_info(payload: bytes) -> dict:
+    """Metadata tier (the :func:`~kinesis_vcr_spark.operators.aac.
+    aac_info` shape): stream parameters without decoding frames."""
+    si = parse_streaminfo(payload)
+    return {
+        "codec": "FLAC",
+        "sample_rate": si["sample_rate"],
+        "channels": si["channels"],
+        "bits": si["bits"],
+        "total_samples": si["total_samples"],
+        "duration_s": (
+            round(si["total_samples"] / si["sample_rate"], 3)
+            if si["total_samples"] else None
+        ),
+        "md5": si["md5"].hex(),
+    }
+
+
+# --------------------------------------------------- frame decoding
+
+def _read_coded_number(payload: bytes, pos: int) -> tuple[int, int]:
+    """FLAC's extended UTF-8-style coded number (frame or sample
+    index, up to 36 bits / 7 bytes). Returns (value, new_pos)."""
+    first = payload[pos]
+    if first < 0x80:
+        return first, pos + 1
+    n_follow = 0
+    mask = 0x40
+    while first & mask:
+        n_follow += 1
+        mask >>= 1
+    if n_follow < 1 or n_follow > 6:
+        raise ValueError("invalid FLAC coded number")
+    value = first & (mask - 1)
+    for i in range(1, n_follow + 1):
+        b = payload[pos + i]
+        if b & 0xC0 != 0x80:
+            raise ValueError("invalid FLAC coded number continuation")
+        value = (value << 6) | (b & 0x3F)
+    return value, pos + n_follow + 1
+
+
+def _signed(v: int, bits: int) -> int:
+    return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+
+
+def _read_unary(br: _BitReader) -> int:
+    n = 0
+    while br.read(1) == 0:
+        n += 1
+    return n
+
+
+def _decode_residual(br: _BitReader, block_size: int, order: int) -> np.ndarray:
+    """Rice-coded residual partitions (coding methods 0/1, raw-bits
+    escape); returns block_size - order int64 values."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"reserved FLAC residual coding method {method}")
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if block_size % nparts:
+        raise ValueError("FLAC partition count does not divide block size")
+    part_len = block_size >> porder
+    if part_len <= order and porder > 0 or part_len < order:
+        raise ValueError("FLAC partition shorter than predictor order")
+    out = np.empty(block_size - order, np.int64)
+    at = 0
+    for p in range(nparts):
+        count = part_len - (order if p == 0 else 0)
+        param = br.read(pbits)
+        if param == escape:
+            nbits = br.read(5)
+            if nbits == 0:
+                out[at:at + count] = 0
+            else:
+                for i in range(count):
+                    out[at + i] = _signed(br.read(nbits), nbits)
+        else:
+            for i in range(count):
+                q = _read_unary(br)
+                v = (q << param) | br.read(param) if param else q
+                out[at + i] = (v >> 1) ^ -(v & 1)  # zigzag
+        at += count
+    return out
+
+
+def _restore_fixed(warm: np.ndarray, resid: np.ndarray, order: int) -> np.ndarray:
+    """Fixed predictor order k reconstruction: the residual is the
+    k-th finite difference, so restore = k-fold cumulative sum seeded
+    from the warmup's difference pyramid (vectorized, no sample loop)."""
+    if order == 0:
+        return resid.astype(np.int64)
+    diffs = [np.asarray(warm, np.int64)]
+    for _ in range(order):
+        diffs.append(np.diff(diffs[-1]))
+    seq = resid.astype(np.int64)
+    for k in range(order, 0, -1):
+        seq = np.cumsum(np.concatenate((diffs[k - 1][-1:], seq)))[1:]
+    return np.concatenate((np.asarray(warm, np.int64), seq))
+
+
+def _decode_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
+    if br.read(1):
+        raise ValueError("FLAC subframe padding bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + _read_unary(br)
+    ebps = bps - wasted
+    if ebps <= 0:
+        raise ValueError("FLAC wasted bits exceed sample size")
+    if stype == 0:  # constant
+        v = _signed(br.read(ebps), ebps)
+        out = np.full(block_size, v, np.int64)
+    elif stype == 1:  # verbatim
+        out = np.fromiter(
+            (_signed(br.read(ebps), ebps) for _ in range(block_size)),
+            np.int64, block_size,
+        )
+    elif 8 <= stype <= 12:  # fixed, order 0-4
+        order = stype - 8
+        warm = np.fromiter(
+            (_signed(br.read(ebps), ebps) for _ in range(order)),
+            np.int64, order,
+        )
+        resid = _decode_residual(br, block_size, order)
+        out = _restore_fixed(warm, resid, order)
+    elif stype >= 32:  # LPC, order 1-32
+        order = stype - 31
+        warm = [_signed(br.read(ebps), ebps) for _ in range(order)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid FLAC LPC precision code 15")
+        shift = _signed(br.read(5), 5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [_signed(br.read(prec), prec) for _ in range(order)]
+        resid = _decode_residual(br, block_size, order)
+        out = np.empty(block_size, np.int64)
+        out[:order] = warm
+        # recursive int prediction — int64 is exact here (|sample| <
+        # 2^31, |coef| < 2^15, order <= 32 -> < 2^51 before the shift)
+        for i in range(order, block_size):
+            acc = 0
+            for j in range(order):
+                acc += coefs[j] * out[i - 1 - j]
+            out[i] = resid[i - order] + (acc >> shift)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    if wasted:
+        out = out << wasted
+    return out
+
+
+def _decode_frame(payload: bytes, pos: int, si: dict) -> tuple[np.ndarray, int]:
+    """Decode one frame starting at byte ``pos``; returns
+    (samples[block, ch] int64, new_pos)."""
+    start = pos
+    if pos + 4 > len(payload):
+        raise ValueError("FLAC frame header truncated")
+    b0, b1, b2, b3 = payload[pos:pos + 4]
+    if b0 != 0xFF or (b1 & 0xFC) != 0xF8:
+        raise ValueError("bad FLAC frame sync")
+    if b1 & 0x02:
+        raise ValueError("reserved FLAC frame header bit set")
+    bs_code = b2 >> 4
+    sr_code = b2 & 0x0F
+    ch_code = b3 >> 4
+    ss_code = (b3 >> 1) & 0x07
+    if b3 & 1:
+        raise ValueError("reserved FLAC frame header bit set")
+    pos += 4
+    _, pos = _read_coded_number(payload, pos)
+    if bs_code == 0:
+        raise ValueError("reserved FLAC block size code 0")
+    if bs_code in (0x6, 0x7):
+        n = 1 if bs_code == 0x6 else 2
+        block_size = int.from_bytes(payload[pos:pos + n], "big") + 1
+        pos += n
+    else:
+        block_size = _BLOCK_SIZES[bs_code]
+    if sr_code == 0:
+        sample_rate = si["sample_rate"]
+    elif sr_code in _SAMPLE_RATES:
+        sample_rate = _SAMPLE_RATES[sr_code]
+    elif sr_code == 0xC:
+        sample_rate = payload[pos] * 1000
+        pos += 1
+    elif sr_code in (0xD, 0xE):
+        v = int.from_bytes(payload[pos:pos + 2], "big")
+        sample_rate = v if sr_code == 0xD else v * 10
+        pos += 2
+    else:
+        raise ValueError("invalid FLAC sample rate code 15")
+    if sample_rate != si["sample_rate"]:
+        raise ValueError("FLAC frame sample rate differs from STREAMINFO")
+    bps = si["bits"] if ss_code == 0 else _SAMPLE_SIZES.get(ss_code)
+    if bps is None:
+        raise ValueError(f"reserved FLAC sample size code {ss_code}")
+    if bps != si["bits"]:
+        raise ValueError("FLAC frame sample size differs from STREAMINFO")
+    crc8 = payload[pos]
+    if _crc8(payload[start:pos]) != crc8:
+        raise ValueError("FLAC frame header CRC-8 mismatch")
+    pos += 1
+
+    if ch_code <= 7:
+        n_ch = ch_code + 1
+        side = [0] * n_ch
+    elif ch_code in (_CH_LEFT_SIDE, _CH_RIGHT_SIDE, _CH_MID_SIDE):
+        n_ch = 2
+        side = [0, 1] if ch_code != _CH_RIGHT_SIDE else [1, 0]
+    else:
+        raise ValueError(f"reserved FLAC channel assignment {ch_code}")
+    if n_ch != si["channels"]:
+        raise ValueError("FLAC frame channel count differs from STREAMINFO")
+
+    br = _BitReader(payload)
+    br.pos = pos * 8
+    chans = [
+        _decode_subframe(br, block_size, bps + side[c]) for c in range(n_ch)
+    ]
+    br.pos = (br.pos + 7) & ~7  # align: padding bits to byte boundary
+    pos = br.pos // 8
+    crc16 = int.from_bytes(payload[pos:pos + 2], "big")
+    if _crc16(payload[start:pos]) != crc16:
+        raise ValueError("FLAC frame CRC-16 mismatch")
+    pos += 2
+
+    if ch_code == _CH_LEFT_SIDE:
+        left, s = chans
+        chans = [left, left - s]
+    elif ch_code == _CH_RIGHT_SIDE:
+        s, right = chans
+        chans = [right + s, right]
+    elif ch_code == _CH_MID_SIDE:
+        mid, s = chans
+        mid2 = (mid << 1) | (s & 1)
+        chans = [(mid2 + s) >> 1, (mid2 - s) >> 1]
+    return np.stack(chans, axis=1), pos
+
+
+def decode_flac(payload: bytes, verify_md5: bool = True):
+    """Full decode: returns ``(n_frames, n_channels, sample_rate,
+    bits, samples)`` with ``samples`` an int64 array of shape
+    ``(n_frames, n_channels)``.
+
+    When STREAMINFO carries a nonzero MD5 and the sample size is
+    byte-aligned, the decoded PCM's MD5 (interleaved little-endian
+    signed samples — the spec's definition) is REQUIRED to match:
+    every real-world FLAC file validates its own decode. Raises on
+    any structural or checksum violation — never returns garbage."""
+    si = parse_streaminfo(payload)
+    pos = si["frames_at"]
+    blocks = []
+    total = 0
+    while pos < len(payload):
+        block, pos = _decode_frame(payload, pos, si)
+        blocks.append(block)
+        total += block.shape[0]
+        if si["total_samples"] and total >= si["total_samples"]:
+            break
+    samples = (
+        np.concatenate(blocks, axis=0)
+        if blocks else np.empty((0, si["channels"]), np.int64)
+    )
+    if si["total_samples"] and samples.shape[0] != si["total_samples"]:
+        raise ValueError(
+            f"FLAC decoded {samples.shape[0]} samples, STREAMINFO "
+            f"declares {si['total_samples']}"
+        )
+    lo, hi = -(1 << (si["bits"] - 1)), (1 << (si["bits"] - 1)) - 1
+    if samples.size and (samples.min() < lo or samples.max() > hi):
+        raise ValueError("FLAC decoded sample out of declared range")
+    if verify_md5 and si["md5"] != b"\x00" * 16:
+        if si["bits"] % 8:
+            raise NotImplementedError(
+                f"FLAC MD5 check for {si['bits']}-bit (non-byte-aligned) "
+                "samples is not implemented; pass verify_md5=False"
+            )
+        got = hashlib.md5(_pcm_bytes(samples, si["bits"])).digest()
+        if got != si["md5"]:
+            raise ValueError(
+                "FLAC PCM MD5 mismatch: decoder produced "
+                f"{got.hex()}, STREAMINFO declares {si['md5'].hex()}"
+            )
+    return samples.shape[0], si["channels"], si["sample_rate"], si["bits"], samples
+
+
+def _pcm_bytes(samples: np.ndarray, bits: int) -> bytes:
+    """The spec's MD5 input: channel-interleaved little-endian signed
+    samples at the stream's byte-aligned sample size."""
+    nbytes = bits // 8
+    flat = samples.reshape(-1).astype(np.int64)
+    if nbytes in (1, 2, 4):
+        dt = {1: "<i1", 2: "<i2", 4: "<i4"}[nbytes]
+        return flat.astype(dt).tobytes()
+    # 24-bit: pack low 3 bytes of the little-endian int32 image
+    b4 = flat.astype("<i4").tobytes()
+    arr = np.frombuffer(b4, np.uint8).reshape(-1, 4)
+    return arr[:, :3].tobytes()
+
+
+# ---------------------------------------------------------- encoder
+
+class _BitWriter:
+    """MSB-first bit writer (the encoder-side mirror of _BitReader)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        if n < 0 or (n and value >> n):
+            raise ValueError(f"value {value} does not fit in {n} bits")
+        self.acc = (self.acc << n) | value
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_signed(self, value: int, n: int) -> None:
+        self.write(value & ((1 << n) - 1), n)
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        if self.nbits:
+            raise ValueError("bit writer not byte-aligned")
+        return bytes(self.buf)
+
+
+def _encode_coded_number(value: int) -> bytes:
+    if value < 0x80:
+        return bytes([value])
+    for n_follow in range(1, 7):
+        if value < (1 << (5 * n_follow + 6)):
+            break
+    head_bits = 6 - n_follow
+    # first byte: (n_follow+1) leading ones, a zero, then the head bits
+    first = ((1 << (n_follow + 1)) - 1) << (7 - n_follow)
+    first |= (value >> (6 * n_follow)) & ((1 << head_bits) - 1)
+    out = [first & 0xFF]
+    for i in range(n_follow - 1, -1, -1):
+        out.append(0x80 | ((value >> (6 * i)) & 0x3F))
+    return bytes(out)
+
+
+def _rice_cost(resid: np.ndarray, param: int) -> int:
+    z = (resid.astype(np.int64) << 1) ^ (resid >> 63)  # zigzag
+    return int(np.sum(z >> param)) + len(resid) * (param + 1)
+
+
+def _best_rice_param(resid: np.ndarray, max_param: int = 14) -> tuple[int, int]:
+    best_p, best_c = 0, _rice_cost(resid, 0)
+    for p in range(1, max_param + 1):
+        c = _rice_cost(resid, p)
+        if c < best_c:
+            best_p, best_c = p, c
+    return best_p, best_c
+
+
+def _write_residual(
+    bw: _BitWriter, resid: np.ndarray, block_size: int, order: int,
+    partition_order: int = 0, force_escape: bool = False,
+) -> None:
+    nparts = 1 << partition_order
+    if block_size % nparts or (block_size >> partition_order) <= order:
+        raise ValueError("invalid encoder partition order")
+    bw.write(0, 2)  # coding method 0 (4-bit params)
+    bw.write(partition_order, 4)
+    part_len = block_size >> partition_order
+    at = 0
+    for p in range(nparts):
+        count = part_len - (order if p == 0 else 0)
+        part = resid[at:at + count]
+        at += count
+        mx = int(np.abs(part).max()) if len(part) else 0
+        raw_bits = max(1, mx.bit_length() + 1) if mx else 1
+        if force_escape:
+            bw.write(0xF, 4)
+            bw.write(raw_bits, 5)
+            for v in part:
+                bw.write_signed(int(v), raw_bits)
+            continue
+        param, rice_cost = _best_rice_param(part)
+        if raw_bits * len(part) + 5 < rice_cost:
+            bw.write(0xF, 4)
+            bw.write(raw_bits, 5)
+            for v in part:
+                bw.write_signed(int(v), raw_bits)
+        else:
+            bw.write(param, 4)
+            for v in part:
+                z = (int(v) << 1) ^ (int(v) >> 63)
+                bw.write_unary(z >> param)
+                if param:
+                    bw.write(z & ((1 << param) - 1), param)
+
+
+def _encode_subframe(
+    bw: _BitWriter, chan: np.ndarray, bps: int, strategy: str,
+    partition_order: int, force_escape: bool,
+) -> None:
+    # wasted-bits detection: common trailing zero bits across the block
+    wasted = 0
+    if strategy != "verbatim" and chan.any():
+        ored = int(np.bitwise_or.reduce(chan))
+        wasted = (ored & -ored).bit_length() - 1
+        wasted = max(0, min(wasted, bps - 1))
+    work = chan >> wasted if wasted else chan
+    ebps = bps - wasted
+
+    def header(stype: int) -> None:
+        bw.write(0, 1)
+        bw.write(stype, 6)
+        if wasted:
+            bw.write(1, 1)
+            bw.write_unary(wasted - 1)
+        else:
+            bw.write(0, 1)
+
+    if strategy != "verbatim" and np.all(work == work[0]):
+        header(0)
+        bw.write_signed(int(work[0]), ebps)
+        return
+    if strategy == "verbatim":
+        header(1)
+        for v in chan:  # verbatim never uses wasted bits here (wasted=0)
+            bw.write_signed(int(v), bps)
+        return
+    if strategy == "lpc":
+        # order-2 LPC with a real shift: pred = (3*s[i-1] - s[i-2]) >> 1
+        # — fixed integer coefficients, chosen to exercise the decoder's
+        # LPC path (precision field, signed coefs, shifted accumulator)
+        # with exact int round-trip semantics
+        order, prec, shift, coefs = 2, 4, 1, [3, -1]
+        if len(work) <= order:
+            raise ValueError("lpc strategy needs > 2 samples per block")
+        resid = np.empty(len(work) - order, np.int64)
+        for i in range(order, len(work)):
+            acc = coefs[0] * int(work[i - 1]) + coefs[1] * int(work[i - 2])
+            resid[i - order] = int(work[i]) - (acc >> shift)
+        header(32 + order - 1)
+        for v in work[:order]:
+            bw.write_signed(int(v), ebps)
+        bw.write(prec - 1, 4)
+        bw.write_signed(shift, 5)
+        for c in coefs:
+            bw.write_signed(c, prec)
+        _write_residual(bw, resid, len(work), order, partition_order,
+                        force_escape)
+        return
+    # fixed predictor: pick the order 0-2 minimizing the rice estimate
+    best = None
+    max_order = {"auto": 2, "fixed0": 0, "fixed1": 1, "fixed2": 2,
+                 "fixed3": 3, "fixed4": 4}.get(strategy)
+    if max_order is None:
+        raise ValueError(f"unknown encoder strategy {strategy!r}")
+    orders = range(max_order + 1) if strategy == "auto" else [max_order]
+    for order in orders:
+        if len(work) <= order:
+            continue
+        resid = np.diff(work, n=order) if order else work.copy()
+        _, cost = _best_rice_param(resid)
+        if best is None or cost < best[2]:
+            best = (order, resid, cost)
+    order, resid, _ = best
+    header(8 + order)
+    for v in work[:order]:
+        bw.write_signed(int(v), ebps)
+    _write_residual(bw, resid, len(work), order, partition_order, force_escape)
+
+
+def encode_flac(
+    samples: np.ndarray,
+    sample_rate: int,
+    bits: int = 16,
+    block_size: int = 4096,
+    stereo_mode: str = "independent",
+    strategy: str = "auto",
+    partition_order: int = 0,
+    force_escape: bool = False,
+) -> bytes:
+    """Spec-rule FLAC encoder (test fixture source, not a hot path).
+
+    ``samples``: int array of shape (n, channels) within the signed
+    ``bits`` range. ``stereo_mode`` one of independent / left_side /
+    right_side / mid_side (2-channel input only for the decorrelated
+    modes). ``strategy``: auto (constant/fixed-order search) /
+    verbatim / fixed0..fixed4. STREAMINFO embeds the PCM MD5, so every
+    output is self-validating through :func:`decode_flac`."""
+    samples = np.asarray(samples, np.int64)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, n_ch = samples.shape
+    if not 1 <= n_ch <= 8:
+        raise ValueError("1-8 channels")
+    if stereo_mode != "independent" and n_ch != 2:
+        raise ValueError("stereo decorrelation needs exactly 2 channels")
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if n and (samples.min() < lo or samples.max() > hi):
+        raise ValueError(f"samples exceed signed {bits}-bit range")
+
+    md5 = hashlib.md5(_pcm_bytes(samples, bits)).digest() if bits % 8 == 0 \
+        else b"\x00" * 16
+
+    frames = bytearray()
+    frame_no = 0
+    min_fs = max_fs = None
+    for at in range(0, n, block_size):
+        block = samples[at:at + block_size]
+        fb = _encode_frame(
+            block, frame_no, sample_rate, bits, n_ch, block_size,
+            stereo_mode, strategy, partition_order, force_escape,
+        )
+        frames += fb
+        min_fs = len(fb) if min_fs is None else min(min_fs, len(fb))
+        max_fs = len(fb) if max_fs is None else max(max_fs, len(fb))
+        frame_no += 1
+
+    si = _BitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(min_fs or 0, 24)
+    si.write(max_fs or 0, 24)
+    si.write(sample_rate, 20)
+    si.write(n_ch - 1, 3)
+    si.write(bits - 1, 5)
+    si.write(n, 36)
+    streaminfo = si.bytes() + md5
+    assert len(streaminfo) == 34
+    head = b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big")
+    return head + streaminfo + bytes(frames)
+
+
+def _encode_frame(
+    block: np.ndarray, frame_no: int, sample_rate: int, bits: int,
+    n_ch: int, nominal_bs: int, stereo_mode: str, strategy: str,
+    partition_order: int, force_escape: bool,
+) -> bytes:
+    bs = block.shape[0]
+    hdr = bytearray()
+    hdr += b"\xff\xf8"  # sync + fixed blocking strategy
+    bs_code = _BLOCK_CODES.get(bs)
+    bs_tail = b""
+    if bs_code is None:
+        if bs <= 256:
+            bs_code, bs_tail = 0x6, bytes([bs - 1])
+        else:
+            bs_code, bs_tail = 0x7, (bs - 1).to_bytes(2, "big")
+    sr_code = _RATE_CODES.get(sample_rate)
+    sr_tail = b""
+    if sr_code is None:
+        if sample_rate % 1000 == 0 and sample_rate // 1000 < 256:
+            sr_code, sr_tail = 0xC, bytes([sample_rate // 1000])
+        elif sample_rate < 65536:
+            sr_code, sr_tail = 0xD, sample_rate.to_bytes(2, "big")
+        elif sample_rate % 10 == 0 and sample_rate // 10 < 65536:
+            sr_code, sr_tail = 0xE, (sample_rate // 10).to_bytes(2, "big")
+        else:
+            raise ValueError(f"sample rate {sample_rate} not encodable")
+    hdr.append((bs_code << 4) | sr_code)
+    ch_code = {
+        "independent": n_ch - 1, "left_side": _CH_LEFT_SIDE,
+        "right_side": _CH_RIGHT_SIDE, "mid_side": _CH_MID_SIDE,
+    }[stereo_mode]
+    ss_code = _SIZE_CODES[bits]
+    hdr.append((ch_code << 4) | (ss_code << 1))
+    hdr += _encode_coded_number(frame_no)
+    hdr += bs_tail + sr_tail
+    hdr.append(_crc8(bytes(hdr)))
+
+    if stereo_mode == "independent":
+        chans = [(block[:, c], bits) for c in range(n_ch)]
+    else:
+        left = block[:, 0]
+        right = block[:, 1]
+        side = left - right
+        if stereo_mode == "left_side":
+            chans = [(left, bits), (side, bits + 1)]
+        elif stereo_mode == "right_side":
+            chans = [(side, bits + 1), (right, bits)]
+        else:  # mid_side
+            mid = (left + right) >> 1
+            chans = [(mid, bits), (side, bits + 1)]
+
+    bw = _BitWriter()
+    for chan, bps in chans:
+        _encode_subframe(bw, chan, bps, strategy, partition_order,
+                         force_escape)
+    bw.align()
+    body = bytes(hdr) + bw.bytes()
+    return body + _crc16(body).to_bytes(2, "big")

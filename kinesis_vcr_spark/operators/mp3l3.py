@@ -352,8 +352,12 @@ def read_scalefacs_lsf(br, g):
             for _ in range(part):
                 vals.append(br.read(sl) if sl else 0)
                 bits += sl
-        # first partition covers the long bands of the mixed head
-        n_long = nr[0]
+        # LSF mixed blocks ALWAYS have exactly 6 long bands (ISO
+        # 13818-3 / ffmpeg): the nr partitions only group slen widths,
+        # so for blocknumber 2 nr[0]=15 is a partition size, NOT the
+        # long-band count. Fill sf_long[0:6], then band-major into the
+        # short bands starting at band 3.
+        n_long = 6
         for b in range(n_long):
             sf_long[b] = vals[b]
         for i, v in enumerate(vals[n_long:][:27]):

@@ -362,7 +362,9 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
     synthesis); Layer III decodes (MPEG-1 and MPEG-2 LSF) when the
     stream's Huffman tables are among the validated set — gated-table
     streams (typical music bitrates) and AAC stay the soundfile/
-    ffmpeg slot with the parsed stream shape in the error."""
+    ffmpeg slot with the parsed stream shape in the error. FLAC
+    decodes for real (operators/flac.py, r13) with the STREAMINFO
+    PCM-MD5 self-check enforced."""
     import io
     import wave
 
@@ -381,6 +383,23 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
             n_frames, n_channels, samples = decode(payload)
             mean = (
                 float(np.abs(samples.astype(np.float64)).mean() / 32768.0)
+                if samples.size
+                else 0.0
+            )
+            return {"width": n_frames, "height": n_channels,
+                    "mean_value": mean}
+        if payload[:4] == b"fLaC":
+            # FLAC (r13): full in-repo decode, self-validated — the
+            # STREAMINFO MD5 of the decoded PCM is enforced, so every
+            # real-world file checks its own decoder
+            from kinesis_vcr_spark.operators.flac import (  # noqa: PLC0415
+                decode_flac,
+            )
+
+            n_frames, n_channels, _sr, bits, samples = decode_flac(payload)
+            full = float(1 << (bits - 1))
+            mean = (
+                float(np.abs(samples.astype(np.float64)).mean() / full)
                 if samples.size
                 else 0.0
             )

@@ -144,6 +144,7 @@ def llm_prep_corpus(
     near_dup: str = "verified",
     text_col: str | None = None,
     near_dup_candidate_budget: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """The whole training-data preparation flow in one call — the
     integration the pillar operators exist for (r07 verdict item 5).
@@ -282,11 +283,22 @@ def llm_prep_corpus(
         # URL window + digest group-min), so persist the survivor set
         # while the breaker + band join + verify consumers run —
         # without it the count pass re-executes the whole upstream.
-        src = (
-            exact_kept.persist()
-            if near_dup_candidate_budget is not None
-            else exact_kept
-        )
+        #
+        # LIFETIME (r13, ADVICE): the persisted survivor set also
+        # feeds the returned plan's LAZY consumers (band join, verify,
+        # the s2 status joins), so it cannot be unpersisted here — the
+        # cache is CALLER-OWNED and lives until the caller's actions
+        # on the returned DataFrame finish. Pass ``cache_registry`` (a
+        # list) to receive the persisted DataFrame and call
+        # ``.unpersist()`` when done; without it the cache is released
+        # only at session end (fine for one-shot query runs, not for
+        # long-lived sessions that keep re-running with an armed
+        # budget).
+        src = exact_kept
+        if near_dup_candidate_budget is not None:
+            src = exact_kept.persist()
+            if cache_registry is not None:
+                cache_registry.append(src)
         pairs = near_dup_pairs_minhash(
             src, id_col, "__text",
             shingle_size=shingle_size, threshold=jaccard_threshold,

@@ -1024,8 +1024,10 @@ register(QuerySpec(
 DECONTAM_FUZZY_MOD = 50  # every 50th doc plays the benchmark set
 
 
-#: planted leaked copies get doc_id + this offset and a light edit
-DECONTAM_FUZZY_OFFSET = 1_000_000
+#: planted leaked copies get doc_id + (max(doc_id) + 1) and a light
+#: edit — the offset is DERIVED from the fixture's id space, not a
+#: fixed constant, so leaked ids can never collide with real ids at
+#: any sf (sf100's ~3.75 M real docs would have overrun a fixed 1 M)
 DECONTAM_FUZZY_EDIT = " plus a small trailing edit"
 
 
@@ -1041,9 +1043,12 @@ def decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_vcr_spark.operators.decontam import fuzzy_contamination
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # bounded scalar (one column max, answered from parquet stats):
+    # the planted-leak id offset must clear the fixture's id space
+    offset = docs.agg(F.max("doc_id")).first()[0] + 1
     bench = docs.where(F.pmod("doc_id", F.lit(DECONTAM_FUZZY_MOD)) == 0)
     leaked = bench.select(
-        (F.col("doc_id") + F.lit(DECONTAM_FUZZY_OFFSET)).alias("doc_id"),
+        (F.col("doc_id") + F.lit(offset)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(DECONTAM_FUZZY_EDIT)).alias("text"),
     )
     corpus = docs.where(
@@ -1056,13 +1061,15 @@ def decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DECONTAM_FUZZY_SQL = f"""
-WITH corpus AS (
+WITH off AS (
+  SELECT max(doc_id) + 1 AS o FROM documents
+), corpus AS (
   SELECT doc_id, text FROM documents
   WHERE doc_id % {DECONTAM_FUZZY_MOD} != 0
   UNION ALL
-  SELECT doc_id + {DECONTAM_FUZZY_OFFSET},
+  SELECT d.doc_id + off.o,
          text || '{DECONTAM_FUZZY_EDIT}'
-  FROM documents WHERE doc_id % {DECONTAM_FUZZY_MOD} = 0
+  FROM documents d, off WHERE d.doc_id % {DECONTAM_FUZZY_MOD} = 0
 ), toks AS (
   SELECT doc_id, string_split(text, ' ') AS t
   FROM (SELECT doc_id, text FROM corpus
@@ -1081,9 +1088,9 @@ WITH corpus AS (
             - len(list_intersect(c.shingles, b.shingles))) AS j
   FROM sh c JOIN sh b
     ON (c.doc_id % {DECONTAM_FUZZY_MOD} != 0
-        OR c.doc_id >= {DECONTAM_FUZZY_OFFSET})
+        OR c.doc_id >= (SELECT o FROM off))
    AND b.doc_id % {DECONTAM_FUZZY_MOD} = 0
-   AND b.doc_id < {DECONTAM_FUZZY_OFFSET}
+   AND b.doc_id < (SELECT o FROM off)
   WHERE CAST(len(list_intersect(c.shingles, b.shingles)) AS DOUBLE)
         / (len(c.shingles) + len(b.shingles)
            - len(list_intersect(c.shingles, b.shingles))) >= {J_THRESHOLD}

@@ -54,11 +54,22 @@ def make_entries(payloads: Iterable[bytes]) -> list[dict]:
     ]
 
 
+def entry_bytes(entries: Iterable[dict]) -> int:
+    """Bytes a PutRecords call counts toward the 1 MB/s/shard ingest
+    limit: data PLUS the UTF-8 partition key (AWS counts both), so the
+    pacing bucket must budget both or actual egress exceeds the rate."""
+    return sum(
+        len(e["Data"]) + len(e["PartitionKey"].encode("utf-8"))
+        for e in entries
+    )
+
+
 def put_with_retry(
     put_records: Callable[..., dict],
     stream_name: str,
     entries: list[dict],
     budget_seconds: float = PUT_RETRY_BUDGET_SECONDS,
+    bucket=None,
 ) -> int:
     """Submit one batch, retrying only the failed entries with backoff.
 
@@ -66,11 +77,19 @@ def put_with_retry(
     landed, the still-pending count when the budget ran out (the
     reference logs and gives up, KinesisPlayer.java:122-155 — here the
     count is surfaced so replay() can report it, A3).
+
+    ``bucket`` (optional token bucket): retried subsets are RE-SENT
+    bytes on the wire, so each retry re-acquires tokens for the
+    still-pending entries — the caller acquires for the first attempt.
     """
     pending = entries
+    first_attempt = True
 
     def attempt():
-        nonlocal pending
+        nonlocal pending, first_attempt
+        if not first_attempt and bucket is not None:
+            bucket.acquire(entry_bytes(pending))
+        first_attempt = False
         resp = put_records(StreamName=stream_name, Records=pending)
         if resp.get("FailedRecordCount", 0):
             failed = [
@@ -138,10 +157,13 @@ def kinesis_partition_writer(
         payloads = (row["data"] for row in rows)
         failed = 0
         for batch in iter_batches(payloads, max_count, max_bytes):
+            entries = make_entries(batch)
             if bucket is not None:
-                bucket.acquire(sum(len(p) for p in batch))
+                # budget data + partition-key bytes (what AWS counts);
+                # put_with_retry re-acquires for retried subsets
+                bucket.acquire(entry_bytes(entries))
             failed += put_with_retry(
-                put, stream_name, make_entries(batch), budget_seconds
+                put, stream_name, entries, budget_seconds, bucket=bucket
             )
         return failed
 

@@ -57,21 +57,23 @@ def test_decontam_fuzzy_recovers_every_planted_leak(spark, sf_dir):
     for); exact n-gram decontam semantics are untouched."""
     from kinesis_vcr_spark.queries.dedup import (
         DECONTAM_FUZZY_MOD,
-        DECONTAM_FUZZY_OFFSET,
         J_THRESHOLD,
         decontam_fuzzy,
     )
     from kinesis_vcr_spark.tables import load_table
 
     got = {r["doc_id"]: r for r in decontam_fuzzy(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    # the planted-leak offset is derived (max(doc_id) + 1), never a
+    # fixed constant that a large-sf id space could overrun
+    offset = docs.agg(F.max("doc_id")).first()[0] + 1
     bench_ids = [
         r["doc_id"]
-        for r in load_table(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % DECONTAM_FUZZY_MOD == 0)
+        for r in docs.where(F.col("doc_id") % DECONTAM_FUZZY_MOD == 0)
         .select("doc_id").collect()
     ]
     assert bench_ids
     for b in bench_ids:
-        leaked = b + DECONTAM_FUZZY_OFFSET
+        leaked = b + offset
         assert leaked in got, f"planted leak {leaked} missed"
         assert got[leaked]["max_jaccard"] >= J_THRESHOLD

@@ -508,3 +508,45 @@ def test_lsf_scalefac_slen_decomposition():
     # short blocks: 36 scalefactors (12 bands x 3 windows)
     g, bits = run(17, short=True)  # slen = (0,1,0,1): 9*0+9*1+9*0+9*1
     assert bits == 18
+
+
+def test_lsf_mixed_block_long_band_count_is_6():
+    """ISO 13818-3 / ffmpeg: LSF mixed blocks ALWAYS have exactly 6
+    long bands; the nr partitions only group slen widths. For
+    blocknumber 2 (sc >= 500) nr[0] = 15 is a partition SIZE — a
+    decoder that assigns the first 15 values to long bands would pass
+    the bit-accounting canary while producing silently wrong PCM, so
+    the value LAYOUT must be pinned, not just the bit count."""
+    from kinesis_vcr_spark.operators.mp3 import _BitReader
+    from kinesis_vcr_spark.operators.mp3l3 import read_scalefacs_lsf
+
+    def run(sc):
+        g = {
+            "scalefac_compress": sc,
+            "window_switching": 1,
+            "block_type": 2,
+            "mixed_block": 1,
+            "preflag": 0,
+        }
+        # all-ones bitstream: every nonzero-slen scalefactor reads as
+        # the all-ones value for its width
+        br = _BitReader(bytes([0xFF]) * 64)
+        return read_scalefacs_lsf(br, g)
+
+    # blocknumber 2 mixed: sc = 504 -> slen = (1, 1, 0, 0),
+    # nr = (15, 18) -> 33 one-bit values, all equal to 1
+    sfl, sfs, bits = run(504)
+    assert bits == 33
+    assert sfl[:6] == [1] * 6          # exactly 6 long bands filled
+    assert sfl[6:] == [0] * 16         # NOT 15 — bands 6..14 stay 0
+    for b in range(13):
+        expect = 1 if 3 <= b <= 11 else 0   # 27 vals = bands 3..11
+        assert sfs[b] == [expect] * 3, (b, sfs[b])
+    # blocknumber 0 mixed: sc = 17 -> slen = (0, 1, 0, 1),
+    # nr = (6, 9, 9, 9): long bands read slen 0 -> zeros; the 9+9+9
+    # short values split slen (1, 0, 1) by partition
+    sfl, sfs, bits = run(17)
+    assert bits == 9 + 9
+    assert sfl == [0] * 22
+    flat = [sfs[3 + i // 3][i % 3] for i in range(27)]
+    assert flat == [1] * 9 + [0] * 9 + [1] * 9

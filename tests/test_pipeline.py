@@ -110,3 +110,39 @@ def test_llm_prep_invalid_rows_labeled_and_quarantined(spark):
     assert got[2][0] == STATUS_INVALID and got[2][1] == "-"
     assert got[1][0] == STATUS_KEPT and got[1][1] in ("train", "val", "test")
     assert got[3][0] == STATUS_KEPT
+
+
+def test_llm_prep_cache_registry_hands_over_persisted_survivors(spark):
+    """When the candidate budget is armed, the exact-dedup survivor
+    set is persisted for the breaker + lazy consumers; the cache is
+    CALLER-OWNED (it feeds the returned plan), so ``cache_registry``
+    must receive the persisted DataFrame for the caller to unpersist
+    after its actions finish (r13 ADVICE: never leak the cache for
+    the rest of a long-lived session)."""
+    from kinesis_vcr_spark.operators.pipeline import llm_prep_corpus
+
+    wrap = "<p>" + GOOD + "</p>"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, url=f"https://a.com/{i}", html=wrap)
+         for i in range(4)],
+        "doc_id bigint, url string, html string",
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=99, html="<p>benchmark page about nothing shared</p>")],
+        "doc_id bigint, html string",
+    )
+    registry: list = []
+    out = llm_prep_corpus(
+        docs, bench, near_dup_candidate_budget=1_000_000,
+        cache_registry=registry,
+    )
+    assert len(registry) == 1
+    cached = registry[0]
+    assert cached.storageLevel.useMemory  # persisted, caller-owned
+    out.collect()
+    cached.unpersist()
+    assert not cached.storageLevel.useMemory
+    # unarmed budget: nothing persisted, registry untouched
+    registry2: list = []
+    llm_prep_corpus(docs, bench, cache_registry=registry2).collect()
+    assert registry2 == []

@@ -87,9 +87,11 @@ def test_per_writer_rate_matches_estimate_arithmetic():
 
 
 def test_paced_kinesis_writer_end_to_end():
-    """The writer acquires each batch's BYTE size before the put: with
-    a virtual clock, delivering 3 MB at 1 MB/s sleeps ~2 s total (the
-    first MB rides the burst), and everything is delivered."""
+    """The writer acquires each batch's WIRE byte size (data + UTF-8
+    partition key — what AWS counts toward 1 MB/s/shard) before the
+    put: with a virtual clock, delivering 3 MB of data at 1 MB/s
+    sleeps ~2 s total plus the key overhead (the first MB rides the
+    burst), and everything is delivered."""
     from kinesis_vcr_spark.sinks.kinesis import kinesis_partition_writer
 
     vc = VirtualClock()
@@ -109,4 +111,61 @@ def test_paced_kinesis_writer_end_to_end():
     failed = writer(iter(rows))
     assert failed == 0
     assert len(delivered) == 30
-    assert vc.t == pytest.approx(2.0)  # (3 MB - 1 MB burst) / 1 MB/s
+    # wire bytes = 3 MB data + 30 UUID keys (36 B each), minus 1 MB burst
+    key_bytes = sum(len(e["PartitionKey"].encode()) for e in delivered)
+    assert key_bytes == 30 * 36
+    assert vc.t == pytest.approx((3_000_000 + key_bytes - 1_000_000) / 1e6)
+
+
+def test_entry_bytes_counts_data_plus_key():
+    from kinesis_vcr_spark.sinks.kinesis import entry_bytes
+
+    entries = [
+        {"Data": b"abc", "PartitionKey": "k1"},
+        {"Data": b"", "PartitionKey": "é"},  # 2-byte UTF-8 key
+    ]
+    assert entry_bytes(entries) == (3 + 2) + (0 + 2)
+
+
+def test_retry_reacquires_tokens_for_resent_subset():
+    """Records retried inside put_with_retry are re-sent on the wire,
+    so each retry must re-acquire tokens for the still-pending subset
+    — otherwise actual egress exceeds the per-writer budget under
+    ProvisionedThroughputExceeded storms (the exact condition pacing
+    exists to avoid)."""
+    from kinesis_vcr_spark.sinks.kinesis import (
+        entry_bytes,
+        put_with_retry,
+    )
+
+    vc = VirtualClock()
+    bucket = TokenBucket(1000.0, clock=vc.clock, sleep=vc.sleep)
+    entries = [
+        {"Data": b"a" * 500, "PartitionKey": "k1"},
+        {"Data": b"b" * 300, "PartitionKey": "k2"},
+    ]
+    calls = []
+
+    def flaky_put(StreamName, Records):
+        calls.append(list(Records))
+        if len(calls) == 1:
+            # second record fails -> retried alone
+            return {
+                "FailedRecordCount": 1,
+                "Records": [{}, {"ErrorCode": "InternalFailure"}],
+            }
+        return {"FailedRecordCount": 0, "Records": [{} for _ in Records]}
+
+    # caller acquires for the first attempt (mirrors the writer)
+    bucket.acquire(entry_bytes(entries))
+    failed = put_with_retry(
+        flaky_put, "s", entries, budget_seconds=30.0, bucket=bucket
+    )
+    assert failed == 0
+    assert [len(c) for c in calls] == [2, 1]
+    # total minted tokens = first attempt (804) + retried subset (302);
+    # bucket capacity 1000 covers the burst, the rest is slept
+    resent = entry_bytes([entries[1]])
+    assert resent == 302
+    expected_wait = (entry_bytes(entries) + resent - 1000) / 1000.0
+    assert bucket.total_slept == pytest.approx(expected_wait)
