@@ -121,6 +121,14 @@ def fuzzy_contamination(
         near_dup_pairs_minhash_bipartite,
     )
 
+    if id_col not in bench.columns:
+        # withColumnRenamed silently no-ops on a missing column and
+        # the failure would surface as an unresolved-column error deep
+        # inside the banding plan — fail at the contract boundary
+        raise ValueError(
+            f"bench must carry the same id column {id_col!r} "
+            f"(has {bench.columns})"
+        )
     pairs = near_dup_pairs_minhash_bipartite(
         docs,
         bench.select(F.col("*")).withColumnRenamed(id_col, "__bench_id"),
@@ -139,3 +147,28 @@ def fuzzy_contamination(
             F.round(F.max("jaccard"), 6).alias("max_jaccard"),
         )
     )
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Return ``docs`` minus fuzzy-contaminated rows — the production
+    keep-verb mirroring :func:`decontaminate` (r13, VERDICT r12 item
+    4): the :func:`fuzzy_contamination` report names the docs to drop,
+    and an ANTI-join on the flagged ids preserves the full input
+    schema. Scale shape: the report's flagged set is
+    contamination-sized (≪ corpus), so AQE broadcasts the anti-join
+    side and the corpus is scanned once without a shuffle."""
+    flagged = fuzzy_contamination(
+        docs, bench, id_col, text_col,
+        shingle_size=shingle_size, threshold=threshold,
+        num_hashes=num_hashes, bands=bands,
+    ).select(id_col)
+    return docs.join(flagged, on=id_col, how="left_anti")

@@ -99,16 +99,39 @@ def assign_centroid(vec, centroids: np.ndarray):
     return nearest(vec)
 
 
-def probe_centroids(vec, centroids: np.ndarray, nprobe: int):
-    """Array of the ``nprobe`` nearest centroid ids per query vector."""
+def probe_centroids(vec, centroids: np.ndarray, nprobe: int,
+                    ring_margin: float = 0.0):
+    """Array of the ``nprobe`` nearest centroid ids per query vector.
+
+    ``ring_margin`` (r13, VERDICT r12 item 2 — multi-probe): also
+    include every centroid whose cosine to the query is within
+    ``ring_margin`` of the ``nprobe``-th nearest. A trained coarse
+    router sometimes splits one tight cluster across two lists; a
+    query near that boundary then sees both centroids at nearly the
+    same similarity, and a FIXED nprobe cut drops the twin list — the
+    exact failure behind the IVF-PQ 0.9781 strict-recall residual
+    (BASELINE r12 addendum 1). The ring is data-adaptive: far from
+    any boundary it adds nothing (probe count stays nprobe); on a
+    straddle it picks up precisely the tied lists. Probe count stays
+    ≤ k_centroids, so the candidate bound Θ(nq·n·probes/k_centroids)
+    and the partition-pruning contract are unchanged in shape."""
     cmat = centroids.T
 
     @pandas_udf("array<int>")
     def probes(vecs: pd.Series) -> pd.Series:
         mat = _normalize_rows(np.vstack(vecs.to_numpy()).astype(np.float64))
         sims = mat @ cmat
-        order = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
-        return pd.Series(list(order))
+        order = np.argsort(-sims, axis=1)
+        if ring_margin <= 0.0:
+            return pd.Series(list(order[:, :nprobe].astype(np.int32)))
+        out = []
+        for i in range(len(mat)):
+            row = order[i]
+            srow = sims[i, row]  # descending
+            cut = srow[min(nprobe, len(row)) - 1] - ring_margin
+            n_take = int(np.searchsorted(-srow, -cut, side="right"))
+            out.append(row[:max(nprobe, n_take)].astype(np.int32))
+        return pd.Series(out)
 
     return probes(vec)
 
@@ -124,6 +147,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     exclude_self: bool = True,
     centroids: np.ndarray | None = None,
+    ring_margin: float = 0.0,
 ) -> DataFrame:
     """IVF ANN top-k: probe the ``nprobe`` nearest inverted lists per
     query, exact-cosine-rank within the candidates. Same output shape
@@ -146,7 +170,8 @@ def ivf_topk(
         F.col(query_id_col),
         unit_double(F.col(vec_col)).alias("__q_unit"),
         F.explode(
-            probe_centroids(F.col(vec_col), centroids, nprobe)
+            probe_centroids(F.col(vec_col), centroids, nprobe,
+                            ring_margin)
         ).alias("cid"),
     )
     cand = q.join(v, "cid")
@@ -310,6 +335,7 @@ def ivf_topk_indexed(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     exclude_self: bool = True,
+    ring_margin: float = 0.0,
 ) -> DataFrame:
     """ANN top-k against a persisted index (:func:`build_ivf_index` /
     :func:`load_ivf_index`) — no training, no re-assignment; the
@@ -320,7 +346,8 @@ def ivf_topk_indexed(
         F.col(query_id_col),
         unit_double(F.col(vec_col)).alias("__q_unit"),
         F.explode(
-            probe_centroids(F.col(vec_col), centroids, nprobe)
+            probe_centroids(F.col(vec_col), centroids, nprobe,
+                            ring_margin)
         ).alias("cid"),
     )
     cand = q.join(lists, "cid")

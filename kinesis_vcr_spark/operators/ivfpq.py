@@ -241,9 +241,14 @@ def ivfpq_topk(
     shortlist: int | None = None,
     rerank_vec_col: str = "embedding",
     exclude_self: bool = False,
+    ring_margin: float = 0.0,
 ) -> DataFrame:
     """Approximate top-k over the IVF-PQ index: each query scans ONLY
-    its nprobe nearest lists. Returns (query_id, vec_id, adc_sim) on
+    its nprobe nearest lists (plus the multi-probe ring when
+    ``ring_margin`` > 0 — see ``ivf.probe_centroids``: centroids tied
+    with the nprobe-th within the margin are probed too, closing the
+    strict-recall residual when the trained router splits a cluster
+    across lists). Returns (query_id, vec_id, adc_sim) on
     the skew-safe two-phase top-k.
 
     **Exact re-rank** (``rerank_vectors`` — the FAISS-refine second
@@ -273,7 +278,8 @@ def ivfpq_topk(
         F.col(query_id_col).alias("query_id"),
         unit_double(F.col(query_vec_col)).alias("__q_unit"),
         F.explode(
-            probe_centroids(F.col(query_vec_col), centroids, nprobe)
+            probe_centroids(F.col(query_vec_col), centroids, nprobe,
+                            ring_margin)
         ).alias("cid"),
     )
     probed = sorted(
@@ -455,6 +461,7 @@ def ivfpq_topk_indexed(
     shortlist: int | None = None,
     rerank_vec_col: str = "embedding",
     exclude_self: bool = False,
+    ring_margin: float = 0.0,
 ) -> DataFrame:
     """Top-k against a persisted index — no training, no re-encode;
     the ``cid isin(probed)`` filter prunes the scan to the probed
@@ -472,5 +479,6 @@ def ivfpq_topk_indexed(
         query_id_col=query_id_col, query_vec_col=query_vec_col,
         id_col=id_col, rerank_vectors=rerank_vectors,
         shortlist=shortlist, rerank_vec_col=rerank_vec_col,
+        ring_margin=ring_margin,
         exclude_self=exclude_self,
     )

@@ -935,9 +935,16 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_pairs_minhash,
     )
 
+    # persist the 3-column projection: its lineage (scan + the
+    # quality expression) feeds AT LEAST four consumers — the shingle
+    # sides a/b inside the LSH verify join, the component label join,
+    # and the winner join — the exact multiplicative-recompute trap
+    # measured at 2.5x on the manifold re-rank row (BASELINE r12
+    # addendum 8; r12 verdict What's-wrong item 1). sf1 re-pin in
+    # BASELINE r13 addenda.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", quality_score(F.col("text")).alias("q")
-    )
+    ).persist()
     pairs = near_dup_pairs_minhash(
         docs, "doc_id", "text", shingle_size=3, num_hashes=64, bands=16,
         threshold=J_THRESHOLD,

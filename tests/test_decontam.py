@@ -77,3 +77,30 @@ def test_decontam_fuzzy_recovers_every_planted_leak(spark, sf_dir):
         leaked = b + offset
         assert leaked in got, f"planted leak {leaked} missed"
         assert got[leaked]["max_jaccard"] >= J_THRESHOLD
+
+
+def test_decontaminate_fuzzy_keep_verb(spark):
+    """The production keep-verb: flagged near-dups of the benchmark
+    are dropped with the full input schema preserved; clean docs and
+    intra-corpus near-dups (not benchmark-related) survive."""
+    from pyspark.sql import Row
+
+    from kinesis_vcr_spark.operators.decontam import decontaminate_fuzzy
+
+    bench_text = ("what is the capital of france the capital of "
+                  "france is paris a city on the seine " * 3)
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text=bench_text + " plus a light paste edit",
+            source="crawl"),
+        Row(doc_id=2, text="completely unrelated document about spark "
+                           "shuffle planning and exchanges " * 4,
+            source="crawl"),
+        Row(doc_id=3, text="completely unrelated document about spark "
+                           "shuffle planning and exchanges with an edit " * 4,
+            source="books"),
+    ])
+    bench = spark.createDataFrame([Row(doc_id=100, text=bench_text)])
+    kept = decontaminate_fuzzy(corpus, bench, "doc_id", "text",
+                               threshold=0.6)
+    assert kept.columns == ["doc_id", "text", "source"]
+    assert {r["doc_id"] for r in kept.collect()} == {2, 3}
