@@ -48,6 +48,70 @@ ADTS_PROFILES = ("AAC Main", "AAC LC", "AAC SSR", "AAC LTP")
 _AAC_OTI = {0x40: "aac", 0x66: "aac", 0x67: "aac", 0x68: "aac"}
 
 
+#: AOT → human profile name (ISO 14496-3 table 1.17, the common ones)
+_AOT_NAMES = {
+    1: "AAC Main", 2: "AAC LC", 3: "AAC SSR", 4: "AAC LTP",
+    5: "SBR", 23: "ER AAC LD", 29: "PS", 39: "ELD",
+}
+
+
+def parse_audio_specific_config(data: bytes) -> dict[str, Any]:
+    """Full AudioSpecificConfig parse (ISO 14496-3 §1.6.2.1) — the
+    extension bits the r12 tier walked past (r13, VERDICT r12 item 7):
+    audioObjectType (with the 31+6-bit escape), samplingFrequencyIndex
+    (with the 15 → explicit-24-bit escape), channelConfiguration, and
+    the HIERARCHICAL HE signaling — AOT 5 (SBR, HE-AAC) / 29 (PS,
+    HE-AACv2) carry an extensionSamplingFrequencyIndex and the base
+    object type follows, so crawl audio stats can distinguish LC from
+    HE profiles and report the post-SBR output rate. (ADTS cannot
+    signal HE in its 2-bit profile field — implicit SBR there is
+    detectable only by decoding; documented boundary.)"""
+    from kinesis_vcr_spark.operators.mp3 import _BitReader  # noqa: PLC0415
+
+    br = _BitReader(data)
+
+    def read_aot() -> int:
+        aot = br.read(5)
+        if aot == 31:
+            aot = 32 + br.read(6)
+        return aot
+
+    def read_rate() -> int:
+        idx = br.read(4)
+        if idx == 15:
+            return br.read(24)
+        rate = ADTS_SAMPLE_RATES[idx]
+        if rate is None:
+            raise ValueError(f"reserved samplingFrequencyIndex {idx}")
+        return rate
+
+    aot = read_aot()
+    rate = read_rate()
+    chan = br.read(4)
+    out: dict[str, Any] = {
+        "audio_object_type": aot,
+        "base_object_type": aot,
+        "sampling_rate": rate,
+        "channel_configuration": chan,
+        "sbr": False,
+        "ps": False,
+        "extension_sampling_rate": None,
+    }
+    if aot in (5, 29):
+        out["sbr"] = True
+        out["ps"] = aot == 29
+        out["extension_sampling_rate"] = read_rate()
+        out["base_object_type"] = read_aot()
+    base = out["base_object_type"]
+    if aot == 5:
+        out["profile"] = "HE-AAC"
+    elif aot == 29:
+        out["profile"] = "HE-AACv2"
+    else:
+        out["profile"] = _AOT_NAMES.get(base, f"AOT {base}")
+    return out
+
+
 def is_adts(payload: bytes) -> bool:
     """True iff the payload starts at an ADTS sync: 12-bit 0xFFF plus
     layer bits '00' (MPEG audio frames use layer 01/10/11 there, so
@@ -206,9 +270,12 @@ def _parse_esds(payload: bytes, start: int, end: int) -> dict[str, Any]:
     # DecoderSpecificInfo (AudioSpecificConfig) is optional
     q2 = p2 + 13
     if q2 < e2:
-        tag, p3, _ = read_descr(q2)
+        tag, p3, e3 = read_descr(q2)
         if tag == 0x05 and p3 < end:
-            out["audio_object_type"] = (payload[p3] >> 3) & 0x1F
+            # full ASC parse (r13): AOT escapes, rate escapes, and the
+            # AOT-5/29 HE extension (SBR/PS + extension rate)
+            out["asc"] = parse_audio_specific_config(payload[p3:e3])
+            out["audio_object_type"] = out["asc"]["audio_object_type"]
     return out
 
 
@@ -267,6 +334,10 @@ def m4a_info(payload: bytes) -> dict[str, Any]:
             "duration_s": round(duration / timescale, 6),
             "timescale": timescale,
             "audio_object_type": None,
+            "profile": None,
+            "sbr": False,
+            "ps": False,
+            "extension_sampling_rate": None,
         }
         if fourcc == b"mp4a":
             esds = _find_box(payload, eb + 28, ee, b"esds")
@@ -275,6 +346,17 @@ def m4a_info(payload: bytes) -> dict[str, Any]:
                 oti = info["object_type_indication"]
                 out["codec"] = _AAC_OTI.get(oti, f"oti_{oti:#x}")
                 out["audio_object_type"] = info.get("audio_object_type")
+                asc = info.get("asc")
+                if asc is not None:
+                    # HE profiles (r13): surface SBR/PS and the
+                    # post-SBR output rate so crawl stats distinguish
+                    # LC from HE without decoding
+                    out["profile"] = asc["profile"]
+                    out["sbr"] = asc["sbr"]
+                    out["ps"] = asc["ps"]
+                    out["extension_sampling_rate"] = (
+                        asc["extension_sampling_rate"]
+                    )
         return out
     raise ValueError("MP4 has no audio (soun) track")
 

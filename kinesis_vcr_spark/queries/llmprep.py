@@ -318,6 +318,10 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_leakage_report,
     )
 
+    # NOT persisted (r13, measured): the report reads this from ~18
+    # plan branches, but each is codegen ticket/shingle arithmetic
+    # over a pruned scan — persisting measured 3.46 -> 7.5 s med at
+    # sf0.1 (InMemoryRelation barrier > re-scan). See BASELINE r13.
     docs = train_val_test_split(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         ["doc_id"],

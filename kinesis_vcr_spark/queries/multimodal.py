@@ -413,3 +413,109 @@ register(
         "the exact oracle: per-source record/byte/digest accounting",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# FLAC under the exact oracle (E108, r13)
+# ---------------------------------------------------------------------------
+
+FLAC_A, FLAC_B, FLAC_MOD = 7919, 104729, 65536  # closed-form PCM rule
+FLAC_N_BASE, FLAC_N_MOD = 64, 37
+
+
+def multimodal_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAC decoder (operators/flac.py, E108) under the exact
+    value oracle, the ``multimodal_real_codec_features`` pattern: every
+    document becomes a deterministic mono 16-bit PCM stream by a
+    closed-form rule both engines can evaluate —
+    ``s_i = (doc_id·7919 + i·104729) mod 65536 − 32768`` for
+    ``i < 64 + doc_id mod 37`` — which the Spark side ENCODES with the
+    spec-rule encoder and DECODES with the real FLAC decoder (Rice
+    residuals, CRC-8/16, and the STREAMINFO PCM-MD5 enforced) inside
+    one Arrow batch, while the oracle computes the identical stats
+    straight from the rule. A single wrong decoded sample flips the
+    MD5 check (raise) or the mean (hash mismatch) — the decode chain
+    has nowhere to hide.
+
+    Exactness: the |sample| sum is an integer (exact in float64), /n
+    is the same IEEE division on both engines, /32768 is a
+    power-of-two scale — bit-identical doubles before the 6-dp round.
+    Plan: one pruned scan → ONE ArrowEvalPython stage (encode+decode
+    per batch; numpy PCM synthesis, pure-Python codec) → presentation
+    sort. No join, no aggregate; decode parallelism = input splits."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import (  # noqa: PLC0415
+        PandasUDFType,
+        pandas_udf,
+    )
+
+    # explicit functionType: `from __future__ import annotations`
+    # stringifies hints, which the decorator form cannot resolve here
+    # (pd is function-local) — same pattern as bench.py's warm-up UDF
+    def flac_roundtrip_fn(doc_ids):
+        from kinesis_vcr_spark.operators.flac import (  # noqa: PLC0415
+            decode_flac,
+            encode_flac,
+        )
+
+        ns, means = [], []
+        for did in doc_ids.to_numpy():
+            n = FLAC_N_BASE + int(did) % FLAC_N_MOD
+            i = np.arange(n, dtype=np.int64)
+            pcm = (int(did) * FLAC_A + i * FLAC_B) % FLAC_MOD - 32768
+            payload = encode_flac(pcm[:, None], 8000, bits=16,
+                                  block_size=256)
+            n_out, ch, _sr, _bits, out = decode_flac(payload)  # MD5 enforced
+            assert ch == 1
+            ns.append(n_out)
+            means.append(float(np.abs(out).mean()) / 32768.0)
+        return pd.DataFrame({"n_samples": ns, "mean_value": means})
+
+    flac_roundtrip = pandas_udf(
+        flac_roundtrip_fn,
+        "struct<n_samples: bigint, mean_value: double>",
+        PandasUDFType.SCALAR,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", flac_roundtrip(F.col("doc_id")).alias("r"))
+        .select(
+            "doc_id",
+            F.col("r.n_samples").alias("n_samples"),
+            # round JVM-side so both engines apply their SQL round to
+            # the same exact double (Python round is half-to-even)
+            F.round(F.col("r.mean_value"), 6).alias("mean_value"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+FLAC_FEATURES_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         {FLAC_N_BASE} + doc_id % {FLAC_N_MOD} AS n,
+         list_transform(range(0, {FLAC_N_BASE} + doc_id % {FLAC_N_MOD}),
+             i -> abs((doc_id * {FLAC_A} + i * {FLAC_B}) % {FLAC_MOD}
+                      - 32768)) AS a
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       round(CAST(list_reduce(a, (x, y) -> x + y) AS DOUBLE) / n / 32768,
+             6) AS mean_value
+FROM s ORDER BY doc_id
+"""
+
+
+register(
+    QuerySpec(
+        "multimodal_flac_features",
+        multimodal_flac_features,
+        FLAC_FEATURES_SQL,
+        "REAL FLAC codec under the exact oracle: closed-form PCM "
+        "encoded by the spec-rule encoder, decoded by the real "
+        "decoder with the STREAMINFO MD5 enforced",
+    )
+)

@@ -208,3 +208,131 @@ def test_feature_path_quarantines_aac(spark):
     }
     assert rows[1]["width"] is None and rows[2]["width"] is None
     assert rows[1]["payload_bytes"] == 57
+
+
+# ---------------------------------------------------------------------------
+# AudioSpecificConfig extension parse — HE-AAC detection (r13, item 7)
+# ---------------------------------------------------------------------------
+
+
+def _bits(*fields) -> bytes:
+    """Pack (value, width) fields MSB-first, zero-padded to bytes."""
+    acc, n = 0, 0
+    for v, w in fields:
+        acc = (acc << w) | v
+        n += w
+    pad = (-n) % 8
+    return ((acc << pad)).to_bytes((n + pad) // 8, "big")
+
+
+def _esds_asc(asc: bytes, oti: int = 0x40) -> bytes:
+    dsi = bytes([0x05, len(asc)]) + asc
+    dcd_body = bytes([oti, 0x15]) + b"\x00" * 11 + dsi
+    dcd = bytes([0x04, len(dcd_body)]) + dcd_body
+    es_body = b"\x00\x01" + b"\x00" + dcd
+    es = bytes([0x03, len(es_body)]) + es_body
+    return _box(b"esds", b"\x00\x00\x00\x00" + es)
+
+
+def test_asc_plain_lc():
+    from kinesis_vcr_spark.operators.aac import parse_audio_specific_config
+
+    got = parse_audio_specific_config(bytes([0x12, 0x10]))  # canonical
+    assert got["audio_object_type"] == 2
+    assert got["base_object_type"] == 2
+    assert got["sampling_rate"] == 44100
+    assert got["channel_configuration"] == 2
+    assert got["profile"] == "AAC LC"
+    assert not got["sbr"] and not got["ps"]
+    assert got["extension_sampling_rate"] is None
+
+
+def test_asc_he_aac_sbr():
+    """AOT 5 (SBR): core rate + extension (post-SBR) rate + base AOT."""
+    from kinesis_vcr_spark.operators.aac import parse_audio_specific_config
+
+    asc = _bits((5, 5), (7, 4), (2, 4), (4, 4), (2, 5))
+    got = parse_audio_specific_config(asc)
+    assert got["audio_object_type"] == 5
+    assert got["base_object_type"] == 2
+    assert got["sampling_rate"] == 22050
+    assert got["extension_sampling_rate"] == 44100
+    assert got["profile"] == "HE-AAC"
+    assert got["sbr"] and not got["ps"]
+
+
+def test_asc_he_aac_v2_ps():
+    from kinesis_vcr_spark.operators.aac import parse_audio_specific_config
+
+    asc = _bits((29, 5), (7, 4), (1, 4), (4, 4), (2, 5))
+    got = parse_audio_specific_config(asc)
+    assert got["profile"] == "HE-AACv2"
+    assert got["sbr"] and got["ps"]
+    assert got["extension_sampling_rate"] == 44100
+
+
+def test_asc_escapes():
+    """AOT 31+escape and samplingFrequencyIndex 15 + explicit 24-bit."""
+    from kinesis_vcr_spark.operators.aac import parse_audio_specific_config
+
+    asc = _bits((31, 5), (34 - 32, 6), (15, 4), (12345, 24), (1, 4))
+    got = parse_audio_specific_config(asc)
+    assert got["audio_object_type"] == 34
+    assert got["sampling_rate"] == 12345
+    assert got["channel_configuration"] == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="reserved"):
+        parse_audio_specific_config(_bits((2, 5), (13, 4), (2, 4)))
+
+
+def _m4a_with_esds(esds: bytes, channels: int = 2,
+                   rate: int = 22050) -> bytes:
+    """_m4a with a caller-supplied esds box (all box sizes rebuilt)."""
+    mp4a_body = (
+        b"\x00" * 6 + (1).to_bytes(2, "big")
+        + b"\x00" * 8
+        + channels.to_bytes(2, "big")
+        + (16).to_bytes(2, "big")
+        + b"\x00" * 4
+        + (rate << 16).to_bytes(4, "big")
+        + esds
+    )
+    stsd = _box(
+        b"stsd", b"\x00\x00\x00\x00" + (1).to_bytes(4, "big")
+        + _box(b"mp4a", mp4a_body)
+    )
+    stbl = _box(b"stbl", stsd)
+    minf = _box(b"minf", stbl)
+    mdhd = _box(
+        b"mdhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + (22050).to_bytes(4, "big") + (220500).to_bytes(4, "big")
+        + b"\x00" * 4,
+    )
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12 + b"\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    moov = _box(b"moov", _box(b"trak", mdia))
+    ftyp = _box(b"ftyp", b"M4A " + b"\x00\x00\x00\x00" + b"isom")
+    return ftyp + moov
+
+
+def test_m4a_reports_he_profile():
+    """The MP4 tier distinguishes LC from HE without decoding: an
+    HE-AAC esds reports profile/sbr/ps + the post-SBR output rate;
+    the plain LC path now reports its profile too."""
+    he_asc = _bits((5, 5), (7, 4), (2, 4), (4, 4), (2, 5))
+    info = m4a_info(_m4a_with_esds(_esds_asc(he_asc)))
+    assert info["codec"] == "aac"
+    assert info["profile"] == "HE-AAC"
+    assert info["sbr"] and not info["ps"]
+    assert info["extension_sampling_rate"] == 44100
+    assert info["audio_object_type"] == 5
+
+    v2_asc = _bits((29, 5), (7, 4), (1, 4), (4, 4), (2, 5))
+    info2 = m4a_info(_m4a_with_esds(_esds_asc(v2_asc), channels=1))
+    assert info2["profile"] == "HE-AACv2"
+    assert info2["sbr"] and info2["ps"]
+
+    info_lc = m4a_info(_m4a())
+    assert info_lc["profile"] == "AAC LC"
+    assert not info_lc["sbr"] and info_lc["extension_sampling_rate"] is None

@@ -639,3 +639,21 @@ def test_decontam_fuzzy_benchmark_side_is_small(spark, sf_dir):
     plan = _formatted_plan(decontam_fuzzy(spark, sf_dir))
     assert "BatchEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_heavy_multi_consumer_queries_cache_shared_lineage(spark, sf_dir):
+    """Recompute lint pins (r13, VERDICT r12 item 3): the registry
+    rows whose shared projection feeds ≥3 downstream joins/actions
+    must carry an InMemoryRelation in the optimized plan — the trap
+    measured at 1.75-3× when unpersisted (BASELINE r12 addendum 8,
+    r13 re-pins). tools/lint_recompute.py is the generic sweep; these
+    pins keep the known-heavy rows from regressing."""
+    from kinesis_vcr_spark.queries.dedup import dedup_keep_best
+    from kinesis_vcr_spark.queries.similarity import (
+        similarity_pq_manifold_rerank,
+    )
+
+    for fn in (dedup_keep_best, similarity_pq_manifold_rerank):
+        plan = fn(spark, sf_dir)._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        assert "InMemoryRelation" in plan, fn.__name__
