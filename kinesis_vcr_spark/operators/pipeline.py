@@ -69,6 +69,12 @@ def clean_corpus(
     # the semi-join shape re-executed the whole upstream once per join
     # side in every downstream consumer (llm_prep_pipeline 5.2 s →
     # 30 s median from that multiplicative recompute alone).
+    # NOT persisted (r13, measured A/B at sf1): here exact_kept sits
+    # above only the raw scan + one map-side-combinable group-min —
+    # persisting measured 10.7 -> 11.6 s med (the materialization
+    # barrier loses). Contrast llm_prep_corpus below, where the same
+    # frame sits above HTML extract + the URL window and the persist
+    # measured 32.6 -> 15.8 s med (BASELINE r13 addendum 2).
     exact_kept = dedup_exact(docs, [text_col], id_col)
     exact_winners = exact_kept.select(id_col).withColumn(
         "__exact_keep", F.lit(True)
@@ -294,11 +300,15 @@ def llm_prep_corpus(
         # only at session end (fine for one-shot query runs, not for
         # long-lived sessions that keep re-running with an armed
         # budget).
-        src = exact_kept
-        if near_dup_candidate_budget is not None:
-            src = exact_kept.persist()
-            if cache_registry is not None:
-                cache_registry.append(src)
+        # r13: persist unconditionally — the survivor set's lineage
+        # (extraction + URL window + digest group-min) feeds the band
+        # join, the verify join's both sides and the s2 status joins
+        # even when no budget is armed: measured A/B at sf1, the
+        # persist takes llm_prep_pipeline 32.6 -> 15.8 s med (2.06x;
+        # BASELINE r13 addendum 2). Same caller-owned lifetime.
+        src = exact_kept.persist()
+        if cache_registry is not None:
+            cache_registry.append(src)
         pairs = near_dup_pairs_minhash(
             src, id_col, "__text",
             shingle_size=shingle_size, threshold=jaccard_threshold,
