@@ -491,3 +491,71 @@ register(
         "strict-recall collapse — exact within-cluster top-5 oracle",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# distributed covariance audit (operators/pca.py)
+# ---------------------------------------------------------------------------
+
+COV_DIM = 64
+COV_TOP_K = 15
+COV_SCALE = 1_000_000
+
+
+def embedding_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 strongest off-diagonal covariances between embedding
+    dimensions — the distributed ``Xᵀ X`` reduction behind PCA/OPQ
+    preprocessing (operators/pca.py). Exact int64 accumulation of
+    1e6-quantized components makes the covariance bit-deterministic
+    across partitionings, so a float-pipeline reduction hash-matches
+    the single-threaded DuckDB oracle."""
+    from kinesis_vcr_spark.operators.pca import covariance_topk  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_topk(
+        emb, "embedding", dim=COV_DIM, k=COV_TOP_K, scale=COV_SCALE
+    )
+
+
+EMBEDDING_COVARIANCE_SQL = f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {COV_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+), nn AS (
+  SELECT COUNT(*) AS n FROM q
+), sums AS (
+  SELECT ii.range AS i, SUM(qv[ii.range]) AS s
+  FROM q, range(1, {COV_DIM} + 1) AS ii
+  GROUP BY ii.range
+), prods AS (
+  SELECT ii.range AS i, jj.range AS j, SUM(qv[ii.range] * qv[jj.range]) AS s_ij
+  FROM q, range(1, {COV_DIM} + 1) AS ii, range(1, {COV_DIM} + 1) AS jj
+  WHERE ii.range < jj.range
+  GROUP BY ii.range, jj.range
+), cov AS (
+  SELECT p.i, p.j,
+         round((CAST(p.s_ij AS DOUBLE)
+                - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE)
+                  / CAST(nn.n AS DOUBLE))
+               / CAST(nn.n AS DOUBLE)
+               / ({COV_SCALE}.0 * {COV_SCALE}.0), 9) AS cov
+  FROM prods p
+  CROSS JOIN nn
+  JOIN sums si ON si.i = p.i
+  JOIN sums sj ON sj.i = p.j
+)
+SELECT i, j, cov FROM cov
+ORDER BY abs(cov) DESC, i, j
+LIMIT {COV_TOP_K}
+"""
+
+register(
+    QuerySpec(
+        "embedding_covariance_topk",
+        embedding_covariance_topk,
+        EMBEDDING_COVARIANCE_SQL,
+        "distributed d×d Gram reduction (PCA/OPQ preprocessing): "
+        "strongest cross-dimension covariances, exact-int accumulation",
+    )
+)
