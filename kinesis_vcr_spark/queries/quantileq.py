@@ -1395,3 +1395,69 @@ register(QuerySpec("price_quantile_sketch", price_quantile_sketch,
                    "mergeable quantile sketch audit: deterministic "
                    "bottom-k ticket sample estimates vs exact discrete "
                    "quantiles, est values oracle-checked bit-for-bit"))
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity privacy profile (operators/kanon.py)
+# ---------------------------------------------------------------------------
+
+KANON_KS = (2, 5, 10, 25)
+KANON_BAL_WIDTH = 1000.0
+
+
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk ladder on customer quasi-identifiers
+    (nation × market segment × $1000 balance bracket): per k, the rows
+    living in QI-groups smaller than k — what suppression would have to
+    drop before the table is k-anonymous. One QI hash-agg + a single-row
+    global agg (operators/kanon.py)."""
+    from kinesis_vcr_spark.operators.kanon import (  # noqa: PLC0415
+        generalize_numeric,
+        k_anonymity_profile,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        generalize_numeric("c_acctbal", KANON_BAL_WIDTH).alias("bal_bracket"),
+    )
+    return k_anonymity_profile(
+        cust, ["c_nationkey", "c_mktsegment", "bal_bracket"], ks=KANON_KS
+    ).orderBy("k")
+
+
+KANON_SQL = f"""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / {KANON_BAL_WIDTH}) AS BIGINT) AS bal_bracket
+  FROM customer
+), sizes AS (
+  SELECT c_nationkey, c_mktsegment, bal_bracket,
+         CAST(count(*) AS BIGINT) AS group_size
+  FROM qi GROUP BY 1, 2, 3
+), ks(k) AS (
+  SELECT * FROM (VALUES {', '.join(f'({k})' for k in KANON_KS)})
+), tot AS (
+  SELECT CAST(sum(group_size) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(min(group_size) AS BIGINT) AS min_group_size
+  FROM sizes
+)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       tot.n_rows, tot.n_groups, tot.min_group_size,
+       CAST(sum(CASE WHEN s.group_size < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below,
+       CAST(sum(CASE WHEN s.group_size < ks.k THEN s.group_size ELSE 0 END)
+            AS BIGINT) AS rows_below,
+       round(CAST(sum(CASE WHEN s.group_size < ks.k THEN s.group_size
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(tot.n_rows AS DOUBLE), 6) AS pct_rows_below
+FROM sizes s CROSS JOIN ks CROSS JOIN tot
+GROUP BY ks.k, tot.n_rows, tot.n_groups, tot.min_group_size
+ORDER BY k
+"""
+
+
+register(QuerySpec("customer_k_anonymity", customer_k_anonymity, KANON_SQL,
+                   "privacy governance: k-anonymity risk ladder over "
+                   "customer quasi-identifiers, one QI hash-agg"))
