@@ -333,3 +333,66 @@ register(QuerySpec(
     "embedding_quantize_error", embedding_quantize_error, QUANTIZE_SQL,
     "int8 min-max embedding quantization: per-label reconstruction error",
 ))
+
+
+# ---------------------------------------------------------------------------
+# cross-document n-gram novelty (operators/novelty.py)
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 3
+
+
+def corpus_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: what share of each source's distinct
+    word trigrams were corpus-firsts in its own docs (first_seen =
+    min doc_id). Template/mirror-heavy sources sink toward the
+    duplicate floor; the explode→min-reduce→join-back shape is
+    operators/novelty.py (persisted single explode, integer-exact
+    ratios)."""
+    from kinesis_vcr_spark.operators.novelty import novelty_by_group  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return novelty_by_group(docs, "source", n=NOVELTY_N).orderBy("source")
+
+
+NOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         -- list_slice clamps at the array end, so docs with < 3 tokens
+         -- yield one whole-text shingle, mirroring word_shingles
+         list_distinct(list_transform(
+             range(1, greatest(len(t) - {NOVELTY_N - 1}, 1) + 1),
+             i -> array_to_string(list_slice(t, i, i + {NOVELTY_N - 1}), ' ')))
+           AS shingles
+  FROM toks
+), edges AS (
+  SELECT doc_id, source, unnest(shingles) AS shingle FROM sh
+), first_seen AS (
+  SELECT shingle, min(doc_id) AS first_seen FROM edges GROUP BY shingle
+)
+SELECT e.source,
+       CAST(count(DISTINCT e.doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN f.first_seen = e.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS novel_ngrams,
+       CAST(count(*) AS BIGINT) AS total_ngrams,
+       round(CAST(sum(CASE WHEN f.first_seen = e.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM edges e JOIN first_seen f ON e.shingle = f.shingle
+GROUP BY e.source
+ORDER BY e.source
+"""
+
+
+register(
+    QuerySpec(
+        "corpus_novelty_by_source",
+        corpus_novelty_by_source,
+        NOVELTY_SQL,
+        "cross-doc n-gram novelty rollup: share of corpus-first "
+        "trigrams per source — boilerplate/mirror detector",
+    )
+)
