@@ -657,3 +657,41 @@ def test_heavy_multi_consumer_queries_cache_shared_lineage(spark, sf_dir):
         plan = fn(spark, sf_dir)._jdf.queryExecution() \
             .optimizedPlan().toString()
         assert "InMemoryRelation" in plan, fn.__name__
+
+
+def test_covariance_row_constant_size_reduction(spark, sf_dir):
+    """embedding_covariance_topk: one Arrow stage emits the integer
+    Gram partials; the only wide exchange carries <= d(d+1)/2 keys and
+    the d-row sums join by broadcast — the corpus never shuffles."""
+    from kinesis_vcr_spark.queries.similarity import embedding_covariance_topk
+
+    plan = _formatted_plan(embedding_covariance_topk(spark, sf_dir))
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan      # no row-at-a-time Python
+    assert "BroadcastExchange" in plan        # d-row sums join
+    assert "SortMergeJoin" not in plan        # nothing big ever joins
+
+
+def test_kanon_row_single_reduction_no_join(spark, sf_dir):
+    """customer_k_anonymity: QI hash-agg + single-row global agg +
+    ladder posexplode — no join, no window, no Python stage."""
+    from kinesis_vcr_spark.queries.quantileq import customer_k_anonymity
+
+    plan = _formatted_plan(customer_k_anonymity(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_novelty_row_persists_single_explode(spark, sf_dir):
+    """corpus_novelty_by_source: the shingle explode feeds both the
+    first-seen reduce and the join-back — it must be persisted (the
+    recompute discipline) and stay pure JVM."""
+    from kinesis_vcr_spark.queries.corpusprep import corpus_novelty_by_source
+
+    df = corpus_novelty_by_source(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in opt
+    plan = _formatted_plan(df)
+    assert "EvalPython" not in plan
