@@ -1,0 +1,146 @@
+"""operators/opq.py — parametric OPQ rotation for product quantization."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_vcr_spark.operators.opq import (
+    balanced_assignment,
+    opq_rotation,
+    rotate_vectors,
+    second_moment,
+)
+from kinesis_vcr_spark.tables import load_table
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.orderBy("vec_id").collect()
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def test_second_moment_matches_numpy(emb, emb_np):
+    got = second_moment(emb, dim=DIM)
+    q = (np.sign(emb_np) * np.floor(np.abs(emb_np) * 1_000_000 + 0.5)) / 1e6
+    want = q.T @ q / q.shape[0]
+    assert got == pytest.approx(want, abs=1e-12)
+    assert got == pytest.approx(got.T)  # symmetric
+
+
+def test_balanced_assignment_properties():
+    eig = np.array([100.0, 50.0, 10.0, 8.0, 4.0, 2.0, 1.0, 0.5])
+    perm = balanced_assignment(eig, m=2)
+    assert sorted(perm) == list(range(8))
+    blocks = [perm[:4], perm[4:]]
+    prods = [float(np.sum(np.log(eig[b]))) for b in blocks]
+    # balanced split beats the contiguous split by construction
+    contiguous = [
+        float(np.sum(np.log(eig[:4]))),
+        float(np.sum(np.log(eig[4:]))),
+    ]
+    assert abs(prods[0] - prods[1]) < abs(contiguous[0] - contiguous[1])
+    # largest eigenvalue lands in block 0 (deterministic tie rule)
+    assert 0 in list(blocks[0])
+    # deterministic
+    assert list(perm) == list(balanced_assignment(eig, m=2))
+
+
+def test_balanced_assignment_rejects_indivisible():
+    with pytest.raises(ValueError, match="not divisible"):
+        balanced_assignment(np.ones(7), m=2)
+
+
+def test_rotation_is_orthonormal_and_preserves_inner_products(emb, emb_np):
+    rot = opq_rotation(emb, dim=DIM, m=8)
+    assert rot.shape == (DIM, DIM)
+    assert rot @ rot.T == pytest.approx(np.eye(DIM), abs=1e-9)
+    df = rotate_vectors(emb, rot, "embedding", "rotated")
+    rows = df.orderBy("vec_id").limit(10).collect()
+    for r in rows:
+        x = np.array(r["embedding"], dtype=np.float64)
+        y = np.array(r["rotated"], dtype=np.float64)
+        assert y == pytest.approx(rot @ x, abs=1e-9)
+        assert float(y @ y) == pytest.approx(float(x @ x), rel=1e-9)
+    # cross inner products preserved
+    a0 = np.array(rows[0]["embedding"]); b0 = np.array(rows[1]["embedding"])
+    a1 = np.array(rows[0]["rotated"]); b1 = np.array(rows[1]["rotated"])
+    assert float(a1 @ b1) == pytest.approx(float(a0 @ b0), rel=1e-9)
+
+
+def test_rotation_deterministic_across_partitionings(emb):
+    r1 = opq_rotation(emb, dim=DIM, m=8)
+    r2 = opq_rotation(emb.repartition(7), dim=DIM, m=8)
+    assert np.array_equal(r1, r2)  # exact-int Gram ⇒ bit-identical fit
+
+
+def test_rotation_reduces_pq_reconstruction_error(spark, emb, emb_np):
+    """The OPQ objective itself: quantize → decode → measure MSE on
+    UNIT vectors (the space pq.py actually codes). The decorrelated,
+    variance-balanced basis must not be worse than raw coordinate
+    blocks. Measured sf0.1 end-to-end numbers (ADC recall/distortion)
+    live in tools/opq_recall.py + BASELINE r13."""
+    from kinesis_vcr_spark.operators.pq import pq_decode, train_pq
+    from kinesis_vcr_spark.operators.pq import _encode_batch  # noqa: PLC2701
+
+    def unit(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    def mse(corpus_df, vec_col):
+        cb = train_pq(corpus_df, m=8, ksub=16, vec_col=vec_col,
+                      refine_iterations=1)
+        rows = corpus_df.orderBy("vec_id").collect()
+        mat = unit(np.array([r[vec_col] for r in rows], dtype=np.float64))
+        codes = _encode_batch(mat, cb)
+        rec = pq_decode(codes, cb)
+        return float(np.mean(np.sum((mat - rec) ** 2, axis=1)))
+
+    # Null case: the near-random fixture has ≈ nothing to decorrelate —
+    # the rotation must at least do no meaningful harm (measured +0.8%
+    # at sf0.001; the structured-space wins are the next assertion and
+    # the sf0.1 ADC numbers in BASELINE r13 / tools/opq_recall.py).
+    plain = mse(emb, "embedding")
+    rot = opq_rotation(emb, dim=DIM, m=8)
+    rotated_df = rotate_vectors(emb, rot, "embedding", "rotated")
+    rotated = mse(rotated_df, "rotated")
+    assert rotated <= plain * 1.02
+
+    # Structured case — where the OPQ claim is structural, not
+    # statistical: deterministic low-rank factor data (4 strong
+    # correlated factors spread across ALL coordinate blocks + small
+    # deterministic residual). Raw coordinate blocks each see a mix of
+    # strong factors they can't code independently; the rotated,
+    # variance-balanced basis must quantize strictly better.
+    n = 512
+    t = np.arange(n, dtype=np.float64)
+    factors = np.stack(
+        [np.sin(0.1 * t + p) for p in (0.0, 1.0, 2.0, 3.0)], axis=1
+    )
+    mix = np.array(
+        [[np.cos(0.37 * (k + 1) * (f + 1)) for k in range(DIM)]
+         for f in range(4)]
+    )  # 4 × DIM, dense: every block sees every factor
+    resid = 0.05 * np.cos(
+        0.01 * np.outer(t + 1, np.arange(1, DIM + 1))
+    )
+    x = factors @ mix + resid
+    corr = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    plain_c = mse(corr, "embedding")
+    rot_c = opq_rotation(corr, dim=DIM, m=8)
+    rotated_c = mse(
+        rotate_vectors(corr, rot_c, "embedding", "rotated"), "rotated"
+    )
+    assert rotated_c < plain_c
