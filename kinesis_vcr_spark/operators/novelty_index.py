@@ -157,6 +157,80 @@ def update_novelty_index(
     )
 
 
+def build_novelty_bloom(
+    stored: DataFrame, m_bits: int = 2**20, n_hashes: int = 7
+) -> DataFrame:
+    """Bloom filter OF the stored shingle vocabulary — the constant-
+    memory probe path when the exact index outgrows a join side (a
+    100 TB corpus's trigram vocabulary is billions of rows; the filter
+    is ≤ m/32 words broadcast to the batch scan, zero shuffle of
+    anything). Built distributed via operators/bloom.py's portable
+    sparse filter; merge daily increments with ``bloom_merge``."""
+    from kinesis_vcr_spark.operators.bloom import bloom_build  # noqa: PLC0415
+
+    return bloom_build(
+        stored.select("shingle"), "shingle", m_bits=m_bits, n_hashes=n_hashes
+    )
+
+
+def novelty_against_bloom(
+    bloom: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 2**20,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """Approximate batch novelty with ONE-SIDED error: the Bloom probe
+    has no false negatives, so an indexed shingle never counts as novel
+    — ``novel_ngrams`` is an UNDERESTIMATE (definitely-novel only) and
+    ``novelty`` a lower bound, with expected relative shortfall ≈ the
+    filter's FP rate (<1% at the classic 10 bits/key, h=7). The exact
+    join path (:func:`novelty_against_index`) remains the oracle; this
+    is the same exact-vs-sketch pairing as decontam_bloom vs
+    decontam_ngram_overlap (E66/E28)."""
+    from kinesis_vcr_spark.operators.bloom import bloom_probe  # noqa: PLC0415
+
+    edges = shingle_edges(batch, id_col, text_col, n).persist()
+    batch_first = ngram_first_seen(edges, id_col).withColumnRenamed(
+        "first_seen", "batch_first"
+    )
+    probed = bloom_probe(
+        edges,
+        "shingle",
+        bloom,
+        m_bits=m_bits,
+        n_hashes=n_hashes,
+        flag_col="maybe_member",
+        group_cols=[id_col, "shingle"],
+    )
+    flagged = probed.join(batch_first, "shingle").withColumn(
+        "_novel",
+        (
+            (~F.col("maybe_member"))
+            & (F.col("batch_first") == F.col(id_col))
+        ).cast("int"),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("total_ngrams"),
+            F.sum("_novel").cast("long").alias("novel_ngrams"),
+        )
+        .select(
+            id_col,
+            "total_ngrams",
+            "novel_ngrams",
+            F.round(
+                F.col("novel_ngrams").cast("double")
+                / F.col("total_ngrams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
 def compact_novelty_index(spark: SparkSession, index_path: str) -> None:
     """Rewrite the appended shingle table as one compact generation
     (same pattern as compact_near_dup_index): day-sized appends
@@ -178,9 +252,11 @@ def compact_novelty_index(spark: SparkSession, index_path: str) -> None:
 
 
 __all__ = [
+    "build_novelty_bloom",
     "build_novelty_index",
     "compact_novelty_index",
     "load_novelty_index",
+    "novelty_against_bloom",
     "novelty_against_index",
     "update_novelty_index",
 ]

@@ -114,3 +114,39 @@ def test_compact_preserves_content(spark, tmp_path, split_docs):
     assert before == after
     # probing still works against the compacted generation
     assert novelty_against_index(spark, idx, new.limit(0)).count() == 0
+
+
+def test_bloom_probe_is_one_sided_and_tight(spark, sf_dir, tmp_path, split_docs):
+    """Bloom novelty: never OVER-counts (no false negatives in the
+    filter => an indexed shingle can't look novel), and at the classic
+    10 bits/key sizing the shortfall vs exact stays within a few
+    percent of each doc's novel count."""
+    from kinesis_vcr_spark.operators.novelty_index import (
+        build_novelty_bloom,
+        novelty_against_bloom,
+    )
+
+    old, new = split_docs
+    idx = str(tmp_path / "nidx")
+    build_novelty_index(old, idx)
+    exact = {
+        r["doc_id"]: r
+        for r in novelty_against_index(spark, idx, new).collect()
+    }
+    bloom = build_novelty_bloom(load_novelty_index(spark, idx)).persist()
+    approx = {
+        r["doc_id"]: r
+        for r in novelty_against_bloom(bloom, new).collect()
+    }
+    assert set(approx) == set(exact)
+    total_exact = total_approx = 0
+    for doc_id, e in exact.items():
+        a = approx[doc_id]
+        assert a["total_ngrams"] == e["total_ngrams"]
+        assert a["novel_ngrams"] <= e["novel_ngrams"]  # one-sided
+        total_exact += e["novel_ngrams"]
+        total_approx += a["novel_ngrams"]
+    # aggregate shortfall bounded by a generous multiple of the ~<1%
+    # design FP rate (fixture vocab is far under capacity)
+    assert total_approx >= 0.95 * total_exact
+    bloom.unpersist()
