@@ -206,3 +206,73 @@ register(QuerySpec("conversion_funnel", conversion_funnel, FUNNEL_SQL,
 register(QuerySpec("events_rolling_7d", events_rolling_7d, ROLLING_SQL,
                    "7-day rolling event volume via RANGE window"))
 
+
+
+# ---------------------------------------------------------------------------
+# seasonal-baseline anomaly detection (operators/seasonal.py)
+# ---------------------------------------------------------------------------
+
+SEASONAL_TOP_K = 10
+
+
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10 most day-of-week-anomalous (event_type, day) cells:
+    daily exact-decimal totals vs the stratum's median baseline,
+    scaled by the stratum MAD (operators/seasonal.py). Day-of-week is
+    days-since-epoch mod 7 so both engines agree without touching
+    their dayofweek() conventions."""
+    from kinesis_vcr_spark.operators.seasonal import top_anomalies  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events")
+    out = top_anomalies(ev, ["event_type"], k=SEASONAL_TOP_K)
+    return out.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("dow").cast("long").alias("dow"),
+        "total",
+        "med",
+        "mad",
+        "dev",
+    )
+
+
+SEASONAL_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(round(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+  FROM events GROUP BY 1, 2
+), dowd AS (
+  SELECT *, date_diff('day', DATE '1970-01-01', d) % 7 AS dow FROM daily
+), med AS (
+  SELECT event_type, dow, round(quantile_cont(total, 0.5), 6) AS med
+  FROM dowd GROUP BY 1, 2
+), wm AS (
+  SELECT dowd.*, med.med FROM dowd
+  JOIN med ON dowd.event_type = med.event_type AND dowd.dow = med.dow
+), mad AS (
+  SELECT event_type, dow,
+         round(quantile_cont(abs(total - med), 0.5), 6) AS mad
+  FROM wm GROUP BY 1, 2
+), scored AS (
+  SELECT wm.event_type, strftime(wm.d, '%Y-%m-%d') AS day,
+         CAST(wm.dow AS BIGINT) AS dow, wm.total, wm.med, mad.mad,
+         CASE WHEN mad.mad > 0
+              THEN round((wm.total - wm.med) / mad.mad, 6) END AS dev
+  FROM wm JOIN mad ON wm.event_type = mad.event_type AND wm.dow = mad.dow
+)
+SELECT event_type, day, dow, total, med, mad, dev FROM scored
+WHERE dev IS NOT NULL
+ORDER BY abs(dev) DESC, event_type, day
+LIMIT {SEASONAL_TOP_K}
+"""
+
+
+register(
+    QuerySpec(
+        "events_seasonal_anomaly",
+        events_seasonal_anomaly,
+        SEASONAL_SQL,
+        "seasonal anomaly detection: per-stratum median/MAD deviation "
+        "of exact-decimal daily totals, engine-neutral day-of-week",
+    )
+)

@@ -695,3 +695,14 @@ def test_novelty_row_persists_single_explode(spark, sf_dir):
     assert "InMemoryRelation" in opt
     plan = _formatted_plan(df)
     assert "EvalPython" not in plan
+
+
+def test_seasonal_row_single_data_shuffle(spark, sf_dir):
+    """events_seasonal_anomaly: the daily agg is the only data-sized
+    exchange; the med/MAD joins ride small aggregated sides, nothing
+    crosses into Python."""
+    from kinesis_vcr_spark.queries.stats import events_seasonal_anomaly
+
+    plan = _formatted_plan(events_seasonal_anomaly(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "HashAggregate" in plan
