@@ -136,9 +136,149 @@ def rotate_vectors(
     return df.withColumn(out, rot(F.col(col)))
 
 
+def _cross_moment(
+    df: DataFrame,
+    rotation: np.ndarray,
+    codebook: np.ndarray,
+    col: str = "embedding",
+) -> np.ndarray:
+    """M = Σ x·x̂ᵀ over UNIT vectors x (original space) and their
+    quantized reconstructions x̂ = R⁻¹·decode(encode(R x)) pulled back
+    to the original space... equivalently, accumulate in ROTATED space
+    and conjugate: here we keep x in original coordinates and x̂R in
+    rotated coordinates, so M = Σ x·(decode(encode(R x)))ᵀ and the
+    Procrustes solve below yields the NEW rotation directly (no
+    pull-back needed). Distributed one-scan reduction: per Arrow batch
+    a d×d float partial, flattened to d² rows, summed by a tiny hash
+    agg. Float (not exact-int) on purpose — this is a FITTING
+    reduction like train_pq's Lloyd means, not an oracle surface."""
+    from kinesis_vcr_spark.operators.ivf import _normalize_rows  # noqa: PLC2701
+    from kinesis_vcr_spark.operators.pq import (  # noqa: PLC2701
+        _encode_batch,
+        pq_decode,
+    )
+
+    r = np.ascontiguousarray(rotation, dtype=np.float64)
+    cb = codebook
+    dim = r.shape[0]
+
+    def emit(batches):
+        for pdf in batches:
+            x = np.array(pdf[col].to_list(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            x = _normalize_rows(x)
+            y = x @ r.T  # rotated
+            rec = pq_decode(_encode_batch(y, cb), cb)
+            part = x.T @ rec  # d × d
+            iu, ju = np.meshgrid(range(dim), range(dim), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": iu.ravel(),
+                    "j": ju.ravel(),
+                    "v": part.ravel(),
+                }
+            )
+
+    rows = (
+        df.select(col)
+        .mapInPandas(emit, schema="i int, j int, v double")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    m_mat = np.zeros((dim, dim), dtype=np.float64)
+    for row in rows:
+        m_mat[row["i"], row["j"]] = row["v"]
+    return m_mat
+
+
+def quantization_mse(
+    df: DataFrame,
+    rotation: np.ndarray,
+    codebook: np.ndarray,
+    col: str = "embedding",
+) -> float:
+    """Mean ||R x − decode(encode(R x))||² over unit vectors — the OPQ
+    objective, measured distributed (one scan, scalar out)."""
+    from kinesis_vcr_spark.operators.ivf import _normalize_rows  # noqa: PLC2701
+    from kinesis_vcr_spark.operators.pq import (  # noqa: PLC2701
+        _encode_batch,
+        pq_decode,
+    )
+
+    r = np.ascontiguousarray(rotation, dtype=np.float64)
+    cb = codebook
+
+    def emit(batches):
+        for pdf in batches:
+            x = np.array(pdf[col].to_list(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            y = _normalize_rows(x) @ r.T
+            rec = pq_decode(_encode_batch(y, cb), cb)
+            err = np.sum((y - rec) ** 2, axis=1)
+            yield pd.DataFrame({"s": [float(err.sum())], "n": [len(err)]})
+
+    agg = (
+        df.select(col)
+        .mapInPandas(emit, schema="s double, n long")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .first()
+    )
+    return float(agg["s"]) / float(agg["n"]) if agg["n"] else 0.0
+
+
+def opq_refine(
+    df: DataFrame,
+    col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 3,
+    scale: int = DEFAULT_SCALE,
+    id_col: str = "vec_id",
+):
+    """Full (non-parametric) OPQ alternation, Ge et al. §3: starting
+    from the parametric rotation, alternate (a) fix R → retrain the PQ
+    codebook on the rotated data, (b) fix the codebook → update R by
+    orthogonal Procrustes against the reconstructions
+    (maximize tr(R·M), M = Σ x·x̂ᵀ ⇒ R = V·Uᵀ from M = U·S·Vᵀ).
+
+    Returns ``(rotation, codebook, mse_history)`` — a CONSISTENT pair:
+    the codebook was trained under the returned rotation, and
+    ``history[-1]`` is exactly that pair's objective. The Procrustes
+    update therefore runs at the TOP of iterations 2..n (against the
+    previous pair), never after the last retrain. History holds the
+    objective after each (a) step; callers assert/monitor descent.
+    Each iteration = two one-scan reductions + a driver-side d×d SVD;
+    the corpus never shuffles.
+    """
+    from kinesis_vcr_spark.operators.pq import train_pq  # noqa: PLC0415
+
+    r = opq_rotation(df, col, dim=dim, m=m, scale=scale)
+    history: list[float] = []
+    cb = None
+    for _ in range(iterations):
+        if cb is not None:
+            m_mat = _cross_moment(df, r, cb, col)
+            u, _, vt = np.linalg.svd(m_mat)
+            # maximize tr(R·M): R = V·Uᵀ (M = U S Vᵀ ⇒ R M = V S Vᵀ ⪰ 0)
+            r = vt.T @ u.T
+        rotated = rotate_vectors(df, r, col, "rotated")
+        cb = train_pq(
+            rotated, m=m, ksub=ksub, id_col=id_col, vec_col="rotated",
+            refine_iterations=1,
+        )
+        history.append(quantization_mse(df, r, cb, col))
+    return r, cb, history
+
+
 __all__ = [
     "balanced_assignment",
+    "opq_refine",
     "opq_rotation",
+    "quantization_mse",
     "rotate_vectors",
     "second_moment",
 ]

@@ -144,3 +144,19 @@ def test_rotation_reduces_pq_reconstruction_error(spark, emb, emb_np):
         rotate_vectors(corr, rot_c, "embedding", "rotated"), "rotated"
     )
     assert rotated_c < plain_c
+
+
+def test_opq_refine_descends_and_stays_orthogonal(spark, emb):
+    from kinesis_vcr_spark.operators.opq import opq_refine
+
+    r, cb, hist = opq_refine(emb, dim=DIM, m=8, ksub=16, iterations=3)
+    assert r.shape == (DIM, DIM)
+    assert r @ r.T == pytest.approx(np.eye(DIM), abs=1e-9)
+    assert cb is not None and cb.shape[0] == 8
+    assert len(hist) == 3
+    # alternation descends: each Procrustes step can only reduce the
+    # fixed-code objective, and the retrain can only reduce further —
+    # allow a whisker for the deterministic reseeding between rounds
+    for a, b in zip(hist, hist[1:]):
+        assert b <= a * 1.005
+    assert hist[-1] < hist[0]

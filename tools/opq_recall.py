@@ -145,10 +145,27 @@ def _space(spark, corpus, probes, man_k=None):
         "strict": _strict(exact5, rotated),
         "distortion": _distortion(rotated, exact_scores),
     }
+    rcorpus.unpersist()
+
+    # full alternation (opq_refine, 3 iterations) at the same settings
+    from kinesis_vcr_spark.operators.opq import opq_refine
+
+    rot_it, _, hist = opq_refine(
+        corpus, "embedding", dim=64, m=M, ksub=KSUB, iterations=3
+    )
+    icorpus = rotate_vectors(corpus, rot_it, "embedding", "rotated").persist()
+    iprobes = rotate_vectors(probes, rot_it, "embedding", "rotated")
+    refined = _run_variant(icorpus, iprobes, "rotated")
+    out["opq_it"] = {
+        "strict": _strict(exact5, refined),
+        "distortion": _distortion(refined, exact_scores),
+        "mse_history": [round(h, 6) for h in hist],
+    }
     if man_k:
         out["plain"]["cluster"] = _cluster(plain, man_k)
         out["opq"]["cluster"] = _cluster(rotated, man_k)
-    rcorpus.unpersist()
+        out["opq_it"]["cluster"] = _cluster(refined, man_k)
+    icorpus.unpersist()
     corpus.unpersist()
     probes.unpersist()
     return out
