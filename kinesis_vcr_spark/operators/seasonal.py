@@ -66,7 +66,14 @@ def seasonal_scores(
     stratum's MAD is 0 — a constant stratum has no scale to score
     against, and silently substituting an epsilon would rank its ties
     arbitrarily)."""
-    daily = daily_totals(events, key_cols, ts_col, value_col)
+    return scores_from_daily(daily_totals(events, key_cols, ts_col, value_col), key_cols)
+
+
+def scores_from_daily(daily: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """The seasonal med/MAD/dev stage over an already-built daily table
+    ``(keys…, d, dow, total)`` — split out so the streaming twin
+    (streaming/seasonalstream.py), which maintains daily totals as
+    mergeable state, scores with bit-identical arithmetic."""
     keys = list(key_cols)
     med = (
         daily.groupBy(*keys, "dow")
@@ -110,4 +117,9 @@ def top_anomalies(
     )
 
 
-__all__ = ["daily_totals", "seasonal_scores", "top_anomalies"]
+__all__ = [
+    "daily_totals",
+    "scores_from_daily",
+    "seasonal_scores",
+    "top_anomalies",
+]
