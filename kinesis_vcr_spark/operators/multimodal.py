@@ -427,6 +427,25 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
                 f"AAC audio ({shape}) decode requires soundfile/"
                 "ffmpeg; aac_info covers the metadata tier"
             ) from None
+        if payload[:4] == b"OggS":
+            # Ogg (r13): CRC-validated page walk + identification
+            # headers (operators/ogg.py). Ogg-FLAC decodes FOR REAL
+            # (native-stream reconstruction → decode_flac, MD5
+            # self-check inherited); Vorbis/Opus/Speex raise with the
+            # parsed shape — the AAC metadata-tier pattern
+            from kinesis_vcr_spark.operators.ogg import (  # noqa: PLC0415
+                decode_ogg,
+            )
+
+            n_frames, n_channels, _sr, bits, samples = decode_ogg(payload)
+            full = float(1 << (bits - 1))
+            mean = (
+                float(np.abs(samples.astype(np.float64)).mean() / full)
+                if samples.size
+                else 0.0
+            )
+            return {"width": n_frames, "height": n_channels,
+                    "mean_value": mean}
         if payload[:3] == b"ID3" or (len(payload) > 1
                                      and payload[0] == 0xFF
                                      and payload[1] & 0xE0 == 0xE0):
