@@ -525,6 +525,29 @@ def real_decode(kind: str, payload: bytes) -> dict[str, Any]:
         return decode_image(payload)
     if kind == "audio":
         return decode_audio(payload)
+    if kind == "video":
+        from kinesis_vcr_spark.operators.aac import is_mp4  # noqa: PLC0415
+
+        if is_mp4(payload):
+            # MP4 video: metadata tier (operators/mp4video.py) — the
+            # AAC pattern: parse the shape into the error; the H.264/
+            # HEVC payload decode stays the documented ffmpeg slot
+            from kinesis_vcr_spark.operators.mp4video import (  # noqa: PLC0415
+                mp4_video_info,
+            )
+
+            try:
+                info = mp4_video_info(payload)
+                shape = (
+                    f"{info['codec']}, {info['width']}x{info['height']}, "
+                    f"{info['n_frames']} frames, ~{info['duration_s']}s"
+                )
+            except ValueError:
+                shape = "unparseable MP4 video"
+            raise NotImplementedError(
+                f"MP4 video ({shape}) decode requires ffmpeg; "
+                "mp4_video_info covers the metadata tier"
+            ) from None
     raise NotImplementedError(f"no real codec for kind={kind!r} (needs ffmpeg)")
 
 
