@@ -548,6 +548,30 @@ def real_decode(kind: str, payload: bytes) -> dict[str, Any]:
                 f"MP4 video ({shape}) decode requires ffmpeg; "
                 "mp4_video_info covers the metadata tier"
             ) from None
+        if payload[:4] == b"\x1a\x45\xdf\xa3":
+            # WebM/Matroska: metadata tier (operators/webm.py)
+            from kinesis_vcr_spark.operators.webm import (  # noqa: PLC0415
+                webm_info,
+            )
+
+            try:
+                info = webm_info(payload)
+                vid = next(
+                    (t for t in info["tracks"] if t["type"] == "video"),
+                    None,
+                )
+                shape = (
+                    f"{vid['codec_id']}, {vid['width']}x{vid['height']}, "
+                    f"{vid['n_frames']} frames, ~{info['duration_s']}s"
+                    if vid
+                    else f"no video track, ~{info['duration_s']}s"
+                )
+            except ValueError:
+                shape = "unparseable WebM"
+            raise NotImplementedError(
+                f"WebM video ({shape}) decode requires ffmpeg; "
+                "webm_info covers the metadata tier"
+            ) from None
     raise NotImplementedError(f"no real codec for kind={kind!r} (needs ffmpeg)")
 
 
