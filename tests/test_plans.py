@@ -706,3 +706,18 @@ def test_seasonal_row_single_data_shuffle(spark, sf_dir):
     plan = _formatted_plan(events_seasonal_anomaly(spark, sf_dir))
     assert "EvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_container_stats_single_stage_no_shuffle(spark):
+    """container_stats is one narrow Arrow stage over the media scan:
+    exactly one Python eval (MapInPandas), zero Exchanges."""
+    from kinesis_vcr_spark.operators.mediainfo import container_stats
+    from kinesis_vcr_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(
+        [(1, "audio", b"RIFF\x00\x00\x00\x00WAVE", None)], MEDIA_SCHEMA
+    )
+    plan = _formatted_plan(container_stats(media))
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas (") == 1  # the tree's single node
+    assert "BatchEvalPython" not in plan
