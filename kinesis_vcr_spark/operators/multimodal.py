@@ -364,7 +364,9 @@ def decode_audio(payload: bytes) -> dict[str, Any]:
     streams (typical music bitrates) and AAC stay the soundfile/
     ffmpeg slot with the parsed stream shape in the error. FLAC
     decodes for real (operators/flac.py, r13) with the STREAMINFO
-    PCM-MD5 self-check enforced."""
+    PCM-MD5 self-check enforced; so does Ogg-FLAC (operators/ogg.py
+    native-stream reconstruction), while Ogg Vorbis/Opus/Speex raise
+    with the container-parsed shape."""
     import io
     import wave
 

@@ -221,3 +221,29 @@ def test_decode_audio_dispatches_ogg(native_flac):
 
     with pytest.raises(NotImplementedError, match="Ogg vorbis"):
         decode_audio(_vorbis_file())
+
+
+def test_crc_matches_independent_bitserial_implementation():
+    """Table-independent second validation source (the repo's codec
+    discipline): a straight bit-serial CRC from the RFC 3533 §6 rule
+    (poly 0x04C11DB7, init 0, no reflection, no final xor) must agree
+    with the table-driven walk on arbitrary pages."""
+    import random
+
+    from kinesis_vcr_spark.operators.ogg import ogg_page_crc
+
+    def bitserial(page: bytes) -> int:
+        data = page[:22] + b"\x00\x00\x00\x00" + page[26:]
+        crc = 0
+        for byte in data:
+            for bit in range(7, -1, -1):
+                top = (crc >> 31) & 1
+                crc = (crc << 1) & 0xFFFFFFFF
+                if top ^ ((byte >> bit) & 1):
+                    crc ^= 0x04C11DB7
+        return crc
+
+    rng = random.Random(20260816)
+    for size in (27, 60, 300):
+        page = bytes(rng.randrange(256) for _ in range(size))
+        assert ogg_page_crc(page) == bitserial(page)
