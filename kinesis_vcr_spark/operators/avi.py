@@ -52,10 +52,10 @@ def _walk_riff(payload: bytes, pos: int, end: int):
         pos = data_end + (size & 1)  # chunks are word-aligned
 
 
-def avi_frames(payload: bytes):
-    """Parse an AVI → (meta dict, list of raw frame byte strings for
-    the FIRST video stream). meta carries width/height (avih),
-    fps (strh rate/scale), codec (strh fourcc), n_frames."""
+def _scan(payload: bytes):
+    """RIFF walk → (meta, [(start, end), ...] spans of the first video
+    stream's frame chunks) — shared by avi_frames (materializes) and
+    avi_info (header-only)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI (bad RIFF signature)")
     meta = {"width": None, "height": None, "fps": None, "codec": None}
@@ -106,13 +106,25 @@ def avi_frames(payload: bytes):
     walk(12, len(payload))
     if meta["width"] is None:
         raise ValueError("AVI missing avih main header")
-    frames = [
-        payload[a:b]
-        for sno, a, b in data_chunks
-        if sno == video_stream_no
-    ]
-    meta["n_frames"] = len(frames)
-    return meta, frames
+    spans = [(a, b) for sno, a, b in data_chunks if sno == video_stream_no]
+    meta["n_frames"] = len(spans)
+    return meta, spans
+
+
+def avi_frames(payload: bytes):
+    """Parse an AVI → (meta dict, list of raw frame byte strings for
+    the FIRST video stream). meta carries width/height (avih),
+    fps (strh rate/scale), codec (strh fourcc), n_frames."""
+    meta, spans = _scan(payload)
+    return meta, [payload[a:b] for a, b in spans]
+
+
+def avi_info(payload: bytes) -> dict:
+    """Header-only metadata (the container_info path): the same walk
+    WITHOUT materializing frame bytes — a multi-GB payload costs the
+    chunk walk, not a second copy of every frame."""
+    meta, _spans = _scan(payload)
+    return meta
 
 
 def avi_decode_frames(payload: bytes, every_n: int = 1):

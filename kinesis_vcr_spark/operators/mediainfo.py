@@ -118,9 +118,9 @@ def container_info(payload: bytes) -> dict[str, Any]:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _wav_info(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        from kinesis_vcr_spark.operators.avi import avi_frames  # noqa: PLC0415
+        from kinesis_vcr_spark.operators.avi import avi_info  # noqa: PLC0415
 
-        meta, frames = avi_frames(payload)
+        meta = avi_info(payload)  # header-only: no frame materialization
         return dict(
             _NULLS,
             container="avi",

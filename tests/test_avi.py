@@ -175,3 +175,15 @@ def test_no_video_stream_yields_no_frames():
     meta, got = avi_frames(payload)
     assert got == []
     assert meta["n_frames"] == 0
+
+
+def test_avi_info_header_only_matches_frames_meta():
+    """avi_info (the container_info path) returns the same metadata as
+    the materializing walk, without slicing a single frame."""
+    from kinesis_vcr_spark.operators.avi import avi_info
+
+    payload = write_avi(_jpeg_frames(4), 16, 16, fps=30)
+    meta, frames = avi_frames(payload)
+    info = avi_info(payload)
+    assert info == meta
+    assert info["n_frames"] == len(frames) == 4
