@@ -168,6 +168,11 @@ def test_unknown_magic_raises():
 def test_container_stats_spark(spark):
     from kinesis_vcr_spark.operators.multimodal import MEDIA_SCHEMA
 
+    from tests.jpeg_ref import encode_jpeg
+    from tests.test_avi import write_avi
+
+    img = np.full((16, 16), 80, dtype=np.uint8)
+    avi = write_avi([encode_jpeg(img, quality_divisor=8)] * 3, 16, 16, fps=10)
     rows = [
         (1, "audio", _wav(), None),
         (2, "audio", _flac(), None),
@@ -176,12 +181,13 @@ def test_container_stats_spark(spark):
         (5, "audio", _m4a(), None),
         (6, "audio", b"garbage-bytes-here-not-a-container", None),
         (7, "audio", _adts(), None),
+        (8, "video", avi, None),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = container_stats(media)
     assert out.schema == CONTAINER_SCHEMA
     got = {r["media_id"]: r.asDict() for r in out.collect()}
-    assert len(got) == 7
+    assert len(got) == 8
     assert got[1]["container"] == "wav"
     assert got[2]["codec"] == "flac"
     assert got[3]["codec"] == "opus"
@@ -191,3 +197,7 @@ def test_container_stats_spark(spark):
     assert got[6]["duration_s"] is None
     assert got[6]["payload_bytes"] == 34
     assert got[7]["n_frames"] == 3
+    assert got[8]["container"] == "avi"
+    assert got[8]["codec"] == "MJPG"
+    assert got[8]["n_frames"] == 3
+    assert got[8]["duration_s"] == 0.3
