@@ -247,3 +247,37 @@ def test_crc_matches_independent_bitserial_implementation():
     for size in (27, 60, 300):
         page = bytes(rng.randrange(256) for _ in range(size))
         assert ogg_page_crc(page) == bitserial(page)
+
+
+def test_edges_crc_policy():
+    """ogg_info's default validates the pages it READS (BOS/EOS) and
+    skips bulk data-page CRCs; strict mode still checks everything."""
+    payload = bytearray(_vorbis_file(n_audio_pages=4))
+    # corrupt a MIDDLE data page's body: find the 3rd page boundary
+    from kinesis_vcr_spark.operators.ogg import ogg_pages as walk
+
+    spans = []
+    pos = 0
+    for _h, _g, _s, _q, lac, body in walk(bytes(payload), verify_crc=False):
+        pos_end = payload.index(b"OggS", pos + 1) if payload.count(
+            b"OggS", pos + 1
+        ) else len(payload)
+        spans.append((pos, pos_end))
+        pos = pos_end
+    mid_body_off = spans[3][1] - 1  # last byte of a middle data page
+    payload[mid_body_off] ^= 0x01
+    corrupted = bytes(payload)
+
+    # edges policy (ogg_info default): mid-page corruption tolerated,
+    # metadata still exact
+    info = ogg_info(corrupted)
+    assert info["codec"] == "vorbis"
+    assert info["total_samples"] == 4 * 5120
+    # strict policy still catches it
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        ogg_info(corrupted, verify_crc=True)
+    # and BOS/EOS corruption raises even under edges
+    bos_bad = bytearray(_vorbis_file())
+    bos_bad[40] ^= 0x01  # inside the first (BOS) page
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        ogg_info(bytes(bos_bad))
