@@ -187,14 +187,24 @@ def fingerprint_features() -> Column:
                 win = np.lib.stride_tricks.sliding_window_view(
                     codes, FP_SHINGLE
                 )
+                # distinct count via a substring set: min over ALL
+                # window hashes equals min over distinct ones, so only
+                # the COUNT needs distinctness — a Python string set
+                # is ~3× cheaper than np.unique's lexicographic row
+                # sort (string slices == code-point windows; utf-32
+                # decode is injective)
+                n_uniq = len({
+                    t[j:j + FP_SHINGLE]
+                    for j in range(len(codes) - FP_SHINGLE + 1)
+                })
             else:
                 win = codes.reshape(1, -1)  # one short gram = whole text
-            uniq = np.unique(win, axis=0)
-            h = np.zeros(len(uniq), dtype=np.int64)
-            for j in range(uniq.shape[1]):
-                h = (h * 31 + uniq[:, j]) % FP_MOD
+                n_uniq = 1
+            h = np.zeros(len(win), dtype=np.int64)
+            for j in range(win.shape[1]):
+                h = (h * 31 + win[:, j]) % FP_MOD
             fps[i] = h.min() if len(h) else 0
-            counts[i] = len(uniq)
+            counts[i] = n_uniq
         return pd.DataFrame({"fp": fps, "n_grams": counts})
 
     return _fp

@@ -48,25 +48,47 @@ from kinesis_vcr_spark.operators.mp3 import _BitReader
 
 # ------------------------------------------------------------- CRCs
 
-def _crc8(data: bytes) -> int:
-    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the FLAC
-    frame-header CRC."""
-    crc = 0
-    for b in data:
-        crc ^= b
+def _make_crc8_table() -> list[int]:
+    table = []
+    for b in range(256):
+        crc = b
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        table.append(crc)
+    return table
+
+
+def _make_crc16_table() -> list[int]:
+    table = []
+    for b in range(256):
+        crc = b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _make_crc8_table()
+_CRC16_TABLE = _make_crc16_table()
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the FLAC
+    frame-header CRC (table-driven; one lookup per byte)."""
+    crc = 0
+    table = _CRC8_TABLE
+    for b in data:
+        crc = table[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     """CRC-16, polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0 — the
-    FLAC whole-frame CRC."""
+    FLAC whole-frame CRC (table-driven; one lookup per byte)."""
     crc = 0
+    table = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ table[(crc >> 8) ^ b]
     return crc
 
 
@@ -198,7 +220,80 @@ def _read_unary(br: _BitReader) -> int:
     return n
 
 
-def _decode_residual(br: _BitReader, block_size: int, order: int) -> np.ndarray:
+class _StreamBits:
+    """Unpacked bit view of the whole payload, built ONCE per decode:
+    the bulk readers (verbatim runs, Rice partitions) index it directly
+    instead of paying a ``_BitReader.read`` call per field — same bits,
+    same positions, same truncation errors, ~5× less per-sample
+    overhead. ``ones`` (positions of set bits) drives unary decoding:
+    the next Rice terminator is the next set bit at/after the cursor."""
+
+    def __init__(self, payload: bytes):
+        self.bits = np.unpackbits(np.frombuffer(payload, np.uint8))
+        self.ones = np.flatnonzero(self.bits).astype(np.int64)
+        self.n = len(self.bits)
+
+
+def _read_signed_array(
+    fb: _StreamBits, pos: int, count: int, nbits: int
+) -> tuple[np.ndarray, int]:
+    """``count`` two's-complement ``nbits``-wide values starting at bit
+    ``pos`` — the bulk form of repeated ``_signed(br.read(nbits))``."""
+    total = count * nbits
+    if pos + total > fb.n:
+        raise ValueError("MPEG audio frame truncated mid-field")
+    if count == 0:
+        return np.empty(0, np.int64), pos
+    seg = fb.bits[pos:pos + total].reshape(count, nbits).astype(np.int64)
+    weights = np.int64(1) << np.arange(nbits - 1, -1, -1, dtype=np.int64)
+    vals = seg @ weights
+    half = np.int64(1) << (nbits - 1)
+    return np.where(vals >= half, vals - (half << 1), vals), pos + total
+
+
+def _read_rice_partition(
+    fb: _StreamBits, pos: int, count: int, param: int
+) -> tuple[np.ndarray, int]:
+    """``count`` Rice codes at ``param`` starting at bit ``pos``,
+    zigzag-decoded — equivalent to the per-sample unary+low-bits loop.
+    The unary walk advances a pointer over the precomputed set-bit
+    positions (a code's terminator is the next set bit at/after the
+    cursor; set bits inside a previous code's low-bit field are skipped
+    by position), so the Python-level loop is O(ones consumed), not
+    O(bits read)."""
+    ones = fb.ones
+    j = int(np.searchsorted(ones, pos))
+    # per code: 1 terminator + ≤param low-bit set bits → bounded slice
+    window = ones[j:j + count * (param + 1)].tolist()
+    nwin = len(window)
+    qs = np.empty(count, np.int64)
+    ts = np.empty(count, np.int64)
+    k = 0
+    for i in range(count):
+        while True:
+            if k >= nwin:
+                raise ValueError("MPEG audio frame truncated mid-field")
+            t = window[k]
+            k += 1
+            if t >= pos:
+                break
+        qs[i] = t - pos
+        ts[i] = t
+        pos = t + 1 + param
+    if pos > fb.n:
+        raise ValueError("MPEG audio frame truncated mid-field")
+    if param:
+        idx = ts[:, None] + 1 + np.arange(param, dtype=np.int64)
+        weights = np.int64(1) << np.arange(param - 1, -1, -1, dtype=np.int64)
+        v = (qs << param) | (fb.bits[idx].astype(np.int64) @ weights)
+    else:
+        v = qs
+    return (v >> 1) ^ -(v & 1), pos  # zigzag
+
+
+def _decode_residual(
+    br: _BitReader, block_size: int, order: int, fb: _StreamBits
+) -> np.ndarray:
     """Rice-coded residual partitions (coding methods 0/1, raw-bits
     escape); returns block_size - order int64 values."""
     method = br.read(2)
@@ -223,13 +318,13 @@ def _decode_residual(br: _BitReader, block_size: int, order: int) -> np.ndarray:
             if nbits == 0:
                 out[at:at + count] = 0
             else:
-                for i in range(count):
-                    out[at + i] = _signed(br.read(nbits), nbits)
+                out[at:at + count], br.pos = _read_signed_array(
+                    fb, br.pos, count, nbits
+                )
         else:
-            for i in range(count):
-                q = _read_unary(br)
-                v = (q << param) | br.read(param) if param else q
-                out[at + i] = (v >> 1) ^ -(v & 1)  # zigzag
+            out[at:at + count], br.pos = _read_rice_partition(
+                fb, br.pos, count, param
+            )
         at += count
     return out
 
@@ -249,7 +344,9 @@ def _restore_fixed(warm: np.ndarray, resid: np.ndarray, order: int) -> np.ndarra
     return np.concatenate((np.asarray(warm, np.int64), seq))
 
 
-def _decode_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
+def _decode_subframe(
+    br: _BitReader, block_size: int, bps: int, fb: _StreamBits
+) -> np.ndarray:
     if br.read(1):
         raise ValueError("FLAC subframe padding bit set")
     stype = br.read(6)
@@ -263,17 +360,11 @@ def _decode_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
         v = _signed(br.read(ebps), ebps)
         out = np.full(block_size, v, np.int64)
     elif stype == 1:  # verbatim
-        out = np.fromiter(
-            (_signed(br.read(ebps), ebps) for _ in range(block_size)),
-            np.int64, block_size,
-        )
+        out, br.pos = _read_signed_array(fb, br.pos, block_size, ebps)
     elif 8 <= stype <= 12:  # fixed, order 0-4
         order = stype - 8
-        warm = np.fromiter(
-            (_signed(br.read(ebps), ebps) for _ in range(order)),
-            np.int64, order,
-        )
-        resid = _decode_residual(br, block_size, order)
+        warm, br.pos = _read_signed_array(fb, br.pos, order, ebps)
+        resid = _decode_residual(br, block_size, order, fb)
         out = _restore_fixed(warm, resid, order)
     elif stype >= 32:  # LPC, order 1-32
         order = stype - 31
@@ -285,7 +376,7 @@ def _decode_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
         if shift < 0:
             raise ValueError("negative FLAC LPC shift")
         coefs = [_signed(br.read(prec), prec) for _ in range(order)]
-        resid = _decode_residual(br, block_size, order)
+        resid = _decode_residual(br, block_size, order, fb)
         out = np.empty(block_size, np.int64)
         out[:order] = warm
         # recursive int prediction — int64 is exact here (|sample| <
@@ -302,9 +393,13 @@ def _decode_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
     return out
 
 
-def _decode_frame(payload: bytes, pos: int, si: dict) -> tuple[np.ndarray, int]:
+def _decode_frame(
+    payload: bytes, pos: int, si: dict, fb: _StreamBits | None = None
+) -> tuple[np.ndarray, int]:
     """Decode one frame starting at byte ``pos``; returns
     (samples[block, ch] int64, new_pos)."""
+    if fb is None:
+        fb = _StreamBits(payload)
     start = pos
     if pos + 4 > len(payload):
         raise ValueError("FLAC frame header truncated")
@@ -368,7 +463,8 @@ def _decode_frame(payload: bytes, pos: int, si: dict) -> tuple[np.ndarray, int]:
     br = _BitReader(payload)
     br.pos = pos * 8
     chans = [
-        _decode_subframe(br, block_size, bps + side[c]) for c in range(n_ch)
+        _decode_subframe(br, block_size, bps + side[c], fb)
+        for c in range(n_ch)
     ]
     br.pos = (br.pos + 7) & ~7  # align: padding bits to byte boundary
     pos = br.pos // 8
@@ -402,10 +498,11 @@ def decode_flac(payload: bytes, verify_md5: bool = True):
     any structural or checksum violation — never returns garbage."""
     si = parse_streaminfo(payload)
     pos = si["frames_at"]
+    fb = _StreamBits(payload)
     blocks = []
     total = 0
     while pos < len(payload):
-        block, pos = _decode_frame(payload, pos, si)
+        block, pos = _decode_frame(payload, pos, si, fb)
         blocks.append(block)
         total += block.shape[0]
         if si["total_samples"] and total >= si["total_samples"]:
@@ -480,6 +577,28 @@ class _BitWriter:
             q -= 32
         self.write(1, q + 1)
 
+    def write_bits(self, bits: np.ndarray) -> None:
+        """Append a 0/1 uint8 array (MSB-first stream order) in one
+        ``packbits`` pass — the bulk path for residual/verbatim bodies,
+        bit-identical to the per-value ``write`` loop it replaces."""
+        nb = self.nbits
+        if nb:
+            acc = self.acc
+            prefix = np.empty(nb, np.uint8)
+            for i in range(nb - 1, -1, -1):
+                prefix[i] = acc & 1
+                acc >>= 1
+            bits = np.concatenate((prefix, bits))
+        rem = len(bits) & 7
+        whole = bits[: len(bits) - rem] if rem else bits
+        if len(whole):
+            self.buf += np.packbits(whole).tobytes()
+        acc = 0
+        for b in bits[len(bits) - rem:]:
+            acc = (acc << 1) | int(b)
+        self.acc = acc
+        self.nbits = rem
+
     def align(self) -> None:
         if self.nbits:
             self.write(0, 8 - self.nbits)
@@ -488,6 +607,33 @@ class _BitWriter:
         if self.nbits:
             raise ValueError("bit writer not byte-aligned")
         return bytes(self.buf)
+
+
+def _signed_bits(vals: np.ndarray, nbits: int) -> np.ndarray:
+    """MSB-first two's-complement bit matrix of ``vals`` flattened to
+    one 0/1 stream — the bulk form of repeated ``write_signed``."""
+    masked = np.asarray(vals, np.int64) & ((1 << nbits) - 1)
+    shifts = np.arange(nbits - 1, -1, -1, dtype=np.int64)
+    return ((masked[:, None] >> shifts) & 1).astype(np.uint8).ravel()
+
+
+def _rice_bits(z: np.ndarray, param: int) -> np.ndarray:
+    """The Rice code stream for zigzagged values ``z`` at ``param`` as
+    one 0/1 array: per value, ``q`` zeros, a 1 terminator, then the
+    ``param`` low bits MSB-first — identical to the per-value
+    ``write_unary`` + ``write`` loop."""
+    q = z >> param
+    widths = q + 1 + param
+    starts = np.concatenate(([0], np.cumsum(widths)[:-1]))
+    bits = np.zeros(int(widths.sum()), np.uint8)
+    term = starts + q
+    bits[term] = 1
+    if param:
+        shifts = np.arange(param - 1, -1, -1, dtype=np.int64)
+        low = ((z[:, None] >> shifts) & 1).astype(np.uint8)
+        idx = term[:, None] + 1 + np.arange(param, dtype=np.int64)
+        bits[idx.ravel()] = low.ravel()
+    return bits
 
 
 def _encode_coded_number(value: int) -> bytes:
@@ -512,12 +658,18 @@ def _rice_cost(resid: np.ndarray, param: int) -> int:
 
 
 def _best_rice_param(resid: np.ndarray, max_param: int = 14) -> tuple[int, int]:
-    best_p, best_c = 0, _rice_cost(resid, 0)
-    for p in range(1, max_param + 1):
-        c = _rice_cost(resid, p)
-        if c < best_c:
-            best_p, best_c = p, c
-    return best_p, best_c
+    """argmin over Rice params 0..max_param of
+    ``sum(zigzag >> p) + n*(p+1)`` — one broadcast shift-sum instead of
+    ``max_param + 1`` :func:`_rice_cost` passes. ``argmin`` keeps the
+    FIRST minimum, exactly like the strict-``<`` scan it replaces, so
+    parameter choice (and thus every encoded byte) is unchanged."""
+    z = (resid.astype(np.int64) << 1) ^ (resid >> 63)  # zigzag
+    params = np.arange(max_param + 1, dtype=np.int64)
+    costs = (z[None, :] >> params[:, None]).sum(axis=1) + len(resid) * (
+        params + 1
+    )
+    p = int(np.argmin(costs))
+    return p, int(costs[p])
 
 
 def _write_residual(
@@ -540,22 +692,17 @@ def _write_residual(
         if force_escape:
             bw.write(0xF, 4)
             bw.write(raw_bits, 5)
-            for v in part:
-                bw.write_signed(int(v), raw_bits)
+            bw.write_bits(_signed_bits(part, raw_bits))
             continue
         param, rice_cost = _best_rice_param(part)
         if raw_bits * len(part) + 5 < rice_cost:
             bw.write(0xF, 4)
             bw.write(raw_bits, 5)
-            for v in part:
-                bw.write_signed(int(v), raw_bits)
+            bw.write_bits(_signed_bits(part, raw_bits))
         else:
             bw.write(param, 4)
-            for v in part:
-                z = (int(v) << 1) ^ (int(v) >> 63)
-                bw.write_unary(z >> param)
-                if param:
-                    bw.write(z & ((1 << param) - 1), param)
+            z = (part.astype(np.int64) << 1) ^ (part >> 63)  # zigzag
+            bw.write_bits(_rice_bits(z, param))
 
 
 def _encode_subframe(
@@ -586,8 +733,8 @@ def _encode_subframe(
         return
     if strategy == "verbatim":
         header(1)
-        for v in chan:  # verbatim never uses wasted bits here (wasted=0)
-            bw.write_signed(int(v), bps)
+        # verbatim never uses wasted bits here (wasted=0)
+        bw.write_bits(_signed_bits(chan, bps))
         return
     if strategy == "lpc":
         # order-2 LPC with a real shift: pred = (3*s[i-1] - s[i-2]) >> 1
