@@ -73,23 +73,32 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    comp_type = labels.schema["component"].dataType
     for _ in range(max_iter):
         msgs = und.join(
             labels, und["a"] == labels["node"]
         ).select(F.col("b").alias("node"), "component")
-        new_labels = _persist(
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
+        # carry each node's OLD label through the min-aggregation (the
+        # labels branch contributes exactly one non-null __old per
+        # node), so the convergence check is a filter over the
+        # checkpointed result instead of a labels⋈new_labels join job
+        # per round — one fewer join+sort pass per iteration, same
+        # labels bit-for-bit
+        cand = labels.withColumn("__old", F.col("component")).unionByName(
+            msgs.withColumn("__old", F.lit(None).cast(comp_type))
+        )
+        new_full = _persist(
+            cand.groupBy("node").agg(
+                F.min("component").alias("component"),
+                F.min("__old").alias("__old"),
+            )
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
+            new_full.where(F.col("component") != F.col("__old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_full.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(

@@ -458,6 +458,18 @@ def _candidate_pairs_from_bands(
             counted = counted.where(
                 F.col("__grp_n") <= F.lit(band_member_cap)
             )
+        # the breaker's eager count is a full pass over the banding
+        # lineage (shingle → signature → band → exchange); persist the
+        # counted band rows so that pass MATERIALIZES them and the
+        # self-join below reads the cache instead of recomputing the
+        # whole lineage a second time (measured at sf0.1: the armed
+        # path repeated ~the entire banding cost). Tracked per scope —
+        # the next armed call evicts this one (cacheutil contract);
+        # the band table is Θ(n·bands) id+hash rows, far smaller than
+        # the text/shingle lineage it shields.
+        from kinesis_vcr_spark.cacheutil import persist_tracked
+
+        counted = persist_tracked("dedup_bands", counted)
         check_candidate_budget(counted, candidate_budget, budget_context)
         exploded = counted.drop("__grp_n")
     else:

@@ -162,9 +162,6 @@ def build_near_dup_index(
                 f"(shingle_size, num_hashes, bands, char_ngrams)={have}; "
                 f"append requested {params}"
             )
-    band_rows, with_sh = _index_rows(
-        df, id_col, text_col, shingle_size, num_hashes, bands, char_ngrams
-    )
     if ingest_label is not None:
         scope = f"ingest={ingest_label}"
         mode = "overwrite"  # replace THIS ingest's rows only
@@ -177,13 +174,37 @@ def build_near_dup_index(
         # previous layout) must not leak into partition discovery
         _rm_recursive(spark, f"{index_path}/bands")
         _rm_recursive(spark, f"{index_path}/shingles")
+    # write the shingle sets FIRST, then read the written artifact back
+    # as the band computation's input: the two artifacts previously
+    # carried independent lineages, so the shingle projection (the
+    # build's CPU-heavy part) executed twice per build — disk-backed
+    # reuse halves it with no cache (the 100 TB-safe variant of a
+    # persist; the signature pipeline is identical over identical rows).
+    # Only for OVERWRITE writes: an unlabeled append accumulates into
+    # ``ingest=_appends``, where a read-back would see prior appends'
+    # rows and double-write their bands.
+    with_sh = shingle_frame(
+        df, id_col, text_col, shingle_size, char_ngrams
+    ).withColumnRenamed(id_col, "id")
+    if mode == "overwrite":
+        with_sh.write.mode(mode).parquet(f"{index_path}/shingles/{scope}")
+        sh_src = spark.read.parquet(
+            f"{index_path}/shingles/{scope}"
+        ).select("id", "shingles")
+    else:
+        sh_src = with_sh
+    sigs = minhash_signature_agg(sh_src, "id", num_hashes)
+    band_rows = band_frame(sigs, "id", num_hashes, bands).select(
+        "id", F.posexplode("bands").alias("band_pos", "band_hash")
+    )
     (
         band_rows.repartition("band_pos")
         .write.mode(mode)
         .partitionBy("band_pos")
         .parquet(f"{index_path}/bands/{scope}")
     )
-    with_sh.write.mode(mode).parquet(f"{index_path}/shingles/{scope}")
+    if mode != "overwrite":
+        with_sh.write.mode(mode).parquet(f"{index_path}/shingles/{scope}")
     if not append:
         spark.createDataFrame([params], _META_SCHEMA).write.mode(
             "overwrite"
@@ -324,9 +345,6 @@ def build_near_dup_index_bucketed(
                 f"(shingle_size, num_hashes, bands, char_ngrams, "
                 f"n_buckets)={have}; append requested {params}"
             )
-    band_rows, with_sh = _index_rows(
-        df, id_col, text_col, shingle_size, num_hashes, bands, char_ngrams
-    )
     mode = "append" if append else "overwrite"
     if not append:
         # the catalog is session-local but the WAREHOUSE DIR persists:
@@ -335,20 +353,21 @@ def build_near_dup_index_bucketed(
         # entry AND clear the stale location before writing
         for suffix in ("_bands", "_shingles", "_meta"):
             _drop_managed_table(spark, f"{table_prefix}{suffix}")
+    with_sh = shingle_frame(
+        df, id_col, text_col, shingle_size, char_ngrams
+    ).withColumnRenamed(id_col, "id")
     # bucket on BOTH join keys: co-partitioning requires the bucket
     # columns to cover ALL the join's cluster keys (Spark's
     # requireAllClusterKeysForCoPartition, default true) — bucketing
     # on band_hash alone gets the scan's bucketing disabled by the
     # planner and the stored side re-shuffled on every probe.
+    # Fresh builds write shingles FIRST and compute band rows from the
+    # written table (same disk-backed reuse as the parquet build: the
+    # shingle projection runs once per build, not once per artifact).
+    # Appends keep the direct lineage — reading the table back after an
+    # append would see the whole accumulated corpus and double-write
+    # every prior batch's bands.
     with _one_file_per_bucket(spark, n_buckets):
-        (
-            band_rows.repartition(n_buckets, "band_pos", "band_hash")
-            .write.mode(mode)
-            .bucketBy(n_buckets, "band_pos", "band_hash")
-            .sortBy("band_pos", "band_hash")
-            .format("parquet")
-            .saveAsTable(f"{table_prefix}_bands")
-        )
         (
             with_sh.repartition(n_buckets, "id")
             .write.mode(mode)
@@ -356,6 +375,23 @@ def build_near_dup_index_bucketed(
             .sortBy("id")
             .format("parquet")
             .saveAsTable(f"{table_prefix}_shingles")
+        )
+        sh_src = (
+            spark.table(f"{table_prefix}_shingles").select("id", "shingles")
+            if not append
+            else with_sh
+        )
+        sigs = minhash_signature_agg(sh_src, "id", num_hashes)
+        band_rows = band_frame(sigs, "id", num_hashes, bands).select(
+            "id", F.posexplode("bands").alias("band_pos", "band_hash")
+        )
+        (
+            band_rows.repartition(n_buckets, "band_pos", "band_hash")
+            .write.mode(mode)
+            .bucketBy(n_buckets, "band_pos", "band_hash")
+            .sortBy("band_pos", "band_hash")
+            .format("parquet")
+            .saveAsTable(f"{table_prefix}_bands")
         )
     if not append:
         spark.createDataFrame([params], _BQ_META_SCHEMA).write.mode(
@@ -411,6 +447,14 @@ def near_dup_against_bucketed_index(
         new_df, id_col, text_col,
         m["shingle_size"], m["num_hashes"], m["bands"], m["char_ngrams"],
     )
+    # batch-sized persists, same rationale (and the same bounded-cache
+    # contract) as near_dup_against_index: the batch's shingle sets
+    # feed the signature pipeline + both verify sides, and the batch's
+    # band rows feed the member-cap count + both candidate join sides.
+    from kinesis_vcr_spark.cacheutil import evict_tracked, persist_tracked
+
+    evict_tracked("dedup_index_probe_bq")
+    new_sh = persist_tracked("dedup_index_probe_bq", new_sh)
     stored = spark.table(f"{table_prefix}_bands")
     keys = ["band_pos", "band_hash"]
     # one shuffle of the batch to the stored layout; everything built
@@ -572,6 +616,16 @@ def near_dup_against_index(
         index.shingle_size, index.num_hashes, index.num_bands,
         index.char_ngrams,
     )
+    # the batch's shingle sets feed three consumers (the signature
+    # pipeline under the band union, and both verify join sides) —
+    # persist them so the batch is shingled once per probe. BOUNDED:
+    # the cache is O(batch) by this probe's contract, so unlike a
+    # corpus-side persist this is scale-safe; tracked per scope so a
+    # long-lived ingest session holds at most the latest probe's cache.
+    from kinesis_vcr_spark.cacheutil import evict_tracked, persist_tracked
+
+    evict_tracked("dedup_index_probe")
+    new_sh = persist_tracked("dedup_index_probe", new_sh)
     union = index.bands.select(
         "id", "band_pos", "band_hash", F.lit(True).alias("__old")
     ).unionByName(

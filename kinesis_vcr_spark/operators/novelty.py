@@ -35,6 +35,18 @@ from pyspark.sql import functions as F
 
 from kinesis_vcr_spark.operators.dedup import tokens, word_shingles_from_tokens
 
+# bounded-liveness cache tracking (ADVICE r13): each call evicts the
+# previous call's cached shingle explode instead of leaking one cached
+# relation per call in a long-lived session — cacheutil contract.
+_CACHE_SCOPE = "novelty"
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    from kinesis_vcr_spark.cacheutil import evict_tracked, persist_tracked
+
+    evict_tracked(_CACHE_SCOPE)
+    return persist_tracked(_CACHE_SCOPE, df)
+
 
 def shingle_edges(
     docs: DataFrame,
@@ -73,7 +85,7 @@ def doc_ngram_novelty(
     """Per-doc novelty: (id, *carry, total_ngrams, novel_ngrams,
     novelty). ``novelty`` is an exact-integer ratio in double —
     bit-deterministic under any partitioning."""
-    edges = shingle_edges(docs, id_col, text_col, n, carry).persist()
+    edges = _persist_tracked(shingle_edges(docs, id_col, text_col, n, carry))
     try:
         first = ngram_first_seen(edges, id_col)
         joined = edges.join(first, "shingle")
@@ -101,9 +113,9 @@ def doc_ngram_novelty(
     finally:
         # Lazy plan: unpersisting here would drop the cache before the
         # action runs; the caller's terminal action materializes through
-        # the persisted edges. Blocking-unpersist is the caller's call
-        # via .unpersist() on the input if they re-run; the cache is
-        # scoped to this DataFrame's lineage and evicted LRU otherwise.
+        # the persisted edges. Liveness is bounded by _persist_tracked:
+        # the NEXT novelty call evicts this cache (cacheutil contract),
+        # so long-lived sessions hold at most one cached explode.
         pass
 
 

@@ -43,6 +43,18 @@ from pyspark.sql import functions as F
 
 from kinesis_vcr_spark.operators.novelty import ngram_first_seen, shingle_edges
 
+# bounded-liveness cache tracking (ADVICE r13): each probe evicts the
+# previous probe's cached shingle explode instead of leaking one cached
+# relation per call in a long-lived ingest session — cacheutil contract.
+_CACHE_SCOPE = "novelty_index"
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    from kinesis_vcr_spark.cacheutil import evict_tracked, persist_tracked
+
+    evict_tracked(_CACHE_SCOPE)
+    return persist_tracked(_CACHE_SCOPE, df)
+
 
 def build_novelty_index(
     docs: DataFrame,
@@ -82,7 +94,7 @@ def novelty_against_index(
     they would silently skew min() so they are rejected loudly by the
     update path (and the parity test pins the contract).
     """
-    edges = shingle_edges(batch, id_col, text_col, n).persist()
+    edges = _persist_tracked(shingle_edges(batch, id_col, text_col, n))
     batch_first = ngram_first_seen(edges, id_col).withColumnRenamed(
         "first_seen", "batch_first"
     )
@@ -192,7 +204,7 @@ def novelty_against_bloom(
     decontam_ngram_overlap (E66/E28)."""
     from kinesis_vcr_spark.operators.bloom import bloom_probe  # noqa: PLC0415
 
-    edges = shingle_edges(batch, id_col, text_col, n).persist()
+    edges = _persist_tracked(shingle_edges(batch, id_col, text_col, n))
     batch_first = ngram_first_seen(edges, id_col).withColumnRenamed(
         "first_seen", "batch_first"
     )

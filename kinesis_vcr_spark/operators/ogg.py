@@ -242,17 +242,37 @@ def ogg_info(
     primary: int | None = None
     n_pages = 0
     last_granule: dict[int, int] = {}
+    seen_eos: set[int] = set()
     for header_type, granule, serial, _seq, _lacing, body in ogg_pages(
         payload, verify_crc
     ):
         n_pages += 1
-        if header_type & 0x02 and serial not in streams:
-            info = _identify(bytes(body))
-            streams[serial] = dict(info or {"codec": "unknown"}, _open=True)
-            if primary is None and info and info["codec"] != "theora":
-                primary = serial
-        if granule >= 0 and (header_type & 0x02) == 0:
+        if header_type & 0x02:
+            # chained Ogg (a new BOS after a completed stream) must
+            # raise here too, mirroring ogg_packets — walking on would
+            # silently report only the first chain's duration and an
+            # inflated n_streams (the VBR-radio misreport the module
+            # docstring warns about)
+            if seen_eos:
+                raise ValueError(
+                    "Ogg: chained streams unsupported (new BOS after EOS)"
+                )
+            if serial not in streams:
+                info = _identify(bytes(body))
+                streams[serial] = dict(
+                    info or {"codec": "unknown"}, _open=True
+                )
+                if primary is None and info and info["codec"] != "theora":
+                    primary = serial
+        # a BOS page only carries the identification header, whose
+        # granule is not a data position — EXCEPT when the page is also
+        # EOS (a one-page stream), where its granule is the final one
+        if granule >= 0 and (
+            (header_type & 0x02) == 0 or header_type & 0x04
+        ):
             last_granule[serial] = granule
+        if header_type & 0x04:
+            seen_eos.add(serial)
     if not streams:
         raise ValueError("Ogg: no BOS page found")
     if primary is None:
