@@ -42,6 +42,7 @@ Reference anchor: the reference engine has no image surface
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -87,20 +88,27 @@ def to_grayscale(px: np.ndarray) -> np.ndarray:
     raise ValueError(f"unsupported pixel shape {px.shape}")
 
 
+@lru_cache(maxsize=1024)
 def _overlap_matrix(n_in: int, n_out: int) -> np.ndarray:
     """[n_out, n_in] exact area-average weights: output bin i covers
     the input interval [i·n_in/n_out, (i+1)·n_in/n_out); each input
     pixel contributes its overlap fraction. Rows sum to 1. Works in
     both directions (down- and up-sampling) — this is the
-    deterministic resampler the module contract pins."""
+    deterministic resampler the module contract pins.
+
+    Broadcast form of the original per-cell loop — identical IEEE
+    operations per cell (``min(hi, j+1) − max(lo, j)``, then ``/scale``)
+    so the weights are bit-identical; memoized because a hashing pass
+    builds the same few shapes for every image of a given size. The
+    cached array is read-only (matmul operand) by every caller."""
     scale = n_in / n_out
-    w = np.zeros((n_out, n_in), dtype=np.float64)
-    for i in range(n_out):
-        lo, hi = i * scale, (i + 1) * scale
-        j0, j1 = int(np.floor(lo)), int(np.ceil(hi))
-        for j in range(j0, min(j1, n_in)):
-            w[i, j] = min(hi, j + 1) - max(lo, j)
-    return w / scale
+    i = np.arange(n_out, dtype=np.float64)[:, None]
+    j = np.arange(n_in, dtype=np.float64)[None, :]
+    lo = i * scale
+    hi = (i + 1) * scale
+    w = np.minimum(hi, j + 1) - np.maximum(lo, j)
+    mask = (j >= np.floor(lo)) & (j < np.minimum(np.ceil(hi), n_in))
+    return np.where(mask, w, 0.0) / scale
 
 
 def area_resize(gray: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -124,11 +132,11 @@ _DCT32 = _dct_basis(PHASH_DCT_SIZE)
 
 def _bits_to_int64(bits: np.ndarray) -> int:
     """Row-major bit i → hash bit i, as a SIGNED 64-bit int (Spark
-    LongType; bit 63 lands in the sign bit)."""
-    v = 0
-    for i, b in enumerate(bits.ravel()):
-        if b:
-            v |= 1 << i
+    LongType; bit 63 lands in the sign bit). ``packbits`` with
+    little-endian bit order packs bit i into byte i//8's 2^(i%8) slot —
+    exactly the ``v |= 1 << i`` loop it replaces."""
+    packed = np.packbits(bits.ravel().astype(np.uint8), bitorder="little")
+    v = int.from_bytes(packed.tobytes(), "little")
     return v - (1 << 64) if v >= 1 << 63 else v
 
 

@@ -70,10 +70,17 @@ def _postings(
     into every posting. One explode + one groupBy (map-side combined);
     dl rides along as a grouping key so no self-join is needed."""
     return (
+        # tokenize once per row (bound attribute), not once per
+        # consumer expression — same two-step-projection discipline as
+        # shingle_frame
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.size(F.split(text_col, " ")).alias("dl"),
-            F.explode(F.split(text_col, " ")).alias("term"),
+            F.split(text_col, " ").alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            F.size("__toks").alias("dl"),
+            F.explode("__toks").alias("term"),
         )
         .groupBy("term", "doc_id", "dl")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))

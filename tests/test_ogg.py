@@ -122,6 +122,20 @@ def test_chained_stream_raises():
     # same-serial re-chaining is a different loud failure
     with pytest.raises(ValueError, match="duplicate BOS"):
         list(ogg_packets(chain(7) + chain(7)))
+    # the metadata tier must refuse too (ADVICE r13): walking on would
+    # report only the first chain's duration and inflate n_streams
+    with pytest.raises(ValueError, match="chained"):
+        ogg_info(chain(7) + chain(8))
+
+
+def test_single_page_stream_has_duration():
+    # one packet, one page: BOS and EOS on the same page — its granule
+    # is the stream's final position, so duration must not be None
+    payload = build_ogg([(_vorbis_id(), 4096)], serial=3)
+    info = ogg_info(payload)
+    assert info["n_pages"] == 1
+    assert info["total_samples"] == 4096
+    assert info["duration_s"] == round(4096 / 44100, 3)
 
 
 def test_large_packet_spans_pages_roundtrip():
