@@ -467,8 +467,16 @@ def _candidate_pairs_from_bands(
         # the next armed call evicts this one (cacheutil contract);
         # the band table is Θ(n·bands) id+hash rows, far smaller than
         # the text/shingle lineage it shields.
-        from kinesis_vcr_spark.cacheutil import persist_tracked
+        from kinesis_vcr_spark.cacheutil import (
+            evict_tracked,
+            persist_tracked,
+        )
 
+        # bound liveness to the latest armed call (cacheutil contract —
+        # persist_tracked does NOT self-evict; without this, each armed
+        # call accumulated one cached band table for the session's
+        # lifetime)
+        evict_tracked("dedup_bands")
         counted = persist_tracked("dedup_bands", counted)
         check_candidate_budget(counted, candidate_budget, budget_context)
         exploded = counted.drop("__grp_n")
