@@ -923,6 +923,17 @@ def lsh_band_components(
         F.col(id_col).alias("__id"),
         F.posexplode("bands").alias("band_pos", "band_hash"),
     )
+    # `banded` feeds TWO consumers — the anchor aggregation and the
+    # member⋈anchor join — whose exchange children differ (partial agg
+    # vs plain project), so ReuseExchange cannot share them and the
+    # shingle→signature pipeline executes twice in the edges job.
+    # MEASURED r14 (volatile-rig protocol, isolated at sf1, 12
+    # alternating reps): persisting the Θ(n·bands) band rows to share
+    # the pass is a dead wash (medians 14.15 s no-persist vs 14.35 s
+    # persisted; adjacent pairs mixed) — the cache materialization
+    # costs what the saved signature pass saves. Left unpersisted; do
+    # not re-try without a rig where the banding pass provably
+    # dominates the band-table write.
     anchors = banded.groupBy("band_pos", "band_hash").agg(
         F.min("__id").alias("__anchor")
     )

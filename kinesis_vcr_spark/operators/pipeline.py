@@ -33,6 +33,14 @@ STATUS_NEAR = "dropped_near_dup"
 STATUS_QUALITY = "dropped_quality"
 
 
+def _materialize_survivors(df: DataFrame) -> DataFrame:
+    """How ``llm_prep_corpus`` materializes the exact-dedup survivor
+    set for its many consumers. ``persist()`` — caller-owned lifetime
+    (see the branch comments). Module-level so the volatile-rig A/B
+    protocol can flip the materialization per rep in one session."""
+    return df.persist()
+
+
 def clean_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -274,6 +282,19 @@ def llm_prep_corpus(
     # branch — measured 5.2 s → 30 s median at sf0.1 from the
     # multiplicative recompute alone.
     exact_kept = dedup_exact(s1, ["__text"], id_col)
+    if near_dup == "verified":
+        # Materialize the survivor set for the verified branch's many
+        # lineage consumers (breaker count, band join, verify sides,
+        # s2/labeled status joins) — measured 2.06× at sf1 (r13,
+        # BASELINE addendum 2; caller-owned lifetime, see below). The
+        # lsh_components branch deliberately does NOT materialize:
+        # r14 A/B (4 sessions, sf0.1 + sf1, volatile-rig protocol)
+        # found no win there — it has fewer lineage consumers (no
+        # breaker, no verify join) and the persist cost offsets the
+        # saved extract passes.
+        exact_kept = _materialize_survivors(exact_kept)
+        if cache_registry is not None:
+            cache_registry.append(exact_kept)
     exact_winners = exact_kept.select(id_col).withColumn(
         "__exact_keep", F.lit(True)
     )
@@ -306,11 +327,8 @@ def llm_prep_corpus(
         # even when no budget is armed: measured A/B at sf1, the
         # persist takes llm_prep_pipeline 32.6 -> 15.8 s med (2.06x;
         # BASELINE r13 addendum 2). Same caller-owned lifetime.
-        src = exact_kept.persist()
-        if cache_registry is not None:
-            cache_registry.append(src)
         pairs = near_dup_pairs_minhash(
-            src, id_col, "__text",
+            exact_kept, id_col, "__text",
             shingle_size=shingle_size, threshold=jaccard_threshold,
             candidate_budget=near_dup_candidate_budget,
         )
@@ -320,6 +338,12 @@ def llm_prep_corpus(
     elif near_dup == "lsh_components":
         from kinesis_vcr_spark.operators.dedup import lsh_band_components
 
+        # Deliberately NOT materialized here (see the branch above):
+        # r14 interleaved A/B at sf0.1 and sf1 measured the persist at
+        # no-win-to-slower on this branch — its consumers (band
+        # pipeline, singleton join, status joins) re-run whole-stage
+        # codegen over a pruned scan, which costs less than the cache
+        # round-trip at the scales measured.
         comp = lsh_band_components(
             exact_kept, id_col, "__text",
             shingle_size=shingle_size, checkpoint_dir=checkpoint_dir,
