@@ -71,6 +71,12 @@ _META_SCHEMA = (
 # near_dup_against_bucketed_index) and appends must match it
 _BQ_META_SCHEMA = _META_SCHEMA + ", n_buckets int"
 
+#: Fresh builds write the shingles artifact first and derive band rows
+#: from the written files (one shingle projection per build instead of
+#: two). Module-level seam so the volatile-rig A/B protocol can flip
+#: the build shape per rep in one session.
+_WRITE_FIRST = True
+
 
 def _rm_recursive(spark: SparkSession, path: str) -> None:
     """Delete a storage path through the Hadoop FileSystem API (works
@@ -182,11 +188,13 @@ def build_near_dup_index(
     # persist; the signature pipeline is identical over identical rows).
     # Only for OVERWRITE writes: an unlabeled append accumulates into
     # ``ingest=_appends``, where a read-back would see prior appends'
-    # rows and double-write their bands.
+    # rows and double-write their bands. ``_WRITE_FIRST`` is the
+    # module-level A/B seam (volatile-rig protocol).
     with_sh = shingle_frame(
         df, id_col, text_col, shingle_size, char_ngrams
     ).withColumnRenamed(id_col, "id")
-    if mode == "overwrite":
+    write_first = _WRITE_FIRST and mode == "overwrite"
+    if write_first:
         with_sh.write.mode(mode).parquet(f"{index_path}/shingles/{scope}")
         sh_src = spark.read.parquet(
             f"{index_path}/shingles/{scope}"
@@ -203,7 +211,7 @@ def build_near_dup_index(
         .partitionBy("band_pos")
         .parquet(f"{index_path}/bands/{scope}")
     )
-    if mode != "overwrite":
+    if not write_first:
         with_sh.write.mode(mode).parquet(f"{index_path}/shingles/{scope}")
     if not append:
         spark.createDataFrame([params], _META_SCHEMA).write.mode(
@@ -378,7 +386,7 @@ def build_near_dup_index_bucketed(
         )
         sh_src = (
             spark.table(f"{table_prefix}_shingles").select("id", "shingles")
-            if not append
+            if not append and _WRITE_FIRST
             else with_sh
         )
         sigs = minhash_signature_agg(sh_src, "id", num_hashes)
@@ -447,14 +455,14 @@ def near_dup_against_bucketed_index(
         new_df, id_col, text_col,
         m["shingle_size"], m["num_hashes"], m["bands"], m["char_ngrams"],
     )
-    # batch-sized persists, same rationale (and the same bounded-cache
-    # contract) as near_dup_against_index: the batch's shingle sets
-    # feed the signature pipeline + both verify sides, and the batch's
-    # band rows feed the member-cap count + both candidate join sides.
-    from kinesis_vcr_spark.cacheutil import evict_tracked, persist_tracked
-
-    evict_tracked("dedup_index_probe_bq")
-    new_sh = persist_tracked("dedup_index_probe_bq", new_sh)
+    # The batch's shingle sets feed the signature pipeline + both
+    # verify sides, but persisting them MEASURED SLOWER (r14, healthy
+    # rig, interleaved 4-variant A/B, 7 cycles pooled: persisted
+    # medians 10.3–10.8 s vs unpersisted 7.9–8.9 s for the full
+    # registry row) — the recompute is whole-stage codegen over a
+    # pruned batch scan, cheaper than the cache round-trip (the same
+    # persist-pays trap as BASELINE r13 addendum 2). Deliberately NOT
+    # persisted; see near_dup_against_index for the twin verdict.
     stored = spark.table(f"{table_prefix}_bands")
     keys = ["band_pos", "band_hash"]
     # one shuffle of the batch to the stored layout; everything built
@@ -616,16 +624,16 @@ def near_dup_against_index(
         index.shingle_size, index.num_hashes, index.num_bands,
         index.char_ngrams,
     )
-    # the batch's shingle sets feed three consumers (the signature
-    # pipeline under the band union, and both verify join sides) —
-    # persist them so the batch is shingled once per probe. BOUNDED:
-    # the cache is O(batch) by this probe's contract, so unlike a
-    # corpus-side persist this is scale-safe; tracked per scope so a
-    # long-lived ingest session holds at most the latest probe's cache.
-    from kinesis_vcr_spark.cacheutil import evict_tracked, persist_tracked
-
-    evict_tracked("dedup_index_probe")
-    new_sh = persist_tracked("dedup_index_probe", new_sh)
+    # The batch's shingle sets feed three consumers (the signature
+    # pipeline under the band union, and both verify join sides).
+    # Persisting them was tried in r14 and MEASURED SLOWER (healthy
+    # rig, interleaved 4-variant A/B, 7 cycles pooled: persisted
+    # medians 8.7–9.1 s vs unpersisted 6.9 s for the full registry
+    # row): the recompute is whole-stage codegen over a pruned batch
+    # scan, cheaper than the InMemoryRelation round-trip — the same
+    # persist-pays trap §8/BASELINE r13 addendum 2 document. The cache
+    # WOULD be O(batch)/scale-safe; it is omitted purely on measured
+    # cost. Do not re-land without a same-session win at bench scale.
     union = index.bands.select(
         "id", "band_pos", "band_hash", F.lit(True).alias("__old")
     ).unionByName(
