@@ -35,10 +35,24 @@ STATUS_QUALITY = "dropped_quality"
 
 def _materialize_survivors(df: DataFrame) -> DataFrame:
     """How ``llm_prep_corpus`` materializes the exact-dedup survivor
-    set for its many consumers. ``persist()`` — caller-owned lifetime
-    (see the branch comments). Module-level so the volatile-rig A/B
-    protocol can flip the materialization per rep in one session."""
-    return df.persist()
+    set for its many consumers. ``localCheckpoint(eager=False)``
+    rather than ``persist()`` (r14, measured on a steady rig —
+    interleaved 4-variant A/B, calibration 1.74→1.65 across the run):
+    the checkpoint TRUNCATES the analyzed plan under every downstream
+    consumer (band join, verify sides, breaker count, status joins),
+    so each later action stops re-analyzing the ~1 MB extract/URL-window
+    tree — llm_prep_spans 15.6→12.9 s med, llm_prep_spans_clean
+    18.4→13.8 s, llm_prep_pipeline 7.2→6.3 s, results bit-identical
+    (guide §3.3/§5: materialize an intermediate to truncate a huge
+    plan). Same materialization barrier and block lifetime as the
+    persist it replaces (blocks free when the last reference is GC'd;
+    ``cache_registry`` callers' ``unpersist()`` becomes a no-op).
+    Trade-off, documented: a lost executor cannot recompute a
+    localCheckpointed partition — on a fault-prone cluster flip this
+    seam back to ``df.persist()`` and pay the plan-analysis cost.
+    Module-level so the A/B protocol can flip it per rep in one
+    session."""
+    return df.localCheckpoint(eager=False)
 
 
 def clean_corpus(

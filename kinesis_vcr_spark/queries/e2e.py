@@ -429,12 +429,29 @@ def llm_prep_spans(
     # it or every consumer re-executes the pipeline (measured 3x the
     # query at sf0.1, the same multiplicative-recompute trap the
     # pipeline's own exact-dedup stage documents)
-    kept = out.where(F.col("status") == "kept").select(
-        "doc_id",
-        "split",
-        canonicalize_text(html_to_text(F.col("html"))).alias("__text"),
-    ).persist()
+    kept = _materialize_kept(
+        out.where(F.col("status") == "kept").select(
+            "doc_id",
+            "split",
+            canonicalize_text(html_to_text(F.col("html"))).alias("__text"),
+        )
+    )
     return _span_stage(kept)
+
+
+def _materialize_kept(df: DataFrame) -> DataFrame:
+    """How the spans queries materialize the kept survivor frame for
+    the span stage's three consumers (gate count, spans, stitch join).
+    ``persist()`` — deliberately NOT ``localCheckpoint`` like the
+    pipeline's survivor seam: the decomposed r14 A/B (steady rig,
+    4 variants × 3 cycles) measured checkpointing THIS frame slower
+    (llm_prep_spans 12.9→14.5 s med with kept checkpointed) — the span
+    stage re-scans kept heavily (two gram explodes + the stitch join),
+    and the columnar InMemoryRelation reads beat row-based RDD-scan
+    reads there, while kept's own plan is already truncated by the
+    survivor checkpoint below it. Module-level so the A/B protocol can
+    flip it per rep in one session."""
+    return df.persist()
 
 
 def _span_stage(kept: DataFrame) -> DataFrame:
@@ -679,9 +696,11 @@ def llm_prep_spans_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_threshold=E2E_CLEAN_Q, jaccard_threshold=E2E_J,
         decontam_n=E2E_N, split_seed=E2E_SEED, text_col="__clean",
     )
-    kept = out.where(F.col("status") == "kept").select(
-        "doc_id", "split", F.col("__clean").alias("__text")
-    ).persist()
+    kept = _materialize_kept(
+        out.where(F.col("status") == "kept").select(
+            "doc_id", "split", F.col("__clean").alias("__text")
+        )
+    )
     return _span_stage(kept)
 
 

@@ -112,13 +112,16 @@ def test_llm_prep_invalid_rows_labeled_and_quarantined(spark):
     assert got[3][0] == STATUS_KEPT
 
 
-def test_llm_prep_cache_registry_hands_over_persisted_survivors(spark):
-    """The exact-dedup survivor set is persisted unconditionally in
-    the verified mode (measured 2.06x at sf1 — BASELINE r13 addendum
-    2); the cache is CALLER-OWNED (it feeds the returned plan), so
-    ``cache_registry`` must receive the persisted DataFrame for the
-    caller to unpersist after its actions finish (r13 ADVICE: never
-    leak the cache for the rest of a long-lived session)."""
+def test_llm_prep_cache_registry_hands_over_materialized_survivors(spark):
+    """The exact-dedup survivor set is materialized unconditionally in
+    the verified mode (persist measured 2.06x at sf1 — BASELINE r13
+    addendum 2; r14 switched the seam to ``localCheckpoint`` to also
+    truncate the analyzed plan under every downstream consumer,
+    measured 15.6→12.9 s on llm_prep_spans). ``cache_registry`` still
+    receives the materialized DataFrame; its lineage must be TRUNCATED
+    (an RDD scan, not the extract/URL-window tree) and the legacy
+    ``unpersist()`` call sites must keep working (now a harmless
+    no-op — block lifetime is GC-bound)."""
     from kinesis_vcr_spark.operators.pipeline import llm_prep_corpus
 
     wrap = "<p>" + GOOD + "</p>"
@@ -131,7 +134,7 @@ def test_llm_prep_cache_registry_hands_over_persisted_survivors(spark):
         [Row(doc_id=99, html="<p>benchmark page about nothing shared</p>")],
         "doc_id bigint, html string",
     )
-    for budget in (1_000_000, None):  # armed and unarmed both persist
+    for budget in (1_000_000, None):  # armed and unarmed both materialize
         registry: list = []
         out = llm_prep_corpus(
             docs, bench, near_dup_candidate_budget=budget,
@@ -139,7 +142,10 @@ def test_llm_prep_cache_registry_hands_over_persisted_survivors(spark):
         )
         assert len(registry) == 1
         cached = registry[0]
-        assert cached.storageLevel.useMemory  # persisted, caller-owned
+        # plan truncated: the handed-over frame scans the checkpointed
+        # RDD; the big upstream tree is gone from its lineage
+        plan = cached._jdf.queryExecution().optimizedPlan().toString()
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan
+        assert "RegExpReplace" not in plan  # no extract tree below it
         out.collect()
-        cached.unpersist()
-        assert not cached.storageLevel.useMemory
+        cached.unpersist()  # legacy call sites must not raise
