@@ -32,6 +32,18 @@ STATUS_EXACT = "dropped_exact"
 STATUS_NEAR = "dropped_near_dup"
 STATUS_QUALITY = "dropped_quality"
 
+#: Whether the lsh_components branch also materializes the exact-dedup
+#: survivor set. The r12/r14 PERSIST A/Bs measured no win there (fewer
+#: lineage consumers than the verified branch), but the seam's switch
+#: to localCheckpoint changed the calculus — plan truncation was never
+#: part of that adjudication, and with it the branch's consumers (band
+#: pipeline, singleton join, status joins) stop re-analyzing the
+#: extract/URL-window tree per action: llm_prep_spans_lsh measured
+#: 14.96–17.3 s lazy vs 11.95–14.25 s materialized (4/4 adjacent
+#: pairs, ~17%, calibration 2.36→1.86 across the run, parity-checked).
+#: Module-level seam for the A/B protocol.
+_MATERIALIZE_LSH = True
+
 
 def _materialize_survivors(df: DataFrame) -> DataFrame:
     """How ``llm_prep_corpus`` materializes the exact-dedup survivor
@@ -309,6 +321,10 @@ def llm_prep_corpus(
         exact_kept = _materialize_survivors(exact_kept)
         if cache_registry is not None:
             cache_registry.append(exact_kept)
+    elif near_dup == "lsh_components" and _MATERIALIZE_LSH:
+        exact_kept = _materialize_survivors(exact_kept)
+        if cache_registry is not None:
+            cache_registry.append(exact_kept)
     exact_winners = exact_kept.select(id_col).withColumn(
         "__exact_keep", F.lit(True)
     )
@@ -352,12 +368,12 @@ def llm_prep_corpus(
     elif near_dup == "lsh_components":
         from kinesis_vcr_spark.operators.dedup import lsh_band_components
 
-        # Deliberately NOT materialized here (see the branch above):
-        # r14 interleaved A/B at sf0.1 and sf1 measured the persist at
-        # no-win-to-slower on this branch — its consumers (band
-        # pipeline, singleton join, status joins) re-run whole-stage
-        # codegen over a pruned scan, which costs less than the cache
-        # round-trip at the scales measured.
+        # Materialized ABOVE through the same localCheckpoint seam as
+        # the verified branch (gated on _MATERIALIZE_LSH). History: the
+        # r12/r14 PERSIST A/Bs measured no win here and the branch
+        # stayed lazy; the r14 session-3 switch to localCheckpoint
+        # flipped the verdict (see _MATERIALIZE_LSH) because the win is
+        # plan TRUNCATION, not data reuse.
         comp = lsh_band_components(
             exact_kept, id_col, "__text",
             shingle_size=shingle_size, checkpoint_dir=checkpoint_dir,
