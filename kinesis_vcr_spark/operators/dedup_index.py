@@ -375,6 +375,13 @@ def build_near_dup_index_bucketed(
     # Appends keep the direct lineage — reading the table back after an
     # append would see the whole accumulated corpus and double-write
     # every prior batch's bands.
+    # NOTE (ADVICE r14): unlike the parquet path, the shingles table is
+    # written before the bands UNCONDITIONALLY here (saveAsTable order
+    # is fixed by this block), so flipping ``_WRITE_FIRST=False`` on
+    # the bucketed path only switches the signature SOURCE back to the
+    # lazy lineage (shingle projection runs twice) — it does not
+    # reorder the writes. The seam's A/B compares read-back vs
+    # recompute on both paths; write ORDER is parquet-path-only.
     with _one_file_per_bucket(spark, n_buckets):
         (
             with_sh.repartition(n_buckets, "id")

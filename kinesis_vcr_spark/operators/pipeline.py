@@ -45,7 +45,9 @@ STATUS_QUALITY = "dropped_quality"
 _MATERIALIZE_LSH = True
 
 
-def _materialize_survivors(df: DataFrame) -> DataFrame:
+def _materialize_survivors(
+    df: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
     """How ``llm_prep_corpus`` materializes the exact-dedup survivor
     set for its many consumers. ``localCheckpoint(eager=False)``
     rather than ``persist()`` (r14, measured on a steady rig —
@@ -59,11 +61,15 @@ def _materialize_survivors(df: DataFrame) -> DataFrame:
     plan). Same materialization barrier and block lifetime as the
     persist it replaces (blocks free when the last reference is GC'd;
     ``cache_registry`` callers' ``unpersist()`` becomes a no-op).
-    Trade-off, documented: a lost executor cannot recompute a
-    localCheckpointed partition — on a fault-prone cluster flip this
-    seam back to ``df.persist()`` and pay the plan-analysis cost.
-    Module-level so the A/B protocol can flip it per rep in one
-    session."""
+    Trade-off: a lost executor cannot recompute a localCheckpointed
+    partition, so when the caller signals a fault-prone/long-run
+    posture by passing ``checkpoint_dir`` (the same signal
+    ``connected_components`` uses to pick reliable checkpoints, ADVICE
+    r14) this seam falls back to ``df.persist()`` — recomputable on
+    executor loss, at the plan-analysis cost. The local/bench posture
+    (``checkpoint_dir=None``) keeps the checkpoint."""
+    if checkpoint_dir is not None:
+        return df.persist()
     return df.localCheckpoint(eager=False)
 
 
@@ -318,11 +324,11 @@ def llm_prep_corpus(
         # found no win there — it has fewer lineage consumers (no
         # breaker, no verify join) and the persist cost offsets the
         # saved extract passes.
-        exact_kept = _materialize_survivors(exact_kept)
+        exact_kept = _materialize_survivors(exact_kept, checkpoint_dir)
         if cache_registry is not None:
             cache_registry.append(exact_kept)
     elif near_dup == "lsh_components" and _MATERIALIZE_LSH:
-        exact_kept = _materialize_survivors(exact_kept)
+        exact_kept = _materialize_survivors(exact_kept, checkpoint_dir)
         if cache_registry is not None:
             cache_registry.append(exact_kept)
     exact_winners = exact_kept.select(id_col).withColumn(
@@ -341,16 +347,22 @@ def llm_prep_corpus(
         # while the breaker + band join + verify consumers run —
         # without it the count pass re-executes the whole upstream.
         #
-        # LIFETIME (r13, ADVICE): the persisted survivor set also
-        # feeds the returned plan's LAZY consumers (band join, verify,
-        # the s2 status joins), so it cannot be unpersisted here — the
-        # cache is CALLER-OWNED and lives until the caller's actions
-        # on the returned DataFrame finish. Pass ``cache_registry`` (a
-        # list) to receive the persisted DataFrame and call
-        # ``.unpersist()`` when done; without it the cache is released
-        # only at session end (fine for one-shot query runs, not for
-        # long-lived sessions that keep re-running with an armed
-        # budget).
+        # LIFETIME (r13 ADVICE; semantics updated for the r14
+        # localCheckpoint seam, ADVICE r14): the materialized survivor
+        # set also feeds the returned plan's LAZY consumers (band join,
+        # verify, the s2 status joins), so it cannot be released here.
+        # Under the default ``checkpoint_dir=None`` posture the seam is
+        # a ``localCheckpoint`` whose RDD blocks are GC-BOUND:
+        # ``.unpersist()`` on the handed-over frame is a no-op, and the
+        # blocks free only when the last reference to the returned
+        # plan is garbage-collected (ContextCleaner). Long-lived
+        # sessions must therefore DROP ALL REFERENCES to the returned
+        # DataFrame (and anything derived from it) when done — that,
+        # not unpersist, is the release mechanism. ``cache_registry``
+        # still receives the materialized frame: with
+        # ``checkpoint_dir`` set the seam is a real ``persist()`` and
+        # ``.unpersist()`` works as before; without it the registry
+        # entry is useful only for dropping the reference.
         # r13: persist unconditionally — the survivor set's lineage
         # (extraction + URL window + digest group-min) feeds the band
         # join, the verify join's both sides and the s2 status joins

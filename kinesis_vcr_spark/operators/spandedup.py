@@ -165,6 +165,28 @@ def _gram_positions(
     )
 
 
+#: How ``duplicated_spans`` tags duplicated positions (r15 A/B seam).
+#:
+#: ``True`` (one-pass window): the position rows are exchanged ONCE on
+#: the gram digest and the dup test is ``count(*) over (partition by
+#: gram) >= 2`` — the gram explode (posexplode + md5 per position, the
+#: batch operator's CPU-heavy part) runs exactly once, and the agg →
+#: persist → gate-count → broadcast machinery disappears (two fewer
+#: jobs, no Θ(dup-grams) executor-memory broadcast). Shuffle bytes: the
+#: one exchange carries (id, p, digest) ≈ 28 B/position, vs the old
+#: shape's digest-agg exchange at ≈ 24 B/row TIMES mostly-distinct
+#: grams (high-entropy text barely combines map-side) — measured at
+#: sf100 those were 35 GB vs 28 GB, i.e. ~1.25× the shuffle for half
+#: the gram-compute CPU and no broadcast build. Skew: a viral gram's
+#: positions land in one window group (spillable WindowExec buffer);
+#: the old broadcast shape never moved them — the documented trade.
+#:
+#: ``False`` (r14 shape): explode twice, digest-only aggregation
+#: exchange, persisted + counted dup set broadcast under
+#: :data:`DUP_BROADCAST_MAX` into the position-tagging join.
+_ONE_PASS_WINDOW = True
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -178,6 +200,14 @@ def duplicated_spans(
     docstring for the equivalence proof)."""
     _evict_tracked()
     grams = _gram_positions(df, id_col, text_col, min_len)
+    if _ONE_PASS_WINDOW:
+        w = Window.partitionBy("gram")
+        covered = (
+            grams.withColumn("__n", F.count(F.lit(1)).over(w))
+            .where(F.col("__n") >= 2)
+            .select(id_col, "p")
+        )
+        return _merge_covered_to_spans(covered, id_col, min_len)
     dup_grams = _persist_tracked(
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__n"))

@@ -450,8 +450,16 @@ def _materialize_kept(df: DataFrame) -> DataFrame:
     and the columnar InMemoryRelation reads beat row-based RDD-scan
     reads there, while kept's own plan is already truncated by the
     survivor checkpoint below it. Module-level so the A/B protocol can
-    flip it per rep in one session."""
-    return df.persist()
+    flip it per rep in one session.
+
+    Tracked under the ``llm_kept`` cacheutil scope (ADVICE r14): each
+    spans-query invocation evicts the previous invocation's kept cache,
+    so a long-lived session holds at most one — bench behavior is
+    unchanged (it already clears cache between samples)."""
+    from kinesis_vcr_spark.cacheutil import evict_tracked, persist_tracked
+
+    evict_tracked("llm_kept")
+    return persist_tracked("llm_kept", df)
 
 
 def _span_stage(kept: DataFrame) -> DataFrame:

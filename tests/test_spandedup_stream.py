@@ -217,26 +217,42 @@ def test_string_keyed_legacy_index_fails_loudly(spark, tmp_path):
 
 def test_probe_cache_footprint_stays_bounded(spark, sf_dir, tmp_path):
     """ADVICE r09: repeated probes in one session must not accumulate
-    persisted dup/batch-gram relations — each call evicts the previous
-    call's tracked caches, and results stay correct."""
+    persisted dup/batch-gram relations — results stay correct with a
+    bounded (r15 one-pass window: EMPTY) tracked-cache footprint.
+
+    r15: the default ``_ONE_PASS_WINDOW`` shape tags duplicated
+    positions with one window count over a single position exchange —
+    no dup-set persist exists at all, so the batch operator tracks
+    NOTHING. The legacy broadcast shape (seam False) still persists one
+    tracked dup set per call and must evict its predecessor's; both
+    postures are pinned here."""
     from kinesis_vcr_spark import cacheutil
+    from kinesis_vcr_spark.operators import spandedup
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     idx = str(tmp_path / "index")
     append_gram_index(docs, idx, min_len=L)
     expected = _spans(duplicated_spans(docs, min_len=L))
-    first_dup = cacheutil._TRACKED.get("spandedup", [None])[0]
-    assert first_dup is not None and first_dup.storageLevel.useMemory
+    # one-pass window shape: nothing persisted, nothing tracked
+    assert cacheutil._TRACKED.get("spandedup", []) == []
     for _ in range(3):
         assert _spans(span_probe_index(docs, idx, min_len=L)) == expected
-        # probes persist nothing; duplicated_spans tracks ≤1 dup set
-        assert len(cacheutil._TRACKED.get("spandedup", [])) <= 1
-    # another duplicated_spans call evicts the first call's dup set —
-    # handle-level check, immune to other suites' localCheckpoint RDDs
-    # in the shared session (which getRDDStorageInfo would count).
-    # Different min_len: DataFrame.storageLevel is LOGICAL-PLAN-keyed,
-    # so an identical second call would re-cache the same plan and make
-    # the eviction invisible to the handle.
-    _spans(duplicated_spans(docs, min_len=L + 5))
-    assert not first_dup.storageLevel.useMemory  # evicted
-    assert len(cacheutil._TRACKED["spandedup"]) == 1
+        # probes persist nothing either
+        assert cacheutil._TRACKED.get("spandedup", []) == []
+    # legacy broadcast shape (seam False): tracks exactly one dup set
+    # per call, evicting the previous call's
+    old_seam = spandedup._ONE_PASS_WINDOW
+    try:
+        spandedup._ONE_PASS_WINDOW = False
+        assert _spans(duplicated_spans(docs, min_len=L)) == expected
+        first_dup = cacheutil._TRACKED.get("spandedup", [None])[0]
+        assert first_dup is not None and first_dup.storageLevel.useMemory
+        # Different min_len: DataFrame.storageLevel is LOGICAL-PLAN-
+        # keyed, so an identical second call would re-cache the same
+        # plan and make the eviction invisible to the handle.
+        _spans(duplicated_spans(docs, min_len=L + 5))
+        assert not first_dup.storageLevel.useMemory  # evicted
+        assert len(cacheutil._TRACKED["spandedup"]) == 1
+    finally:
+        spandedup._ONE_PASS_WINDOW = old_seam
+        cacheutil.evict_tracked("spandedup")
