@@ -107,6 +107,25 @@ def load_search_meta(spark: SparkSession, index_path: str) -> int:
     ]
 
 
+def init_search_index(
+    spark: SparkSession, index_path: str, *, n_buckets: int = 16
+) -> None:
+    """Reset the artifact to an EMPTY index with a stamped layout:
+    clear every scope dir (stale scopes from a previous build must not
+    leak into partition discovery — the same discipline as
+    build_near_dup_index) and write ``meta``. Callers then append the
+    artifact kinds their workload needs — a phrase-only index appends
+    just positional postings (:func:`append_position_index`) and never
+    pays the BM25 postings/stats build (r15: guide §1.2, don't compute
+    artifacts the workload throws away)."""
+    _rm_recursive(spark, f"{index_path}/postings")
+    _rm_recursive(spark, f"{index_path}/stats")
+    _rm_recursive(spark, f"{index_path}/positions")
+    spark.createDataFrame([(n_buckets,)], _META_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/meta")
+
+
 def build_search_index(
     df: DataFrame,
     index_path: str,
@@ -116,17 +135,10 @@ def build_search_index(
     n_buckets: int = 16,
     ingest_label: str = "_base",
 ) -> None:
-    """Fresh build: replace the whole artifact (stale scopes from a
-    previous build must not leak into partition discovery — the same
-    discipline as build_near_dup_index) and write the corpus as one
-    ingest scope."""
+    """Fresh build: reset the layout (:func:`init_search_index`) and
+    write the corpus as one ingest scope."""
     spark = df.sparkSession
-    _rm_recursive(spark, f"{index_path}/postings")
-    _rm_recursive(spark, f"{index_path}/stats")
-    _rm_recursive(spark, f"{index_path}/positions")
-    spark.createDataFrame([(n_buckets,)], _META_SCHEMA).write.mode(
-        "overwrite"
-    ).parquet(f"{index_path}/meta")
+    init_search_index(spark, index_path, n_buckets=n_buckets)
     append_search_index(
         df, index_path, id_col, text_col, ingest_label=ingest_label
     )
@@ -177,6 +189,29 @@ def _term_buckets(
     return [r["tb"] for r in rows]
 
 
+def _meta_and_buckets(
+    spark: SparkSession, index_path: str, terms: list[str]
+) -> tuple[int, list[int]]:
+    """``(n_buckets, term buckets)`` in ONE collect: the meta row is
+    cross-joined to the terms so the bucket expression (the same
+    engine expression that laid the postings out) sees the stamped
+    ``n_buckets`` without a separate meta-read job — probes are
+    fixed-overhead-bound at day-batch sizes (r15: 8-core/32-core ratio
+    0.53 on the phrase row said per-job cost dominates), so every job
+    folded out of the probe path counts."""
+    meta = spark.read.parquet(f"{index_path}/meta")
+    t = spark.createDataFrame(
+        [(x,) for x in sorted(set(terms))], "term string"
+    )
+    rows = meta.crossJoin(t).select(
+        "n_buckets",
+        F.pmod(F.xxhash64("term"), F.col("n_buckets")).cast("int").alias(
+            "tb"
+        ),
+    ).collect()
+    return rows[0]["n_buckets"], sorted({r["tb"] for r in rows})
+
+
 def search_index_topk(
     spark: SparkSession,
     index_path: str,
@@ -204,8 +239,7 @@ def search_index_topk(
     load_near_dup_index."""
     if not terms:
         raise ValueError("search_index_topk needs at least one term")
-    n_buckets = load_search_meta(spark, index_path)
-    buckets = _term_buckets(spark, terms, n_buckets)
+    n_buckets, buckets = _meta_and_buckets(spark, index_path, terms)
     posts = spark.read.parquet(f"{index_path}/postings").where(
         F.col("tb").isin(buckets) & F.col("term").isin(terms)
     )
@@ -292,13 +326,26 @@ def phrase_occurrences(
         F.posexplode(F.split(text_col, " ")).alias("p", "term"),
     )
     votes = _phrase_votes(toks, phrase)
-    starts = (
-        votes.groupBy("doc_id", "s")
-        .agg(F.countDistinct("i").alias("__n"))
-        .where((F.col("__n") == len(phrase)) & (F.col("s") >= 0))
-    )
+    starts = _full_starts(votes, len(phrase))
     return starts.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+
+
+def _full_starts(votes: DataFrame, m: int) -> DataFrame:
+    """Starts where all ``m`` offsets voted. ``count(*)``, not
+    ``count(DISTINCT i)`` (r15): a vote row exists per (token position
+    p, phrase offset i with term match), and for a fixed (doc, s, i)
+    the only possible source is p = s + i — vote rows are UNIQUE on
+    (doc_id, s, i) by construction (repeated phrase terms included:
+    each occurrence of the term in the phrase is a distinct offset),
+    so the plain count equals the distinct count and the
+    distinct-aggregation's extra expand + exchange disappears from
+    both the batch operator and the index probe."""
+    return (
+        votes.groupBy("doc_id", "s")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where((F.col("__n") == m) & (F.col("s") >= 0))
     )
 
 
@@ -349,19 +396,14 @@ def phrase_probe_index(
     the phrase terms' buckets exactly like the BM25 probe."""
     if not phrase:
         raise ValueError("phrase_probe_index needs a non-empty phrase")
-    n_buckets = load_search_meta(spark, index_path)
-    buckets = _term_buckets(spark, phrase, n_buckets)
+    n_buckets, buckets = _meta_and_buckets(spark, index_path, phrase)
     toks = spark.read.parquet(f"{index_path}/positions").where(
         F.col("tb").isin(buckets) & F.col("term").isin(list(set(phrase)))
     )
     if exclude_ingest is not None:
         toks = toks.where(F.col("ingest") != exclude_ingest)
     votes = _phrase_votes(toks.select("doc_id", "p", "term"), phrase)
-    starts = (
-        votes.groupBy("doc_id", "s")
-        .agg(F.countDistinct("i").alias("__n"))
-        .where((F.col("__n") == len(phrase)) & (F.col("s") >= 0))
-    )
+    starts = _full_starts(votes, len(phrase))
     return starts.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_occurrences")
     )

@@ -299,7 +299,7 @@ def phrase_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kinesis_vcr_spark.operators.searchindex import (
         append_position_index,
-        build_search_index,
+        init_search_index,
         phrase_probe_index,
     )
 
@@ -310,7 +310,13 @@ def phrase_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"kvs_phraseindex_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    build_search_index(old, path)
+    # phrase-ONLY index (r15): the probe reads positional postings and
+    # meta alone, so the BM25 postings/stats build the old
+    # build_search_index call ran here was a full corpus aggregation +
+    # write whose artifact this query never read (guide §1.2: don't
+    # compute things you throw away). Corpus + batch are still fully
+    # position-indexed per the query's contract.
+    init_search_index(spark, path)
     append_position_index(old, path, ingest_label="_base")
     append_position_index(new, path, ingest_label="batch")
     return phrase_probe_index(spark, path, list(PHRASE)).orderBy(
