@@ -335,10 +335,27 @@ def _unit_arr(col):
 
 def _manifold(emb: DataFrame) -> tuple[DataFrame, DataFrame, "object"]:
     """(corpus, probes, frozen centroid matrix) for the planted
-    manifold. The centers frame is MAN_K rows — broadcast join; all
-    vector arithmetic stays in whole-stage codegen (zip_with /
-    aggregate HOFs over 64 doubles)."""
+    manifold.
+
+    r15 (guide §4.2): the member planting used to run as a chain of
+    interpreted HOFs (``_unit_arr`` twice + a ``zip_with`` under a
+    broadcast join) — measured 0.65 ms/row, ~1.3 s per full pass over
+    the 2 k-vector fixture, paid by every consumer of the corpus in
+    both manifold rows. The centers are ALREADY collected here (the
+    frozen ``cmat`` the IVF row needs), so the plant now closes over
+    that matrix in ONE vectorized pandas UDF: numpy per Arrow batch,
+    norms accumulated with an explicit left-to-right loop over
+    dimensions — the exact operation sequence of the HOF ``aggregate``
+    and of DuckDB's ``list_reduce`` (the ``pandas_cosine`` bit-identity
+    argument), elementwise divide / scale / add unchanged in order, so
+    every planted double is bit-identical to the HOF chain
+    (parity-asserted in tests/test_ann_clustered.py and by the exact
+    oracle on both manifold rows)."""
     import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import (  # noqa: PLC0415
+        PandasUDFType, pandas_udf,
+    )
 
     e = emb.select(
         "vec_id",
@@ -348,23 +365,36 @@ def _manifold(emb: DataFrame) -> tuple[DataFrame, DataFrame, "object"]:
         F.col("vec_id").cast("int").alias("cid"),
         _unit_arr(F.col("e")).alias("c"),
     )
-    members = e.where(F.col("vec_id") >= MAN_K).select(
+    crows = sorted(centers.collect(), key=lambda r: r["cid"])
+    cmat = np.vstack([np.asarray(r["c"], dtype=np.float64) for r in crows])
+
+    def _plant_fn(cid, ev):
+        mat = np.vstack(ev.to_numpy()).astype(np.float64)
+
+        def seq_norm(x):
+            acc = np.zeros(x.shape[0])
+            for i in range(x.shape[1]):  # left-to-right, like aggregate()
+                acc = acc + x[:, i] * x[:, i]
+            return np.sqrt(acc)
+
+        u = mat / seq_norm(mat)[:, None]
+        raw = cmat[cid.to_numpy()] + MAN_EPS * u
+        out = raw / seq_norm(raw)[:, None]
+        return pd.Series(list(out))
+
+    # explicit functionType: `from __future__ import annotations`
+    # stringifies hints, which the decorator form cannot resolve
+    _plant = pandas_udf(_plant_fn, "array<double>", PandasUDFType.SCALAR)
+
+    corpus = e.where(F.col("vec_id") >= MAN_K).select(
         "vec_id",
-        F.pmod("vec_id", F.lit(MAN_K)).cast("int").alias("cid"),
-        _unit_arr(F.col("e")).alias("u"),
-    )
-    raw = F.zip_with(
-        F.col("c"), F.col("u"), lambda c, u: c + F.lit(MAN_EPS) * u
-    )
-    corpus = (
-        members.join(F.broadcast(centers), "cid")
-        .select("vec_id", _unit_arr(raw).alias("embedding"))
+        _plant(
+            F.pmod("vec_id", F.lit(MAN_K)).cast("int"), F.col("e")
+        ).alias("embedding"),
     )
     probes = corpus.where(F.col("vec_id") < MAN_K + MAN_PROBES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    crows = sorted(centers.collect(), key=lambda r: r["cid"])
-    cmat = np.vstack([np.asarray(r["c"], dtype=np.float64) for r in crows])
     return corpus, probes, cmat
 
 

@@ -535,9 +535,12 @@ def test_span_probe_conf_robustness(spark, tmp_path):
 
 
 def test_manifold_plant_is_codegen_and_broadcast(spark, sf_dir):
-    """similarity_ivf_manifold's plant: the centers join must be a
-    broadcast (8 rows), the member arithmetic pure JVM HOFs — the only
-    Python stages are IVF's centroid-assignment pandas UDFs."""
+    """similarity_ivf_manifold's plant (r15 shape): the member
+    arithmetic is ONE fused Arrow-batched pandas UDF closing over the
+    collected center matrix — no centers join in the plant at all (the
+    old HOF chain + 8-row broadcast join measured 0.65 ms/row
+    interpreted); the candidate join stays a broadcast, and
+    row-at-a-time Python never appears."""
     from kinesis_vcr_spark.queries.similarity import similarity_ivf_manifold
 
     plan = _formatted_plan(similarity_ivf_manifold(spark, sf_dir))
@@ -545,8 +548,8 @@ def test_manifold_plant_is_codegen_and_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan  # row-at-a-time Python: never
-    # only Arrow-batched stages (assignment/probe/cosine; the probe
-    # frame shares the corpus lineage so nodes appear per branch)
+    # only Arrow-batched stages (plant/assignment/probe/cosine; the
+    # probe frame shares the corpus lineage so nodes appear per branch)
     assert plan.count("ArrowEvalPython") <= 10
 
 
