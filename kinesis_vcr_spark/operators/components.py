@@ -54,11 +54,11 @@ def connected_components(
     star-contraction note in the module docstring).
     """
 
-    def _persist(df: DataFrame) -> DataFrame:
+    def _persist(df: DataFrame, eager: bool = True) -> DataFrame:
         if checkpoint_dir is None:
-            return df.localCheckpoint()
+            return df.localCheckpoint(eager=eager)
         df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-        return df.checkpoint()
+        return df.checkpoint()  # reliable path stays eager (durability)
 
     # materialize the edge list ONCE before the symmetrize-union: the
     # union references `edges` twice, and an expensive upstream (e.g. an
@@ -87,17 +87,26 @@ def connected_components(
         cand = labels.withColumn("__old", F.col("component")).unionByName(
             msgs.withColumn("__old", F.lit(None).cast(comp_type))
         )
+        # ONE job per round (r15): the checkpoint is lazy and the
+        # convergence count is a FULL count (no limit) — the count
+        # action computes every partition of the round's aggregation,
+        # which is exactly the materialization the eager checkpoint
+        # used to run as its own job, so the per-round job count halves
+        # (the old shape paid materialize-job + probe-job). A limit(1)
+        # probe would be wrong here: it can stop after the first
+        # changed row with the checkpoint only partially materialized.
+        # The reliable-checkpoint posture (checkpoint_dir set) keeps
+        # the eager write — durability is the point there.
         new_full = _persist(
             cand.groupBy("node").agg(
                 F.min("component").alias("component"),
                 F.min("__old").alias("__old"),
-            )
+            ),
+            eager=False,
         )
-        changed = (
-            new_full.where(F.col("component") != F.col("__old"))
-            .limit(1)
-            .count()
-        )
+        changed = new_full.where(
+            F.col("component") != F.col("__old")
+        ).count()
         labels = new_full.select("node", "component")
         if changed == 0:
             return labels
