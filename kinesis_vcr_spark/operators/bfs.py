@@ -56,15 +56,19 @@ def bfs_distances(
     for depth in range(1, max_depth + 1):
         f_in = F.broadcast(frontier) if broadcast_frontier else frontier
         v_in = F.broadcast(visited) if broadcast_frontier else visited
+        # lazy checkpoint + FULL count in one job (r15, the
+        # components-loop fold): the count materializes every frontier
+        # partition — the old eager-checkpoint job + take(1) probe pair
+        # for the same expansion work
         fresh = (
             e.join(f_in, e["__s"] == f_in["node"])
             .select(F.col("__d").alias("node"))
             .distinct()
             .join(v_in.select("node"), "node", "left_anti")
             .withColumn("distance", F.lit(depth).cast("long"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if not fresh.take(1):  # frontier exhausted: early exit
+        if fresh.count() == 0:  # frontier exhausted: early exit
             break
         visited = visited.unionByName(fresh).localCheckpoint()
         frontier = fresh.select("node")

@@ -515,7 +515,16 @@ def near_dup_against_bucketed_index(
             F.col("l.id").alias("id_a"), F.col("r2.id").alias("id_b")
         )
     )
-    cand = cand_old.unionByName(cand_new).distinct()
+    # dedup the candidate pairs INSIDE the bucket-spec exchange the
+    # a-side verify joins need anyway (r15): hash(id_a) co-locates
+    # equal (id_a, id_b) rows, so dropDuplicates after the repartition
+    # is exactly distinct() — one exchange instead of the old
+    # distinct-at-conf exchange followed by the id_a re-key
+    cand = (
+        cand_old.unionByName(cand_new)
+        .repartition(n_buckets, "id_a")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     stored_sh = spark.table(f"{table_prefix}_shingles")
 
     def side(which: str) -> tuple[DataFrame, DataFrame, Column]:
@@ -531,12 +540,12 @@ def near_dup_against_bucketed_index(
 
     a_old, a_new, sh_a = side("id_a")
     b_old, b_new, sh_b = side("id_b")
-    # candidates re-cluster to the shingle tables' bucket spec per key
-    # side (two batch-sized shuffles) so the stored shingle scans also
-    # join in place at any conf
+    # candidates are ALREADY at the id_a bucket spec (the dedup above
+    # rode that exchange), so only the id_b side re-clusters — one
+    # batch-sized shuffle; the stored shingle scans join in place at
+    # any conf either way
     return (
-        cand.repartition(n_buckets, "id_a")
-        .join(a_old, "id_a", "left")
+        cand.join(a_old, "id_a", "left")
         .join(a_new, "id_a", "left")
         .repartition(n_buckets, "id_b")
         .join(b_old, "id_b", "left")

@@ -103,40 +103,40 @@ def kcore_edges(
 
     for i in range(max_iterations + 1):  # +1: the final fixpoint check
         cur = alive(removed)
-        # persist before counting: the count must not force a degree
-        # computation that the unionByName below would then redo from
-        # scratch — one degree pass per peel round, not two (r08
-        # ADVICE). Unpersisted as soon as the checkpoint has copied it.
-        bad = _degrees(cur).where(F.col("deg") < k).select("node").persist()
-        n_bad = bad.count()
+        bad = _degrees(cur).where(F.col("deg") < k).select("node")
+        # ONE job per peel round (r15, the components-loop fold): the
+        # cumulative peeled set is checkpointed LAZILY and counted in
+        # full — the count materializes every partition (degree pass
+        # included), and because bad is disjoint from prior removals
+        # the round's progress is just the count delta. The old shape
+        # paid a bad-persist count job PLUS an eager checkpoint job per
+        # round for the same degree pass.
+        new_removed = (
+            bad if removed is None else removed.unionByName(bad)
+        ).localCheckpoint(eager=False)
+        total = new_removed.count()
+        n_bad = total - removed_count
         if n_bad == 0:
-            bad.unpersist()
-            # lineage is already shallow (source + two anti-joins
-            # against the checkpointed node set) — no edge-sized
-            # checkpoint of the result, which would reintroduce the
-            # very materialization this shape exists to avoid. The
-            # base is UNPERSISTED here, costing the caller's consuming
-            # action one re-scan of the source: leaving it cached
-            # poisons any LATER call whose scan canonicalizes to the
-            # same plan — InMemoryFileIndex equality is by root paths
-            # only, so a re-run over the same path with NEW data (the
-            # streaming snapshot shape, one k-core per trigger) would
-            # be served this call's stale cached edges — and
-            # accumulates an edge-sized cache entry per call besides.
+            # lineage of cur is already shallow (source + two
+            # anti-joins against the checkpointed node set) — no
+            # edge-sized checkpoint of the result, which would
+            # reintroduce the very materialization this shape exists
+            # to avoid. The base is UNPERSISTED here, costing the
+            # caller's consuming action one re-scan of the source:
+            # leaving it cached poisons any LATER call whose scan
+            # canonicalizes to the same plan — InMemoryFileIndex
+            # equality is by root paths only, so a re-run over the
+            # same path with NEW data (the streaming snapshot shape,
+            # one k-core per trigger) would be served this call's
+            # stale cached edges — and accumulates an edge-sized cache
+            # entry per call besides.
             base.unpersist()
             return cur
         if i == max_iterations:
             base.unpersist()
-            bad.unpersist()
             break  # out of peel budget and still not converged
-        prev = removed
-        removed = (
-            bad if prev is None else prev.unionByName(bad)
-        ).localCheckpoint()
-        bad.unpersist()
-        removed_count += n_bad  # bad is disjoint from prior removals
-        if prev is not None:
-            prev.unpersist()
+        removed = new_removed
+        removed_count = total  # bad is disjoint from prior removals
     raise RuntimeError(
         f"{k}-core peeling did not converge within {max_iterations} "
         "iterations — raise max_iterations (and, for an oracle-paired "

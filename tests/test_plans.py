@@ -389,13 +389,21 @@ def test_chi2_no_python_cells_tiny(spark, sf_dir):
 
 
 def test_span_dedup_positions_never_shuffled_under_gate(spark):
-    """The r09 span-dedup posture: with the dup set under
-    DUP_BROADCAST_MAX, the position-tagging join is a BroadcastHashJoin
-    — the position table streams off the scan, and the only hash
-    exchanges in the whole spans plan are the digest aggregation and
-    the per-doc islands window. A shuffled position join here is the
-    6.3-GB-at-sf10 / ENOSPC-at-sf100 shape the gate exists to prevent
-    (BASELINE round-9 addendum 2)."""
+    """Span-dedup plan pins, both seam postures (r15).
+
+    Default one-pass window shape: NO join anywhere — the gram explode
+    runs once into a single hashpartitioning(gram) exchange, the dup
+    test is a window count on top of it, and the only other hash
+    exchange is the per-doc islands window. Exactly two hash exchanges,
+    zero Python, zero cached relations.
+
+    Legacy broadcast shape (seam False — the r09 posture kept for
+    dup-saturated corpora): with the dup set under DUP_BROADCAST_MAX
+    the position-tagging join is a BroadcastHashJoin — the position
+    table streams off the scan and never shuffles (the
+    6.3-GB-at-sf10 / ENOSPC-at-sf100 shape the gate exists to prevent,
+    BASELINE round-9 addendum 2)."""
+    from kinesis_vcr_spark.operators import spandedup
     from kinesis_vcr_spark.operators.spandedup import duplicated_spans
 
     docs = spark.createDataFrame(
@@ -403,20 +411,43 @@ def test_span_dedup_positions_never_shuffled_under_gate(spark):
          for i in range(8)],
         "doc_id long, text string",
     )
-    spans = duplicated_spans(docs, min_len=20)
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        spans.explain()
-    plan = buf.getvalue()
-    assert "BroadcastHashJoin" in plan
-    # the gate's count already materialized the dup-set cache, so the
-    # live plan may shuffle ONLY for the per-doc islands window — any
-    # second hash exchange means the position table got shuffled.
-    # (the InMemoryRelation section re-renders the cached agg's own
-    # exchange; it already ran, so cut it before counting)
-    live = plan.split("InMemoryRelation")[0]
-    assert live.count("Exchange hashpartitioning") <= 1, plan
-    assert "BatchEvalPython" not in live and "ArrowEvalPython" not in live
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+
+    # default: one-pass window — one gram exchange + one islands
+    # exchange, no join, no Python, nothing persisted
+    plan = plan_of(duplicated_spans(docs, min_len=20))
+    assert "Join" not in plan, plan
+    assert "InMemoryRelation" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    old_seam = spandedup._ONE_PASS_WINDOW
+    try:
+        spandedup._ONE_PASS_WINDOW = False
+        plan = plan_of(duplicated_spans(docs, min_len=20))
+        assert "BroadcastHashJoin" in plan
+        # the gate's count already materialized the dup-set cache, so
+        # the live plan may shuffle ONLY for the per-doc islands window
+        # — any second hash exchange means the position table got
+        # shuffled. (the InMemoryRelation section re-renders the cached
+        # agg's own exchange; it already ran, so cut it before
+        # counting)
+        live = plan.split("InMemoryRelation")[0]
+        assert live.count("Exchange hashpartitioning") <= 1, plan
+        assert (
+            "BatchEvalPython" not in live
+            and "ArrowEvalPython" not in live
+        )
+    finally:
+        spandedup._ONE_PASS_WINDOW = old_seam
+        from kinesis_vcr_spark.cacheutil import evict_tracked
+
+        evict_tracked("spandedup")
 
 
 def test_span_probe_stored_side_never_shuffled(spark, tmp_path):
